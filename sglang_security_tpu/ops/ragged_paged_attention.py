@@ -1,0 +1,465 @@
+"""Ragged paged attention: one Pallas kernel for prefill-with-prefix and decode.
+
+Design (TPU-first, not a port — compare reference CUDA backends
+``srt/layers/attention/flashinfer_backend.py`` / ``flashattention_backend.py``
+and ``sgl-kernel/csrc/attention/``):
+
+  * All KV — cached prefix *and* newly written tokens — lives in one paged
+    pool, so chunked prefill, prefix-cache hits, and decode are all the same
+    computation: queries attend to pages ``[0, kv_len)`` of their sequence
+    with a causal mask anchored at ``kv_len - q_len``.  The reference needs a
+    separate "merge attention states" cascade kernel for chunked prefix
+    (``merge_attn_states.cu``); here it falls out of the unified layout.
+
+  * Layout: ``{k,v}_pages: [num_kv_heads, num_pages, page_size, head_dim]``.
+    The grid iterates KV heads outermost, so each page DMA moves exactly one
+    head's slice — total bytes moved equals the KV cache read once, and the
+    leading axis shards cleanly over a ``tp`` mesh axis.
+
+  * "Aligned-ragged" query layout: each sequence's new tokens start at a
+    ``block_q``-aligned row of the flattened token axis (the scheduler packs
+    batches this way).  Decode is the same kernel with ``block_q=1``: one
+    query row per sequence.  GQA query heads of one KV head are folded into
+    the matmul M dimension (rows are token-major: ``r // q_per_kv`` is the
+    token), so the QK^T matmul has M = block_q * q_per_kv.
+
+  * Pages are fetched HBM→VMEM with double-buffered async DMA; the next
+    (head, q-block, kv-block) work item is located by walking the block
+    descriptors in SMEM, skipping causally-masked and padded blocks, so the
+    prefetch never stalls on invalid cells.
+
+The jnp reference (`ref_ragged_paged_attention`) defines the semantics and
+is what unit tests compare against (test strategy per SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sglang_security_tpu.utils import cdiv, use_interpret_mode
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+# ======================================================================
+# jnp reference implementation (semantics oracle; CPU-runnable)
+# ======================================================================
+
+
+def ref_ragged_paged_attention(
+    q: jax.Array,  # [T, num_q_heads, head_dim] (aligned-ragged rows)
+    k_pages: jax.Array,  # [num_kv_heads, num_pages, page_size, head_dim]
+    v_pages: jax.Array,
+    kv_lens: np.ndarray,  # [S] total kv len per seq (prefix + new)
+    page_indices: np.ndarray,  # [S, pages_per_seq]
+    q_starts: np.ndarray,  # [S] row of each seq's first query token
+    q_lens: np.ndarray,  # [S] number of query tokens per seq
+    *,
+    sm_scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+) -> jax.Array:
+    """Host-looped oracle. Rows outside any sequence are zero."""
+    num_kv_heads, _, page_size, head_dim = k_pages.shape
+    num_q_heads = q.shape[1]
+    q_per_kv = num_q_heads // num_kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    out = jnp.zeros_like(q, dtype=jnp.float32)
+    for s in range(len(kv_lens)):
+        q_len = int(q_lens[s])
+        if q_len == 0:
+            continue
+        kv_len = int(kv_lens[s])
+        q_start = int(q_starts[s])
+        idx = page_indices[s]
+        # [Hkv, n_pages, ps, d] -> [Hkv, kv_len, d]
+        k = k_pages[:, idx].reshape(num_kv_heads, -1, head_dim)[:, :kv_len]
+        v = v_pages[:, idx].reshape(num_kv_heads, -1, head_dim)[:, :kv_len]
+        qs = q[q_start : q_start + q_len].astype(jnp.float32)  # [q_len, Hq, d]
+        qs = qs.reshape(q_len, num_kv_heads, q_per_kv, head_dim)
+        s_ = jnp.einsum(
+            "qhgd,hkd->hgqk", qs, k.astype(jnp.float32)
+        )  # [Hkv, g, q_len, kv_len]
+        s_ = s_ * sm_scale
+        if soft_cap is not None:
+            s_ = soft_cap * jnp.tanh(s_ / soft_cap)
+        q_pos = (kv_len - q_len) + np.arange(q_len)[:, None]
+        kv_pos = np.arange(kv_len)[None, :]
+        allow = kv_pos <= q_pos
+        if sliding_window is not None:
+            allow &= kv_pos > q_pos - sliding_window
+        s_ = jnp.where(allow[None, None], s_, MASK_VALUE)
+        p = jax.nn.softmax(s_, axis=-1)
+        o = jnp.einsum("hgqk,hkd->qhgd", p, v.astype(jnp.float32))
+        o = o.reshape(q_len, num_q_heads, head_dim)
+        out = out.at[q_start : q_start + q_len].set(o)
+    return out.astype(q.dtype)
+
+
+# ======================================================================
+# Pallas kernel
+# ======================================================================
+
+
+def _kernel(
+    # --- scalar prefetch refs ---
+    qblk_seq_ref,  # [QB] i32: sequence owning each q block (-1 = padding)
+    q_starts_ref,  # [S] i32
+    q_lens_ref,  # [S] i32
+    kv_lens_ref,  # [S] i32
+    page_indices_ref,  # [S * pages_per_seq] i32 (flat, clamped to valid pages)
+    buffer_index_ref,  # [1] i32 (mutable across grid steps)
+    init_flag_ref,  # [1] i32
+    # --- tensor inputs ---
+    q_ref,  # [block_q, q_per_kv, head_dim] (current block, VMEM)
+    k_pages_ref,  # [Hkv, num_pages, ps, d]  (ANY/HBM)
+    v_pages_ref,
+    # --- outputs ---
+    o_ref,  # [block_q, q_per_kv, head_dim]
+    # --- scratch ---
+    k_buf,  # [2, ppb, ps, d] VMEM
+    v_buf,
+    k_sems,  # DMA (2,)
+    v_sems,
+    m_scr,  # [rows, 128] f32
+    l_scr,
+    acc_scr,  # [rows, head_dim] f32
+    *,
+    block_q: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    num_qblks: int,
+    num_kv_heads: int,
+    sm_scale: float,
+    sliding_window: Optional[int],
+    soft_cap: Optional[float],
+):
+    h = pl.program_id(0)
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    block_kv = pages_per_block * page_size
+    q_per_kv = q_ref.shape[1]
+    rows = block_q * q_per_kv
+    head_dim = q_ref.shape[-1]
+
+    def seq_of(qblk):
+        return qblk_seq_ref[qblk]
+
+    def kv_limit(qblk):
+        """Causal upper bound on kv positions for q block `qblk` (0 if pad)."""
+        s = jnp.maximum(seq_of(qblk), 0)
+        q_off = qblk * block_q - q_starts_ref[s]
+        kv_start = kv_lens_ref[s] - q_lens_ref[s]
+        lim = jnp.minimum(kv_lens_ref[s], kv_start + q_off + block_q)
+        return jnp.where(seq_of(qblk) < 0, 0, lim)
+
+    def nblocks_of(qblk):
+        return lax.div(kv_limit(qblk) + block_kv - 1, block_kv)
+
+    def first_valid_qb(start_qb):
+        """Smallest qb' >= start_qb with work (or num_qblks if none)."""
+        return lax.while_loop(
+            lambda x: jnp.logical_and(x < num_qblks, nblocks_of(jnp.minimum(x, num_qblks - 1)) == 0),
+            lambda x: x + 1,
+            start_qb,
+        )
+
+    def next_work(h_, qb_, kb_):
+        """Next valid (h, qb, kb) strictly after the current cell."""
+
+        def adv_qb():
+            nqb = first_valid_qb(qb_ + 1)
+
+            def adv_h():
+                return (h_ + 1, first_valid_qb(0), 0)
+
+            return lax.cond(nqb < num_qblks, lambda: (h_, nqb, 0), adv_h)
+
+        return lax.cond(
+            kb_ + 1 < nblocks_of(qb_), lambda: (h_, qb_, kb_ + 1), adv_qb
+        )
+
+    def start_page_dmas(h_, qb_, kb_, slot):
+        s = jnp.maximum(seq_of(qb_), 0)
+        base = s * pages_per_seq + kb_ * pages_per_block
+        for p in range(pages_per_block):
+            pg = page_indices_ref[base + p]
+            pltpu.make_async_copy(
+                k_pages_ref.at[h_, pg], k_buf.at[slot, p], k_sems.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                v_pages_ref.at[h_, pg], v_buf.at[slot, p], v_sems.at[slot]
+            ).start()
+
+    def wait_page_dmas(h_, qb_, kb_, slot):
+        s = jnp.maximum(seq_of(qb_), 0)
+        base = s * pages_per_seq + kb_ * pages_per_block
+        for p in range(pages_per_block):
+            pg = page_indices_ref[base + p]
+            pltpu.make_async_copy(
+                k_pages_ref.at[h_, pg], k_buf.at[slot, p], k_sems.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                v_pages_ref.at[h_, pg], v_buf.at[slot, p], v_sems.at[slot]
+            ).wait()
+
+    limit = kv_limit(qb)
+
+    @pl.when(kb * block_kv < limit)
+    def _run():
+        init = init_flag_ref[0]
+        init_flag_ref[0] = 0
+        slot = buffer_index_ref[0]
+
+        @pl.when(init)
+        def _prefetch_first():
+            start_page_dmas(h, qb, kb, slot)
+
+        @pl.when(kb == 0)
+        def _reset_accumulators():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        nh, nqb, nkb = next_work(h, qb, kb)
+
+        @pl.when(nh < num_kv_heads)
+        def _prefetch_next():
+            nslot = jnp.where(slot == 0, 1, 0)
+            start_page_dmas(nh, nqb, nkb, nslot)
+            buffer_index_ref[0] = nslot
+
+        # ---- compute on the current block ----
+        s_idx = jnp.maximum(seq_of(qb), 0)
+        q_off = qb * block_q - q_starts_ref[s_idx]
+        kv_start = kv_lens_ref[s_idx] - q_lens_ref[s_idx]
+
+        q = q_ref[...].reshape(rows, head_dim)  # token-major rows
+        wait_page_dmas(h, qb, kb, slot)
+        k = k_buf[slot].reshape(block_kv, head_dim)
+
+        qk = lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows, block_kv]
+        qk *= sm_scale
+        if soft_cap is not None:
+            qk = soft_cap * jnp.tanh(qk / soft_cap)
+
+        tok = lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0) // q_per_kv
+        q_pos = kv_start + q_off + tok
+        kv_pos = kb * block_kv + lax.broadcasted_iota(
+            jnp.int32, (rows, block_kv), 1
+        )
+        allow = kv_pos <= q_pos
+        if sliding_window is not None:
+            allow = jnp.logical_and(allow, kv_pos > q_pos - sliding_window)
+        qk = jnp.where(allow, qk, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(qk, axis=-1, keepdims=True)  # [rows, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [rows, 128]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(qk - m_next[:, 0:1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_buf[slot].reshape(block_kv, head_dim)
+        pv = lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+
+        @pl.when(kb == nblocks_of(qb) - 1)
+        def _write_out():
+            l = l_scr[:, 0:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[...] = (acc_scr[...] * l_inv).reshape(
+                block_q, q_per_kv, head_dim
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale",
+        "sliding_window",
+        "soft_cap",
+        "block_q",
+        "pages_per_block",
+        "interpret",
+    ),
+)
+def ragged_paged_attention(
+    q: jax.Array,  # [T, num_q_heads, head_dim] (aligned-ragged)
+    k_pages: jax.Array,  # [num_kv_heads, num_pages, page_size, head_dim]
+    v_pages: jax.Array,
+    kv_lens: jax.Array,  # [S] i32
+    page_indices: jax.Array,  # [S, pages_per_seq] i32
+    q_starts: jax.Array,  # [S] i32, each a multiple of block_q
+    q_lens: jax.Array,  # [S] i32
+    *,
+    sm_scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    block_q: int = 128,
+    pages_per_block: int = 8,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Unified prefill/decode attention over the paged KV pool.
+
+    Decode is expressed by the `paged_decode_attention` wrapper below
+    (block_q=1, one row per sequence).
+    """
+    T, num_q_heads, head_dim = q.shape
+    num_kv_heads, _, page_size, _ = k_pages.shape
+    S, pages_per_seq = page_indices.shape
+    q_per_kv = num_q_heads // num_kv_heads
+    assert num_q_heads % num_kv_heads == 0
+    assert T % block_q == 0, (T, block_q)
+    if pages_per_seq % pages_per_block:
+        pad = pages_per_block - pages_per_seq % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+        pages_per_seq += pad
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    if interpret is None:
+        interpret = use_interpret_mode()
+
+    num_qblks = T // block_q
+    num_kvblks = pages_per_seq // pages_per_block
+
+    # Map each q block to its owning sequence (-1 for padding rows).
+    starts_blk = q_starts // block_q
+    qb_iota = jnp.arange(num_qblks, dtype=jnp.int32)
+    owner = jnp.searchsorted(starts_blk, qb_iota, side="right").astype(jnp.int32) - 1
+    owner_c = jnp.clip(owner, 0, S - 1)
+    in_range = qb_iota * block_q < q_starts[owner_c] + q_lens[owner_c]
+    valid = (owner >= 0) & in_range & (q_lens[owner_c] > 0)
+    qblk_seq = jnp.where(valid, owner_c, -1)
+
+    # Fold GQA heads: [T, Hq, d] -> [Hkv, T, q_per_kv, d]
+    qr = q.reshape(T, num_kv_heads, q_per_kv, head_dim).transpose(1, 0, 2, 3)
+    if block_q * q_per_kv < 8:
+        qr = qr.astype(jnp.float32)  # avoid sub-sublane bf16 tiles in VMEM
+
+    rows = block_q * q_per_kv
+    grid = (num_kv_heads, num_qblks, num_kvblks)
+
+    kernel = functools.partial(
+        _kernel,
+        block_q=block_q,
+        pages_per_block=pages_per_block,
+        pages_per_seq=pages_per_seq,
+        page_size=page_size,
+        num_qblks=num_qblks,
+        num_kv_heads=num_kv_heads,
+        sm_scale=sm_scale,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (None, block_q, q_per_kv, head_dim),
+                    lambda h, qb, kb, *_: (h, qb, 0, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, block_q, q_per_kv, head_dim),
+                lambda h, qb, kb, *_: (h, qb, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, pages_per_block, page_size, head_dim), k_pages.dtype
+                ),
+                pltpu.VMEM(
+                    (2, pages_per_block, page_size, head_dim), v_pages.dtype
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_kv_heads, T, q_per_kv, head_dim), qr.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        qblk_seq,
+        q_starts.astype(jnp.int32),
+        q_lens.astype(jnp.int32),
+        kv_lens.astype(jnp.int32),
+        page_indices.reshape(-1).astype(jnp.int32),
+        jnp.zeros((1,), jnp.int32),  # buffer index
+        jnp.ones((1,), jnp.int32),  # init flag
+        qr,
+        k_pages,
+        v_pages,
+    )
+    # [Hkv, T, q_per_kv, d] -> [T, Hq, d]
+    return (
+        out.transpose(1, 0, 2, 3).reshape(T, num_q_heads, head_dim).astype(q.dtype)
+    )
+
+
+def paged_decode_attention(
+    q: jax.Array,  # [B, num_q_heads, head_dim]
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    kv_lens: jax.Array,  # [B] i32 (0 = padded slot)
+    page_indices: jax.Array,  # [B, pages_per_seq]
+    *,
+    sm_scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    pages_per_block: int = 8,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Batched decode: one query token per sequence (block_q = 1)."""
+    B = q.shape[0]
+    out = ragged_paged_attention(
+        q,
+        k_pages,
+        v_pages,
+        kv_lens,
+        page_indices,
+        q_starts=jnp.arange(B, dtype=jnp.int32),
+        q_lens=jnp.where(kv_lens > 0, 1, 0).astype(jnp.int32),
+        sm_scale=sm_scale,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+        block_q=1,
+        pages_per_block=pages_per_block,
+        interpret=interpret,
+    )
+    return out
