@@ -1,0 +1,328 @@
+"""Fused quantized matmul Pallas kernels.
+
+TPU-native re-design of the reference's quantized GEMM stack
+(``sgl-kernel/csrc/gemm/*.cu``: AWQ dequant, FP8 blockwise GEMM, INT8 GEMM,
+per-token quant — see SURVEY.md §2.3):
+
+  * ``int4_matmul`` — weight-only INT4 (AWQ/GPTQ-style group quant,
+    default group 128) fused dequant×matmul.  Decode is weight-bandwidth
+    bound, so halving/quartering weight bytes is the whole win; dequant
+    happens in VMEM right before the MXU.  Weights are packed two nibbles
+    per int8 **tile-locally**: within each K-block of size ``block_k``,
+    packed row ``r`` holds original rows ``r`` (low nibble) and
+    ``r + block_k//2`` (high nibble), so unpacking is two shifts — no
+    sublane interleave.
+  * ``int8_matmul`` — W8A8 with per-token (row) activation scales and
+    per-channel (column) weight scales, int8×int8 MXU with int32
+    accumulation and fused output dequant.  This is the TPU-native analog
+    of the reference's FP8 w8a8 path: v5e's MXU natively runs int8 at 2×
+    bf16 throughput, which is the role fp8 tensor cores play on H100.
+  * ``quantize_int8_rowwise`` — per-token activation quantization.
+
+Quantization convention for int4: q ∈ [0, 15], w = (q - zero) * scale,
+with per-(group, column) scale/zero f32 arrays [K//group, N]. Symmetric
+schemes set zero = 8.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sglang_security_tpu.utils import cdiv, round_up, use_interpret_mode
+
+DEFAULT_BLOCK_K = 512
+
+
+# ======================================================================
+# Host-side packing / quantization helpers
+# ======================================================================
+
+
+def quantize_int4(
+    w: jax.Array, group_size: int = 128
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Asymmetric per-group quantization of w[K, N] -> (q4 in uint8, scale, zero).
+
+    Returns unpacked q values in [0, 15] (one per int8) plus f32
+    scales/zeros of shape [K//group_size, N].
+    """
+    K, N = w.shape
+    assert K % group_size == 0
+    wg = w.astype(jnp.float32).reshape(K // group_size, group_size, N)
+    wmin = wg.min(axis=1)
+    wmax = wg.max(axis=1)
+    scale = jnp.maximum(wmax - wmin, 1e-8) / 15.0
+    zero = -wmin / scale
+    q = jnp.clip(
+        jnp.round(wg / scale[:, None, :] + zero[:, None, :]), 0, 15
+    ).astype(jnp.uint8)
+    return q.reshape(K, N), scale, zero
+
+
+def pack_int4(q: jax.Array, block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
+    """Pack q[K, N] (values 0..15) into int8 [K//2, N], tile-locally.
+
+    Within each K-block of `block_k` rows, packed row r holds original rows
+    (blk*block_k + r) in the low nibble and (blk*block_k + block_k//2 + r)
+    in the high nibble.
+    """
+    K, N = q.shape
+    assert K % block_k == 0, (K, block_k)
+    half = block_k // 2
+    qb = q.reshape(K // block_k, 2, half, N)  # [blocks, lo/hi, half, N]
+    packed = qb[:, 0] | (qb[:, 1] << 4)
+    # int8 view: Mosaic supports int8->int32 casts but not uint8->f32.
+    return jax.lax.bitcast_convert_type(
+        packed.reshape(K // 2, N).astype(jnp.uint8), jnp.int8
+    )
+
+
+def dequantize_int4(
+    q: jax.Array, scale: jax.Array, zero: jax.Array, group_size: int = 128
+) -> jax.Array:
+    K, N = q.shape
+    qf = q.astype(jnp.float32).reshape(K // group_size, group_size, N)
+    w = (qf - zero[:, None, :]) * scale[:, None, :]
+    return w.reshape(K, N)
+
+
+def quantize_int8_rowwise(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: x[M, K] -> (q[M, K], scale[M, 1])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+def quantize_int8_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-column symmetric int8: w[K, N] -> (q[K, N], scale[1, N])."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+# ======================================================================
+# INT4 weight-only fused dequant×matmul
+# ======================================================================
+
+
+def _int4_kernel(
+    x_ref,  # [BM, BK]
+    w_ref,  # [BK//2, BN] uint8 (tile-local packed)
+    s_ref,  # [K//G, BN] f32 (full K-strip of scales for this N block)
+    z_ref,  # [K//G, BN] f32
+    o_ref,  # [BM, BN]
+    acc_ref,  # [BM, BN] f32 scratch
+    *,
+    block_k: int,
+    group_size: int,
+    out_dtype,
+):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    half = block_k // 2
+    groups_per_half = half // group_size
+
+    packed = w_ref[...].astype(jnp.int32)  # int8 bits; mask works on 2's-comp
+    lo = (packed & 0xF).astype(jnp.float32)  # rows [0, half) of this K block
+    hi = ((packed >> 4) & 0xF).astype(jnp.float32)  # rows [half, block_k)
+
+    # Per-group scale/zero rows for this K block.
+    g0 = k * (block_k // group_size)
+    x = x_ref[...]
+    for part, w_q in ((0, lo), (1, hi)):
+        # dequantize: broadcast each group's scale/zero over its rows
+        pieces = []
+        for g in range(groups_per_half):
+            row = g0 + part * groups_per_half + g
+            s = s_ref[row, :][None, :]
+            z = z_ref[row, :][None, :]
+            blk = w_q[g * group_size : (g + 1) * group_size, :]
+            pieces.append((blk - z) * s)
+        w_deq = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+        x_part = x[:, part * half : (part + 1) * half]
+        acc_ref[...] += lax.dot_general(
+            x_part.astype(jnp.bfloat16),
+            w_deq.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == nk - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size",
+        "block_m",
+        "block_n",
+        "block_k",
+        "out_dtype",
+        "interpret",
+    ),
+)
+def int4_matmul(
+    x: jax.Array,  # [M, K] bf16/f32
+    w_packed: jax.Array,  # [K//2, N] int8 (pack_int4 layout)
+    scale: jax.Array,  # [K//G, N] f32
+    zero: jax.Array,  # [K//G, N] f32
+    *,
+    group_size: int = 128,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = DEFAULT_BLOCK_K,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    M, K = x.shape
+    N = w_packed.shape[1]
+    assert w_packed.shape[0] == K // 2
+    assert K % block_k == 0, (K, block_k)
+    assert block_k % (2 * group_size) == 0
+    if interpret is None:
+        interpret = use_interpret_mode()
+
+    bm = min(block_m, round_up(M, 8))
+    bn = min(block_n, N)
+    Mp = round_up(M, bm)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+
+    grid = (Mp // bm, N // bn, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _int4_kernel,
+            block_k=block_k,
+            group_size=group_size,
+            out_dtype=out_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k // 2, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((K // group_size, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((K // group_size, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w_packed, scale, zero)
+    return out[:M]
+
+
+# ======================================================================
+# INT8 W8A8 matmul (per-token act scales × per-channel weight scales)
+# ======================================================================
+
+
+def _int8_kernel(
+    x_ref,  # [BM, BK] int8
+    w_ref,  # [BK, BN] int8
+    xs_ref,  # [BM, 1] f32  (actually [BM, 128] padded strip)
+    ws_ref,  # [1, BN] f32
+    o_ref,  # [BM, BN]
+    acc_ref,  # [BM, BN] int32
+    *,
+    out_dtype,
+):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += lax.dot_general(
+        x_ref[...],
+        w_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _store():
+        xs = xs_ref[:, 0:1]
+        ws = ws_ref[0:1, :]
+        o_ref[...] = (acc_ref[...].astype(jnp.float32) * xs * ws).astype(
+            out_dtype
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+)
+def int8_matmul(
+    x_q: jax.Array,  # [M, K] int8
+    x_scale: jax.Array,  # [M, 1] f32
+    w_q: jax.Array,  # [K, N] int8
+    w_scale: jax.Array,  # [1, N] f32
+    *,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    M, K = x_q.shape
+    N = w_q.shape[1]
+    assert K % block_k == 0
+    if interpret is None:
+        interpret = use_interpret_mode()
+    bm = min(block_m, round_up(M, 32))
+    bn = min(block_n, N)
+    Mp = round_up(M, bm)
+    if Mp != M:
+        x_q = jnp.pad(x_q, ((0, Mp - M), (0, 0)))
+        x_scale = jnp.pad(x_scale, ((0, Mp - M), (0, 0)))
+
+    grid = (Mp // bm, N // bn, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_q, w_q, x_scale, w_scale)
+    return out[:M]
+
+
+def w8a8_matmul(x: jax.Array, w_q: jax.Array, w_scale: jax.Array, **kw):
+    """Convenience: quantize activations per-token then int8 matmul."""
+    x_q, x_scale = quantize_int8_rowwise(x)
+    return int8_matmul(x_q, x_scale, w_q, w_scale, **kw)
