@@ -1,0 +1,77 @@
+"""Quantization-polymorphic linear application.
+
+A linear's params are a dict whose *structure* (not a tag leaf) encodes
+the scheme, so stacked per-layer params stay a valid homogeneous pytree
+under ``lax.scan``:
+  {"w": [K, N]}  (+"b")                                  bf16
+  {"packed": [K//2, N] i8, "scale": [K//G, N], "zero": [K//G, N]}   int4
+  {"w_q": [K, N] i8, "w_scale": [1, N]}                  int8 (w8a8)
+
+``apply_linear`` dispatches to the fused Pallas kernels for quantized
+kinds.  This one function is the capability equivalent of the reference's
+ColumnParallel/RowParallel/MergedColumn/QKVParallel linear classes
+(``srt/layers/linear.py:102-1130``): merging (QKV, gate+up) happens at
+weight-load time by concatenating along N; row/column parallelism is a
+sharding annotation over the dict (``parallel/shardings.py``), not a
+class hierarchy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sglang_security_tpu.ops.quant_matmul import (
+    int4_matmul,
+    pack_int4,
+    quantize_int4,
+    quantize_int8_weight,
+    w8a8_matmul,
+)
+
+
+def make_linear_params(
+    w: jax.Array,  # [K, N]
+    bias: Optional[jax.Array] = None,
+    quantization: Optional[str] = None,
+    group_size: int = 128,
+    dtype=jnp.bfloat16,
+) -> dict:
+    if quantization in (None, "none", "bf16"):
+        p = {"w": w.astype(dtype)}
+    elif quantization in ("int4", "awq", "gptq"):
+        q, s, z = quantize_int4(w, group_size)
+        p = {"packed": pack_int4(q), "scale": s, "zero": z}
+    elif quantization in ("int8", "w8a8", "fp8"):
+        # fp8 maps to the int8 MXU path on TPU (see ops/quant_matmul.py)
+        w_q, w_s = quantize_int8_weight(w)
+        p = {"w_q": w_q, "w_scale": w_s}
+    else:
+        raise ValueError(f"unknown quantization {quantization}")
+    if bias is not None:
+        p["b"] = bias.astype(dtype)
+    return p
+
+
+def apply_linear(x: jax.Array, p: dict, group_size: int = 128) -> jax.Array:
+    """x: [..., K] -> [..., N]; dispatch on param-dict structure."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if "w" in p:
+        out = jnp.dot(
+            x2.astype(p["w"].dtype), p["w"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    elif "packed" in p:
+        out = int4_matmul(
+            x2, p["packed"], p["scale"], p["zero"],
+            group_size=group_size, out_dtype=x.dtype,
+        )
+    elif "w_q" in p:
+        out = w8a8_matmul(x2, p["w_q"], p["w_scale"], out_dtype=x.dtype)
+    else:
+        raise ValueError(f"unrecognized linear params: {list(p)}")
+    if "b" in p:
+        out = out + p["b"]
+    return out.reshape(*shape[:-1], out.shape[-1])

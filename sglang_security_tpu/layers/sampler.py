@@ -1,0 +1,101 @@
+"""In-jit token sampling pipeline.
+
+Capability parity with the reference's ``srt/layers/sampler.py`` +
+``sampling/sampling_batch_info.py``: per-request temperature, top-k,
+top-p, min-p, greedy, grammar vocab masking, and repetition penalties —
+all executed on device inside the step function so decode needs no
+host round-trip.  One descending sort per row serves both exact top-k
+and exact top-p.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class SamplingTensors(NamedTuple):
+    """Per-row sampling controls, padded to the batch bucket."""
+
+    temperature: jax.Array  # [B, 1] f32; 0 => greedy
+    top_k: jax.Array  # [B] i32; 0 or >=V => disabled
+    top_p: jax.Array  # [B] f32; 1.0 => disabled
+    min_p: jax.Array  # [B] f32; 0.0 => disabled
+
+    @classmethod
+    def greedy(cls, batch: int):
+        return cls(
+            temperature=jnp.zeros((batch, 1), jnp.float32),
+            top_k=jnp.zeros((batch,), jnp.int32),
+            top_p=jnp.ones((batch,), jnp.float32),
+            min_p=jnp.zeros((batch,), jnp.float32),
+        )
+
+
+def apply_penalties(
+    logits: jax.Array,  # [B, V] f32
+    output_counts: jax.Array,  # [B, V] i32 counts of generated tokens
+    presence_penalty: jax.Array,  # [B, 1]
+    frequency_penalty: jax.Array,  # [B, 1]
+    repetition_penalty: jax.Array,  # [B, 1] (1.0 = off)
+) -> jax.Array:
+    logits = logits - frequency_penalty * output_counts
+    logits = logits - presence_penalty * (output_counts > 0)
+    pos = logits > 0
+    seen = output_counts > 0
+    rp = jnp.where(seen, repetition_penalty, 1.0)
+    logits = jnp.where(pos, logits / rp, logits * rp)
+    return logits
+
+
+def sample(
+    logits: jax.Array,  # [B, V] (any float dtype)
+    s: SamplingTensors,
+    key: jax.Array,
+    vocab_mask: Optional[jax.Array] = None,  # [B, V] bool, True = allowed
+) -> jax.Array:
+    """Returns sampled token ids [B] (greedy rows use argmax)."""
+    logits = logits.astype(jnp.float32)
+    if vocab_mask is not None:
+        logits = jnp.where(vocab_mask, logits, NEG_INF)
+    B, V = logits.shape
+
+    greedy_ids = jnp.argmax(logits, axis=-1)
+
+    temp = jnp.maximum(s.temperature, 1e-5)
+    scaled = logits / temp
+    probs = jax.nn.softmax(scaled, axis=-1)
+
+    sorted_probs = jax.lax.sort(probs, dimension=-1, is_stable=False)[:, ::-1]
+    cumsum = jnp.cumsum(sorted_probs, axis=-1)
+
+    # exact top-p threshold: smallest prob still inside the nucleus
+    in_nucleus = cumsum - sorted_probs < s.top_p[:, None]
+    p_thresh = jnp.min(
+        jnp.where(in_nucleus, sorted_probs, jnp.inf), axis=-1, keepdims=True
+    )
+    # exact top-k threshold: k-th largest prob
+    k = jnp.clip(jnp.where(s.top_k <= 0, V, s.top_k), 1, V)
+    k_idx = (k - 1)[:, None]
+    k_thresh = jnp.take_along_axis(sorted_probs, k_idx, axis=-1)
+    # min-p threshold relative to the max prob
+    max_p = sorted_probs[:, 0:1]
+    m_thresh = s.min_p[:, None] * max_p
+
+    thresh = jnp.maximum(jnp.maximum(p_thresh, k_thresh), m_thresh)
+    allowed = probs >= thresh
+    masked = jnp.where(allowed, scaled, NEG_INF)
+    sampled = jax.random.categorical(key, masked, axis=-1)
+
+    is_greedy = (s.temperature[:, 0] == 0.0)
+    return jnp.where(is_greedy, greedy_ids, sampled).astype(jnp.int32)
+
+
+def compute_logprobs(logits: jax.Array, tokens: jax.Array) -> jax.Array:
+    """Log-prob of `tokens` [B] under `logits` [B, V]."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, tokens[:, None], axis=-1)[:, 0]

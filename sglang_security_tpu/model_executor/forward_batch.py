@@ -1,0 +1,60 @@
+"""Fixed-shape device batch descriptor.
+
+The TPU analog of the reference's ``ForwardBatch``
+(``srt/model_executor/forward_batch_info.py:139``): everything the jitted
+step needs, as a pytree of static-shape arrays.  One structure serves
+both EXTEND (prefill, block_q=128) and DECODE (block_q=1) — the mode is
+the static ``block_q`` of the compiled step, not a runtime enum, because
+under XLA the two modes are separate compiled programs anyway (this plays
+the role CUDA-graph capture plays in the reference).
+
+Shapes are bucketed by the runner: T (padded total tokens), S (padded
+sequence slots), PPS (padded pages per sequence).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ForwardBatch(NamedTuple):
+    token_ids: jax.Array  # [T] i32 new tokens (0-padded)
+    positions: jax.Array  # [T] i32 absolute positions
+    slots: jax.Array  # [T] i32 global KV slot (page*page_size+off), -1 pad
+    q_starts: jax.Array  # [S] i32 aligned row of each seq's first token
+    q_lens: jax.Array  # [S] i32 (0 for padded seq slots)
+    kv_lens: jax.Array  # [S] i32 total kv length incl. new tokens
+    page_indices: jax.Array  # [S, PPS] i32 (0-padded -> null page)
+    out_rows: jax.Array  # [S] i32 row of each seq's last token (0 for pad)
+
+    @property
+    def num_tokens(self) -> int:
+        return self.token_ids.shape[0]
+
+    @property
+    def num_seqs(self) -> int:
+        return self.q_lens.shape[0]
+
+
+def make_decode_batch(
+    token_ids: np.ndarray,  # [B]
+    positions: np.ndarray,  # [B] (= kv_len - 1)
+    slots: np.ndarray,  # [B]
+    kv_lens: np.ndarray,  # [B]
+    page_indices: np.ndarray,  # [B, PPS]
+) -> ForwardBatch:
+    B = len(token_ids)
+    return ForwardBatch(
+        token_ids=jnp.asarray(token_ids, jnp.int32),
+        positions=jnp.asarray(positions, jnp.int32),
+        slots=jnp.asarray(slots, jnp.int32),
+        q_starts=jnp.arange(B, dtype=jnp.int32),
+        q_lens=jnp.asarray(np.asarray(kv_lens) > 0, jnp.int32),
+        kv_lens=jnp.asarray(kv_lens, jnp.int32),
+        page_indices=jnp.asarray(page_indices, jnp.int32),
+        out_rows=jnp.arange(B, dtype=jnp.int32),
+    )

@@ -1,0 +1,101 @@
+"""Model loading: HF safetensors checkpoints + dummy random weights.
+
+Capability parity with the reference's model_loader
+(``srt/model_loader/loader.py``): DefaultModelLoader (safetensors shards,
+lazy per-tensor reads), DummyModelLoader (random weights for load-free
+perf testing), with quantize-at-load for int4/int8 schemes.  Torch .bin
+checkpoints are converted via safetensors upstream; we require
+safetensors (the reference's default too).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+
+from sglang_security_tpu.models.config import ModelConfig
+from sglang_security_tpu.models.registry import get_model_class
+from sglang_security_tpu.utils import get_dtype
+
+logger = logging.getLogger(__name__)
+
+
+def _resolve_model_path(model_path: str, download_dir: Optional[str]) -> str:
+    if os.path.isdir(model_path):
+        return model_path
+    # HF hub id -> snapshot download (cached); gated behind network access
+    from huggingface_hub import snapshot_download
+
+    return snapshot_download(
+        model_path,
+        cache_dir=download_dir,
+        allow_patterns=["*.json", "*.safetensors", "*.model", "*.txt"],
+    )
+
+
+class SafetensorsAccessor:
+    """Lazy name -> tensor accessor over one or many safetensors shards."""
+
+    def __init__(self, model_dir: str):
+        from safetensors import safe_open
+
+        self._files = {}
+        self._index = {}
+        idx_path = os.path.join(model_dir, "model.safetensors.index.json")
+        shards = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+        if not shards:
+            raise FileNotFoundError(f"no safetensors files in {model_dir}")
+        if os.path.exists(idx_path):
+            with open(idx_path) as f:
+                weight_map = json.load(f)["weight_map"]
+            for name, shard in weight_map.items():
+                self._index[name] = os.path.join(model_dir, shard)
+        else:
+            for shard in shards:
+                f = safe_open(shard, framework="flax")
+                for name in f.keys():
+                    self._index[name] = shard
+                self._files[shard] = f
+        self._safe_open = safe_open
+
+    def __call__(self, name: str):
+        if name not in self._index:
+            raise KeyError(name)
+        path = self._index[name]
+        if path not in self._files:
+            self._files[path] = self._safe_open(path, framework="flax")
+        return self._files[path].get_tensor(name)
+
+    def keys(self):
+        return self._index.keys()
+
+
+def load_model(
+    model_path: str,
+    load_format: str = "auto",
+    quantization: Optional[str] = None,
+    dtype: str = "bfloat16",
+    download_dir: Optional[str] = None,
+    seed: int = 0,
+) -> Tuple[object, dict, ModelConfig]:
+    """Returns (model, params, config)."""
+    model_dir = _resolve_model_path(model_path, download_dir)
+    config = ModelConfig.from_pretrained(model_dir)
+    model_cls = get_model_class(config)
+    model = model_cls(config, quantization=quantization)
+    jdtype = get_dtype(dtype)
+    if load_format == "dummy":
+        logger.info("loading dummy (random) weights for %s", config.architecture)
+        params = model.init_dummy_params(seed=seed, dtype=jdtype)
+    else:
+        accessor = SafetensorsAccessor(model_dir)
+        logger.info(
+            "loading %d tensors from %s", len(list(accessor.keys())), model_dir
+        )
+        params = model.load_weights(accessor, dtype=jdtype)
+    return model, params, config

@@ -1,0 +1,255 @@
+"""Llama-family causal decoder (Llama 1/2/3, TinyLlama, Mistral, Qwen2/2.5,
+Gemma-style variants share this body via config switches).
+
+Fresh TPU design (compare reference ``srt/models/llama.py:381`` +
+``srt/models/qwen2.py``): a pure function over a param pytree, layers
+stacked on a leading axis and iterated with ``lax.scan`` (one compile of
+one layer body instead of L inlined copies), KV pages threaded through the
+scan carry so XLA updates the pool in place, and attention running on the
+unified ragged-paged Pallas kernel for both prefill and decode.
+
+Param tree:
+  embed: [V, H]
+  final_norm: [H]
+  lm_head: linear dict (absent if tied)
+  layers (stacked over L on every leaf):
+    input_norm, post_norm: [H]
+    qkv: linear dict  [H, (Hq + 2*Hkv) * hd]
+    o: linear dict    [Hq * hd, H]
+    gate_up: linear dict [H, 2 * I]
+    down: linear dict [I, H]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sglang_security_tpu.layers.linear import apply_linear, make_linear_params
+from sglang_security_tpu.layers.norms import fused_add_rms_norm, rms_norm
+from sglang_security_tpu.layers.rotary import apply_rope, compute_inv_freq
+from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
+from sglang_security_tpu.models.config import ModelConfig
+from sglang_security_tpu.ops.ragged_paged_attention import (
+    ragged_paged_attention,
+)
+
+
+def _act(name: str):
+    return {"silu": jax.nn.silu, "gelu": jax.nn.gelu,
+            "gelu_pytorch_tanh": functools.partial(jax.nn.gelu, approximate=True)}[name]
+
+
+class LlamaForCausalLM:
+    """Also serves Qwen2ForCausalLM / MistralForCausalLM (registry aliases)."""
+
+    def __init__(self, config: ModelConfig, quantization: Optional[str] = None):
+        self.config = config
+        self.quantization = quantization
+        self.inv_freq = jnp.asarray(
+            compute_inv_freq(config.head_dim, config.rope_theta, config.rope_scaling)
+        )
+
+    # ------------------------------------------------------------- params
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+        """Random weights (reference DummyModelLoader, loader.py:475)."""
+        cfg = self.config
+        rng = np.random.default_rng(seed)
+        H, hd = cfg.hidden_size, cfg.head_dim
+        Hq, Hkv, I = cfg.num_q_heads, cfg.num_kv_heads, cfg.intermediate_size
+
+        def rand(*shape, scale=None):
+            scale = scale or (1.0 / np.sqrt(shape[0]))
+            return jnp.asarray(
+                rng.standard_normal(shape, dtype=np.float32) * scale
+            )
+
+        def lin(k, n, bias):
+            return make_linear_params(
+                rand(k, n),
+                bias=jnp.zeros((n,)) if bias else None,
+                quantization=self.quantization,
+                dtype=dtype,
+            )
+
+        def one_layer(_):
+            return {
+                "input_norm": jnp.ones((H,), dtype),
+                "post_norm": jnp.ones((H,), dtype),
+                "qkv": lin(H, (Hq + 2 * Hkv) * hd, cfg.qkv_bias),
+                "o": lin(Hq * hd, H, cfg.o_bias),
+                "gate_up": lin(H, 2 * I, cfg.mlp_bias),
+                "down": lin(I, H, cfg.mlp_bias),
+            }
+
+        layers = [one_layer(i) for i in range(cfg.num_layers)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        params = {
+            "embed": rand(cfg.vocab_size, H, scale=0.02).astype(dtype),
+            "final_norm": jnp.ones((H,), dtype),
+            "layers": stacked,
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = make_linear_params(
+                rand(H, cfg.vocab_size), quantization=None, dtype=dtype
+            )
+        return params
+
+    def load_weights(self, get_tensor, dtype=jnp.bfloat16):
+        """Build params from a name->np.ndarray accessor over an HF checkpoint.
+
+        HF stores linear weights as [out, in]; we transpose to [in, out].
+        QKV and gate/up are merged at load (reference MergedColumnParallel /
+        QKVParallelLinear weight_loader behavior, linear.py:420-760).
+        """
+        cfg = self.config
+        hd, Hq, Hkv = cfg.head_dim, cfg.num_q_heads, cfg.num_kv_heads
+
+        def t(name):
+            return jnp.asarray(get_tensor(name)).astype(jnp.float32)
+
+        def lin_merged(names, bias_names):
+            w = jnp.concatenate([t(n).T for n in names], axis=1)
+            b = None
+            if bias_names and all(has(n) for n in bias_names):
+                b = jnp.concatenate([t(n) for n in bias_names], axis=0)
+            return make_linear_params(
+                w, bias=b, quantization=self.quantization, dtype=dtype
+            )
+
+        def has(name):
+            try:
+                get_tensor(name)
+                return True
+            except KeyError:
+                return False
+
+        layers = []
+        for i in range(cfg.num_layers):
+            p = f"model.layers.{i}."
+            a = p + "self_attn."
+            m = p + "mlp."
+            layers.append(
+                {
+                    "input_norm": t(p + "input_layernorm.weight").astype(dtype),
+                    "post_norm": t(p + "post_attention_layernorm.weight").astype(dtype),
+                    "qkv": lin_merged(
+                        [a + "q_proj.weight", a + "k_proj.weight", a + "v_proj.weight"],
+                        [a + "q_proj.bias", a + "k_proj.bias", a + "v_proj.bias"]
+                        if cfg.qkv_bias
+                        else None,
+                    ),
+                    "o": lin_merged([a + "o_proj.weight"], None),
+                    "gate_up": lin_merged(
+                        [m + "gate_proj.weight", m + "up_proj.weight"], None
+                    ),
+                    "down": lin_merged([m + "down_proj.weight"], None),
+                }
+            )
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        params = {
+            "embed": t("model.embed_tokens.weight").astype(dtype),
+            "final_norm": t("model.norm.weight").astype(dtype),
+            "layers": stacked,
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = make_linear_params(
+                t("lm_head.weight").T, quantization=None, dtype=dtype
+            )
+        return params
+
+    # ------------------------------------------------------------ forward
+    def forward(
+        self,
+        params,
+        k_pages: jax.Array,  # [L, Hkv, P, ps, hd]
+        v_pages: jax.Array,
+        fb: ForwardBatch,
+        *,
+        block_q: int,
+        pages_per_block: int = 8,
+        interpret: Optional[bool] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Returns (selected_hidden [S, H], k_pages, v_pages)."""
+        cfg = self.config
+        T = fb.token_ids.shape[0]
+        hd, Hq, Hkv = cfg.head_dim, cfg.num_q_heads, cfg.num_kv_heads
+        P, ps = k_pages.shape[2], k_pages.shape[3]
+
+        x = params["embed"][fb.token_ids]  # [T, H]
+        safe_slots = jnp.where(fb.slots < 0, P * ps, fb.slots)
+
+        def body(carry, xs):
+            x, k_pages, v_pages = carry
+            lp, li = xs
+
+            h, resid = fused_add_rms_norm(x, None, lp["input_norm"], cfg.rms_eps)
+            qkv = apply_linear(h, lp["qkv"])
+            q, k, v = jnp.split(qkv, [Hq * hd, (Hq + Hkv) * hd], axis=-1)
+            q = q.reshape(T, Hq, hd)
+            k = k.reshape(T, Hkv, hd)
+            v = v.reshape(T, Hkv, hd)
+            q, k = apply_rope(q, k, fb.positions, self.inv_freq)
+
+            # scatter new K/V into layer li of the pool (in-place on carry)
+            kf = k_pages.reshape(cfg.num_layers, Hkv, P * ps, hd)
+            vf = v_pages.reshape(cfg.num_layers, Hkv, P * ps, hd)
+            # note: [li, :, slots] mixes advanced + basic indexing, so the
+            # advanced result dims (T) come first: value shape [T, Hkv, hd]
+            kf = kf.at[li, :, safe_slots].set(k.astype(k_pages.dtype), mode="drop")
+            vf = vf.at[li, :, safe_slots].set(v.astype(v_pages.dtype), mode="drop")
+            k_pages = kf.reshape(k_pages.shape)
+            v_pages = vf.reshape(v_pages.shape)
+
+            attn = ragged_paged_attention(
+                q,
+                k_pages,
+                v_pages,
+                fb.kv_lens,
+                fb.page_indices,
+                fb.q_starts,
+                fb.q_lens,
+                layer=li,
+                sm_scale=hd**-0.5,
+                sliding_window=cfg.sliding_window,
+                soft_cap=cfg.attn_softcap,
+                block_q=block_q,
+                pages_per_block=pages_per_block,
+                interpret=interpret,
+            )
+            o = apply_linear(attn.reshape(T, Hq * hd), lp["o"])
+            x = resid + o
+
+            h, resid = fused_add_rms_norm(x, None, lp["post_norm"], cfg.rms_eps)
+            gate_up = apply_linear(h, lp["gate_up"])
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            mlp = _act(cfg.act_fn)(gate) * up
+            x = resid + apply_linear(mlp, lp["down"])
+            return (x, k_pages, v_pages), None
+
+        (x, k_pages, v_pages), _ = lax.scan(
+            body,
+            (x, k_pages, v_pages),
+            (params["layers"], jnp.arange(cfg.num_layers)),
+        )
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
+        return sel, k_pages, v_pages
+
+    def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
+        cfg = self.config
+        if cfg.tie_word_embeddings:
+            logits = jnp.dot(
+                hidden.astype(jnp.float32),
+                params["embed"].T.astype(jnp.float32),
+            )
+        else:
+            logits = apply_linear(hidden, params["lm_head"]).astype(jnp.float32)
+        if cfg.logit_softcap:
+            logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+        return logits

@@ -1,0 +1,35 @@
+"""HF architecture-string -> model-class registry.
+
+Parity with ``srt/models/registry.py:16-69``: the loader reads
+``config.json.architectures[0]`` and instantiates the matching class.
+Families that share a body are aliases of one implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Type
+
+from sglang_security_tpu.models.config import ModelConfig
+from sglang_security_tpu.models.llama import LlamaForCausalLM
+
+MODEL_REGISTRY: Dict[str, Type] = {
+    "LlamaForCausalLM": LlamaForCausalLM,
+    "MistralForCausalLM": LlamaForCausalLM,
+    "Qwen2ForCausalLM": LlamaForCausalLM,
+    "Qwen3ForCausalLM": LlamaForCausalLM,
+    "TinyLlamaForCausalLM": LlamaForCausalLM,
+}
+
+
+def register_model(name: str, cls: Type) -> None:
+    MODEL_REGISTRY[name] = cls
+
+
+def get_model_class(config: ModelConfig):
+    try:
+        return MODEL_REGISTRY[config.architecture]
+    except KeyError:
+        raise ValueError(
+            f"Unsupported architecture {config.architecture!r}; known: "
+            f"{sorted(MODEL_REGISTRY)}"
+        )

@@ -41,6 +41,14 @@ from sglang_security_tpu.utils import cdiv, round_up, use_interpret_mode
 DEFAULT_BLOCK_K = 512
 
 
+def int4_block_k(K: int) -> int:
+    """Deterministic K-block choice shared by pack time and run time."""
+    bk = min(DEFAULT_BLOCK_K, K)
+    while K % bk:
+        bk //= 2
+    return bk
+
+
 # ======================================================================
 # Host-side packing / quantization helpers
 # ======================================================================
@@ -67,7 +75,7 @@ def quantize_int4(
     return q.reshape(K, N), scale, zero
 
 
-def pack_int4(q: jax.Array, block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
+def pack_int4(q: jax.Array, block_k: Optional[int] = None) -> jax.Array:
     """Pack q[K, N] (values 0..15) into int8 [K//2, N], tile-locally.
 
     Within each K-block of `block_k` rows, packed row r holds original rows
@@ -75,6 +83,8 @@ def pack_int4(q: jax.Array, block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
     in the high nibble.
     """
     K, N = q.shape
+    if block_k is None:
+        block_k = int4_block_k(K)
     assert K % block_k == 0, (K, block_k)
     half = block_k // 2
     qb = q.reshape(K // block_k, 2, half, N)  # [blocks, lo/hi, half, N]
@@ -139,25 +149,31 @@ def _int4_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     half = block_k // 2
-    groups_per_half = half // group_size
 
     packed = w_ref[...].astype(jnp.int32)  # int8 bits; mask works on 2's-comp
     lo = (packed & 0xF).astype(jnp.float32)  # rows [0, half) of this K block
     hi = ((packed >> 4) & 0xF).astype(jnp.float32)  # rows [half, block_k)
 
-    # Per-group scale/zero rows for this K block.
-    g0 = k * (block_k // group_size)
     x = x_ref[...]
     for part, w_q in ((0, lo), (1, hi)):
         # dequantize: broadcast each group's scale/zero over its rows
-        pieces = []
-        for g in range(groups_per_half):
-            row = g0 + part * groups_per_half + g
-            s = s_ref[row, :][None, :]
-            z = z_ref[row, :][None, :]
-            blk = w_q[g * group_size : (g + 1) * group_size, :]
-            pieces.append((blk - z) * s)
-        w_deq = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+        if half % group_size == 0:
+            groups_per_half = half // group_size
+            pieces = []
+            for g in range(groups_per_half):
+                row = k * (block_k // group_size) + part * groups_per_half + g
+                s = s_ref[row, :][None, :]
+                z = z_ref[row, :][None, :]
+                blk = w_q[g * group_size : (g + 1) * group_size, :]
+                pieces.append((blk - z) * s)
+            w_deq = (
+                jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+            )
+        else:
+            # group >= half-block: each half lies inside one quant group
+            assert group_size % half == 0, (group_size, half)
+            row = (k * block_k + part * half) // group_size
+            w_deq = (w_q - z_ref[row, :][None, :]) * s_ref[row, :][None, :]
         x_part = x[:, part * half : (part + 1) * half]
         acc_ref[...] += lax.dot_general(
             x_part.astype(jnp.bfloat16),
@@ -191,15 +207,18 @@ def int4_matmul(
     group_size: int = 128,
     block_m: int = 256,
     block_n: int = 256,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_k: Optional[int] = None,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     M, K = x.shape
     N = w_packed.shape[1]
+    if block_k is None:
+        block_k = int4_block_k(K)
     assert w_packed.shape[0] == K // 2
     assert K % block_k == 0, (K, block_k)
-    assert block_k % (2 * group_size) == 0
+    half = block_k // 2
+    assert half % group_size == 0 or group_size % half == 0
     if interpret is None:
         interpret = use_interpret_mode()
 

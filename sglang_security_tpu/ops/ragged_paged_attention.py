@@ -117,11 +117,12 @@ def _kernel(
     q_lens_ref,  # [S] i32
     kv_lens_ref,  # [S] i32
     page_indices_ref,  # [S * pages_per_seq] i32 (flat, clamped to valid pages)
+    layer_ref,  # [1] i32: which layer of the stacked KV pool to read
     buffer_index_ref,  # [1] i32 (mutable across grid steps)
     init_flag_ref,  # [1] i32
     # --- tensor inputs ---
     q_ref,  # [block_q, q_per_kv, head_dim] (current block, VMEM)
-    k_pages_ref,  # [Hkv, num_pages, ps, d]  (ANY/HBM)
+    k_pages_ref,  # [L, Hkv, num_pages, ps, d]  (ANY/HBM)
     v_pages_ref,
     # --- outputs ---
     o_ref,  # [block_q, q_per_kv, head_dim]
@@ -189,16 +190,18 @@ def _kernel(
             kb_ + 1 < nblocks_of(qb_), lambda: (h_, qb_, kb_ + 1), adv_qb
         )
 
+    layer = layer_ref[0]
+
     def start_page_dmas(h_, qb_, kb_, slot):
         s = jnp.maximum(seq_of(qb_), 0)
         base = s * pages_per_seq + kb_ * pages_per_block
         for p in range(pages_per_block):
             pg = page_indices_ref[base + p]
             pltpu.make_async_copy(
-                k_pages_ref.at[h_, pg], k_buf.at[slot, p], k_sems.at[slot]
+                k_pages_ref.at[layer, h_, pg], k_buf.at[slot, p], k_sems.at[slot]
             ).start()
             pltpu.make_async_copy(
-                v_pages_ref.at[h_, pg], v_buf.at[slot, p], v_sems.at[slot]
+                v_pages_ref.at[layer, h_, pg], v_buf.at[slot, p], v_sems.at[slot]
             ).start()
 
     def wait_page_dmas(h_, qb_, kb_, slot):
@@ -207,10 +210,10 @@ def _kernel(
         for p in range(pages_per_block):
             pg = page_indices_ref[base + p]
             pltpu.make_async_copy(
-                k_pages_ref.at[h_, pg], k_buf.at[slot, p], k_sems.at[slot]
+                k_pages_ref.at[layer, h_, pg], k_buf.at[slot, p], k_sems.at[slot]
             ).wait()
             pltpu.make_async_copy(
-                v_pages_ref.at[h_, pg], v_buf.at[slot, p], v_sems.at[slot]
+                v_pages_ref.at[layer, h_, pg], v_buf.at[slot, p], v_sems.at[slot]
             ).wait()
 
     limit = kv_limit(qb)
@@ -309,13 +312,14 @@ def _kernel(
 )
 def ragged_paged_attention(
     q: jax.Array,  # [T, num_q_heads, head_dim] (aligned-ragged)
-    k_pages: jax.Array,  # [num_kv_heads, num_pages, page_size, head_dim]
+    k_pages: jax.Array,  # [[L,] num_kv_heads, num_pages, page_size, head_dim]
     v_pages: jax.Array,
     kv_lens: jax.Array,  # [S] i32
     page_indices: jax.Array,  # [S, pages_per_seq] i32
     q_starts: jax.Array,  # [S] i32, each a multiple of block_q
     q_lens: jax.Array,  # [S] i32
     *,
+    layer: jax.Array | int = 0,  # layer index when pools are stacked 5D
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
@@ -326,10 +330,15 @@ def ragged_paged_attention(
     """Unified prefill/decode attention over the paged KV pool.
 
     Decode is expressed by the `paged_decode_attention` wrapper below
-    (block_q=1, one row per sequence).
+    (block_q=1, one row per sequence).  A stacked multi-layer pool
+    [L, Hkv, P, ps, d] plus a (traced) `layer` index lets lax.scan over
+    layers thread one donated KV carry with no per-layer slice copies.
     """
+    if k_pages.ndim == 4:
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
     T, num_q_heads, head_dim = q.shape
-    num_kv_heads, _, page_size, _ = k_pages.shape
+    _, num_kv_heads, _, page_size, _ = k_pages.shape
     S, pages_per_seq = page_indices.shape
     q_per_kv = num_q_heads // num_kv_heads
     assert num_q_heads % num_kv_heads == 0
@@ -379,7 +388,7 @@ def ragged_paged_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=8,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -420,6 +429,7 @@ def ragged_paged_attention(
         q_lens.astype(jnp.int32),
         kv_lens.astype(jnp.int32),
         page_indices.reshape(-1).astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
         jnp.zeros((1,), jnp.int32),  # buffer index
         jnp.ones((1,), jnp.int32),  # init flag
         qr,
@@ -439,6 +449,7 @@ def paged_decode_attention(
     kv_lens: jax.Array,  # [B] i32 (0 = padded slot)
     page_indices: jax.Array,  # [B, pages_per_seq]
     *,
+    layer: jax.Array | int = 0,
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
@@ -455,6 +466,7 @@ def paged_decode_attention(
         page_indices,
         q_starts=jnp.arange(B, dtype=jnp.int32),
         q_lens=jnp.where(kv_lens > 0, 1, 0).astype(jnp.int32),
+        layer=layer,
         sm_scale=sm_scale,
         sliding_window=sliding_window,
         soft_cap=soft_cap,

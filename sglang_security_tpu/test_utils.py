@@ -1,0 +1,169 @@
+"""Shared test fixtures: tiny HF-format checkpoints + parity helpers.
+
+The analog of the reference's ``python/sglang/test/test_utils.py`` +
+``runners.py`` HF-parity harness (SURVEY.md §4): create a tiny random
+llama checkpoint on disk (config.json + safetensors + tokenizer), so
+engine tests and HF-logit-parity tests run without network access.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+TINY_LLAMA_CONFIG = {
+    "architectures": ["LlamaForCausalLM"],
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "max_position_embeddings": 2048,
+    "tie_word_embeddings": False,
+    "bos_token_id": 1,
+    "eos_token_id": 2,
+    "torch_dtype": "float32",
+    "model_type": "llama",
+}
+
+
+def make_tiny_llama(path: str, config: dict | None = None, seed: int = 0) -> str:
+    """Write a random-weight HF llama checkpoint (float32 safetensors)."""
+    from safetensors.numpy import save_file
+
+    cfg = dict(TINY_LLAMA_CONFIG)
+    if config:
+        cfg.update(config)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+
+    rng = np.random.default_rng(seed)
+    H = cfg["hidden_size"]
+    I = cfg["intermediate_size"]
+    hd = cfg["head_dim"]
+    Hq = cfg["num_attention_heads"]
+    Hkv = cfg["num_key_value_heads"]
+    V = cfg["vocab_size"]
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    t = {"model.embed_tokens.weight": r(V, H), "model.norm.weight": np.ones(H, np.float32)}
+    for i in range(cfg["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "self_attn.q_proj.weight"] = r(Hq * hd, H)
+        t[p + "self_attn.k_proj.weight"] = r(Hkv * hd, H)
+        t[p + "self_attn.v_proj.weight"] = r(Hkv * hd, H)
+        t[p + "self_attn.o_proj.weight"] = r(H, Hq * hd)
+        t[p + "mlp.gate_proj.weight"] = r(I, H)
+        t[p + "mlp.up_proj.weight"] = r(I, H)
+        t[p + "mlp.down_proj.weight"] = r(H, I)
+    if not cfg["tie_word_embeddings"]:
+        t["lm_head.weight"] = r(V, H)
+    save_file(t, os.path.join(path, "model.safetensors"))
+
+    # minimal byte-level tokenizer (vocab 512 covers bytes + specials)
+    _write_tiny_tokenizer(path, V)
+    return path
+
+
+def _write_tiny_tokenizer(path: str, vocab_size: int) -> None:
+    """A minimal, valid HF `tokenizers` byte-level BPE tokenizer."""
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
+    for b in range(256):
+        vocab[f"<0x{b:02X}>"] = 3 + b
+    i = len(vocab)
+    while i < vocab_size:
+        vocab[f"<extra_{i}>"] = i
+        i += 1
+    tok = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [
+            {"id": 0, "content": "<unk>", "special": True,
+             "single_word": False, "lstrip": False, "rstrip": False,
+             "normalized": False},
+            {"id": 1, "content": "<s>", "special": True,
+             "single_word": False, "lstrip": False, "rstrip": False,
+             "normalized": False},
+            {"id": 2, "content": "</s>", "special": True,
+             "single_word": False, "lstrip": False, "rstrip": False,
+             "normalized": False},
+        ],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": False,
+                          "trim_offsets": True, "use_regex": True},
+        "post_processor": None,
+        "decoder": {"type": "ByteLevel", "add_prefix_space": False,
+                    "trim_offsets": True, "use_regex": True},
+        "model": {
+            "type": "BPE", "dropout": None, "unk_token": "<unk>",
+            "continuing_subword_prefix": None, "end_of_word_suffix": None,
+            "fuse_unk": False, "byte_fallback": False, "ignore_merges": False,
+            "vocab": {
+                **{f"<0x{b:02X}>": 3 + b for b in range(256)},
+                "<unk>": 0, "<s>": 1, "</s>": 2,
+            },
+            "merges": [],
+        },
+    }
+    # ByteLevel BPE needs the printable byte alphabet in vocab; simplest
+    # robust option: use tokenizers library to build if available.
+    try:
+        from tokenizers import Tokenizer, models, pre_tokenizers, decoders
+
+        tk = Tokenizer(models.BPE(unk_token="<unk>"))
+        tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tk.decoder = decoders.ByteLevel()
+        from tokenizers.trainers import BpeTrainer
+
+        trainer = BpeTrainer(
+            vocab_size=vocab_size,
+            special_tokens=["<unk>", "<s>", "</s>"],
+            show_progress=False,
+        )
+        corpus = [
+            "the quick brown fox jumps over the lazy dog",
+            "hello world this is a tiny tokenizer for tests",
+            "0123456789 abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "The capital of France is Paris. The capital of Italy is Rome.",
+        ]
+        tk.train_from_iterator(corpus * 50, trainer)
+        tk.save(os.path.join(path, "tokenizer.json"))
+    except Exception:
+        with open(os.path.join(path, "tokenizer.json"), "w") as f:
+            json.dump(tok, f)
+    with open(os.path.join(path, "tokenizer_config.json"), "w") as f:
+        json.dump(
+            {
+                "tokenizer_class": "PreTrainedTokenizerFast",
+                "bos_token": "<s>",
+                "eos_token": "</s>",
+                "unk_token": "<unk>",
+                "model_max_length": 2048,
+            },
+            f,
+        )
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "make-tiny-llama":
+        p = make_tiny_llama(sys.argv[2])
+        print(f"wrote tiny llama checkpoint to {p}")
+    else:
+        print("usage: python -m sglang_security_tpu.test_utils make-tiny-llama <dir>")
+
+
+if __name__ == "__main__":
+    main()
