@@ -1,0 +1,293 @@
+"""In-process Engine API.
+
+Parity with the reference's ``Engine`` (``srt/entrypoints/engine.py:89``):
+``generate`` / ``async_generate`` / ``encode`` / ``flush_cache`` /
+``update_weights_from_disk`` / ``shutdown``, re-designed for the
+one-process-per-host TPU runtime: the scheduler runs on a dedicated
+thread (no scheduler subprocesses, no ZMQ), requests flow through
+thread-safe queues, and streamed outputs fan out to per-rid queues.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+from sglang_security_tpu.managers.io_struct import GenerateReqInput, StepOutput
+from sglang_security_tpu.managers.scheduler import Scheduler
+from sglang_security_tpu.managers.tokenizer_manager import TokenizerManager
+from sglang_security_tpu.model_executor.model_runner import ModelRunner
+from sglang_security_tpu.server_args import ServerArgs
+from sglang_security_tpu.utils import configure_logger, set_random_seed
+
+logger = logging.getLogger(__name__)
+
+
+class Engine:
+    def __init__(self, server_args: Optional[ServerArgs] = None, **kwargs):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        self.server_args = server_args
+        configure_logger(server_args.log_level)
+        set_random_seed(server_args.random_seed)
+
+        self.tokenizer_manager = TokenizerManager(server_args)
+        self.model_runner = ModelRunner(server_args)
+
+        privacy_client = None
+        if server_args.enable_safekv:
+            from sglang_security_tpu.managers.private_service.private_client import (
+                PrivateJudgeClient,
+            )
+
+            privacy_client = PrivateJudgeClient(server_args)
+        self.privacy_client = privacy_client
+
+        self.scheduler = Scheduler(
+            server_args,
+            self.model_runner,
+            output_cb=self._on_output,
+            tokenizer=self.tokenizer_manager.tokenizer,
+            privacy_client=privacy_client,
+        )
+        self._in_queue: "queue.Queue" = queue.Queue()
+        self._rid_queues: Dict[str, queue.Queue] = {}
+        self._rid_lock = threading.Lock()
+        self._shutdown = threading.Event()
+        self._work_event = threading.Event()
+        self._loop_thread = threading.Thread(
+            target=self._event_loop, name="scheduler-loop", daemon=True
+        )
+        self._loop_thread.start()
+        self._warmup()
+        logger.info("Engine ready (model=%s)", server_args.model_path)
+
+    def _warmup(self) -> None:
+        """Precompile the standard step buckets so first requests don't
+        stall on Mosaic/XLA compilation (the role CudaGraphRunner's
+        startup capture plays in the reference)."""
+        from sglang_security_tpu.utils import is_tpu_backend
+
+        sa = self.server_args
+        if not sa.enable_warmup or not is_tpu_backend():
+            return
+        t0 = time.time()
+        vocab = self.model_runner.config.vocab_size
+        for ptok in sa.warmup_prefill_tokens:
+            ptok = min(ptok, sa.max_prefill_tokens)
+            self.generate(
+                input_ids=[3 % vocab] * ptok,
+                sampling_params={"max_new_tokens": 2, "ignore_eos": True,
+                                 "temperature": 0.0},
+            )
+            self.flush_cache()
+        for bs in sa.warmup_decode_bs:
+            self.generate(
+                input_ids=[[(7 * i + 3) % vocab] * 8 for i in range(bs)],
+                sampling_params={"max_new_tokens": 4, "ignore_eos": True,
+                                 "temperature": 0.0},
+            )
+            self.flush_cache()
+        logger.info("warmup compiles done in %.1fs", time.time() - t0)
+
+    # ------------------------------------------------------------ the loop
+    def _event_loop(self) -> None:
+        while not self._shutdown.is_set():
+            drained = False
+            while True:
+                try:
+                    item = self._in_queue.get_nowait()
+                except queue.Empty:
+                    break
+                kind, payload = item
+                if kind == "req":
+                    self.scheduler.add_request(payload)
+                elif kind == "abort":
+                    self.scheduler.abort_request(payload)
+                elif kind == "flush":
+                    payload.put(self.scheduler.flush_cache())
+                drained = True
+            if self.scheduler.has_work():
+                try:
+                    self.scheduler.step()
+                except Exception:
+                    logger.exception("scheduler step failed; aborting batch")
+                    for r in (
+                        self.scheduler.running + self.scheduler.waiting
+                    ):
+                        self.scheduler.abort_request(r.rid)
+                        self._fail_rid(r.rid)
+                    self.scheduler.running.clear()
+                    self.scheduler.waiting.clear()
+            elif not drained:
+                self._work_event.wait(timeout=0.005)
+                self._work_event.clear()
+
+    def _fail_rid(self, rid: str) -> None:
+        q = self._rid_queues.get(rid)
+        if q is not None:
+            q.put(
+                StepOutput(
+                    rid=rid, new_token_ids=[], new_text="", finished=True,
+                    finish_reason="abort",
+                )
+            )
+
+    def _on_output(self, out: StepOutput) -> None:
+        q = self._rid_queues.get(out.rid)
+        if q is not None:
+            q.put(out)
+
+    # ---------------------------------------------------------- public API
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[dict, List[dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        stream: bool = False,
+        user_id: Optional[str] = None,
+        rid: Optional[str] = None,
+        return_logprob: bool = False,
+    ):
+        gri = GenerateReqInput(
+            text=prompt,
+            input_ids=input_ids,
+            sampling_params=sampling_params,
+            stream=stream,
+            user_id=user_id,
+            rid=rid,
+            return_logprob=return_logprob,
+        )
+        treqs = self.tokenizer_manager.make_reqs(gri)
+        qs = [self._submit(t) for t in treqs]
+        if stream:
+            assert len(treqs) == 1, "streaming supports a single prompt"
+            return self._stream_iter(treqs[0].rid, qs[0])
+        results = [self._collect(t.rid, q) for t, q in zip(treqs, qs)]
+        if gri.is_batch():
+            return results
+        return results[0]
+
+    async def async_generate(self, *args, **kwargs):
+        import asyncio
+
+        stream = kwargs.get("stream", False)
+        if stream:
+            return self.generate(*args, **kwargs)
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            None, lambda: self.generate(*args, **kwargs)
+        )
+
+    def _submit(self, treq) -> queue.Queue:
+        req = self.tokenizer_manager.to_req(treq)
+        q: queue.Queue = queue.Queue()
+        with self._rid_lock:
+            self._rid_queues[treq.rid] = q
+        self._in_queue.put(("req", req))
+        self._work_event.set()
+        return q
+
+    def _collect(self, rid: str, q: queue.Queue) -> Dict[str, Any]:
+        text_parts: List[str] = []
+        token_ids: List[int] = []
+        last: Optional[StepOutput] = None
+        deadline = time.monotonic() + self.server_args.watchdog_timeout
+        while True:
+            try:
+                out = q.get(timeout=1.0)
+            except queue.Empty:
+                if time.monotonic() > deadline:
+                    self.abort_request(rid)
+                    raise TimeoutError(f"request {rid} timed out")
+                continue
+            text_parts.append(out.new_text)
+            token_ids.extend(out.new_token_ids)
+            last = out
+            if out.finished:
+                break
+        with self._rid_lock:
+            self._rid_queues.pop(rid, None)
+        return {
+            "text": "".join(text_parts),
+            "output_ids": token_ids,
+            "meta_info": {
+                "id": rid,
+                "finish_reason": {"type": last.finish_reason},
+                "prompt_tokens": last.prompt_tokens,
+                "completion_tokens": last.completion_tokens,
+                "cached_tokens": last.cached_tokens,
+                "e2e_latency": last.e2e_latency,
+                "output_token_logprobs": last.output_logprobs,
+            },
+        }
+
+    def _stream_iter(self, rid: str, q: queue.Queue) -> Iterator[Dict]:
+        acc_text = []
+        acc_tokens: List[int] = []
+        while True:
+            out = q.get()
+            acc_text.append(out.new_text)
+            acc_tokens.extend(out.new_token_ids)
+            yield {
+                "text": "".join(acc_text),
+                "delta": out.new_text,
+                "output_ids": list(acc_tokens),
+                "meta_info": {
+                    "id": rid,
+                    "finish_reason": (
+                        {"type": out.finish_reason} if out.finished else None
+                    ),
+                    "prompt_tokens": out.prompt_tokens,
+                    "completion_tokens": out.completion_tokens,
+                    "cached_tokens": out.cached_tokens,
+                },
+            }
+            if out.finished:
+                break
+        with self._rid_lock:
+            self._rid_queues.pop(rid, None)
+
+    # ------------------------------------------------------------- control
+    def abort_request(self, rid: str) -> None:
+        self._in_queue.put(("abort", rid))
+        self._work_event.set()
+
+    def flush_cache(self) -> bool:
+        q: queue.Queue = queue.Queue()
+        self._in_queue.put(("flush", q))
+        self._work_event.set()
+        return q.get(timeout=10)
+
+    def update_weights_from_disk(self, model_path: str) -> bool:
+        # pause between batches, swap params, resume
+        while self.scheduler.has_work():
+            time.sleep(0.05)
+        self.model_runner.update_weights_from_disk(model_path)
+        return True
+
+    def get_server_info(self) -> Dict[str, Any]:
+        return {
+            "model_path": self.server_args.model_path,
+            "version": __import__("sglang_security_tpu").__version__,
+            "num_pages": self.model_runner.num_pages,
+            "page_size": self.model_runner.page_size,
+            "waiting": len(self.scheduler.waiting),
+            "running": len(self.scheduler.running),
+        }
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        self._work_event.set()
+        self._loop_thread.join(timeout=5)
+        if self.privacy_client is not None:
+            self.privacy_client.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

@@ -1,0 +1,329 @@
+"""HTTP / OpenAI-compatible API server (aiohttp).
+
+Parity with the reference's FastAPI server
+(``srt/entrypoints/http_server.py``): ``/generate`` (+streaming),
+``/v1/completions``, ``/v1/chat/completions``, ``/v1/models``,
+``/health``, ``/health_generate``, ``/get_server_info``,
+``/flush_cache``, ``/abort_request``, ``/update_weights_from_disk``,
+``/metrics`` (Prometheus).  aiohttp replaces FastAPI/uvicorn (not
+available in this environment); blocking engine calls run on a thread
+pool so the event loop stays responsive while the scheduler thread
+drives the TPU.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Optional
+
+from aiohttp import web
+
+from sglang_security_tpu.entrypoints.engine import Engine
+from sglang_security_tpu.entrypoints.openai_api.adapter import (
+    chat_to_gri,
+    completion_to_gri,
+)
+from sglang_security_tpu.entrypoints.openai_api.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+)
+from sglang_security_tpu.server_args import ServerArgs
+
+logger = logging.getLogger(__name__)
+
+
+class HttpServer:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.app = web.Application(client_max_size=64 * 1024 * 1024)
+        self.start_time = time.time()
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/get_server_info", self.server_info)
+        r.add_get("/v1/models", self.models)
+        r.add_post("/generate", self.generate)
+        r.add_post("/v1/completions", self.v1_completions)
+        r.add_post("/v1/chat/completions", self.v1_chat)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/abort_request", self.abort_request)
+        r.add_post("/update_weights_from_disk", self.update_weights)
+        r.add_get("/metrics", self.metrics)
+        self.app.middlewares.append(self._auth_middleware)
+
+    # ------------------------------------------------------------- helpers
+    @web.middleware
+    async def _auth_middleware(self, request, handler):
+        api_key = self.engine.server_args.api_key
+        if api_key and request.path.startswith("/v1"):
+            auth = request.headers.get("Authorization", "")
+            if auth != f"Bearer {api_key}":
+                return web.json_response(
+                    {"error": {"message": "invalid api key"}}, status=401
+                )
+        try:
+            return await handler(request)
+        except web.HTTPException:
+            raise
+        except Exception as e:
+            import json as _json
+
+            import pydantic
+
+            if isinstance(e, (pydantic.ValidationError, _json.JSONDecodeError,
+                              KeyError, TypeError, ValueError)):
+                return web.json_response(
+                    {"error": {"message": str(e),
+                               "type": "invalid_request_error"}},
+                    status=400,
+                )
+            logger.exception("handler error")
+            return web.json_response(
+                {"error": {"message": str(e), "type": "internal_error"}},
+                status=500,
+            )
+
+    async def _run(self, fn, *args, **kw):
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(None, lambda: fn(*args, **kw))
+
+    # ------------------------------------------------------------ handlers
+    async def health(self, request):
+        return web.Response(text="ok")
+
+    async def health_generate(self, request):
+        out = await self._run(
+            self.engine.generate,
+            input_ids=[1, 2, 3],
+            sampling_params={"max_new_tokens": 1, "ignore_eos": True},
+        )
+        return web.json_response({"status": "ok", "meta": out["meta_info"]})
+
+    async def server_info(self, request):
+        info = self.engine.get_server_info()
+        info["uptime"] = time.time() - self.start_time
+        return web.json_response(info)
+
+    async def models(self, request):
+        name = self.engine.server_args.served_model_name
+        return web.json_response(
+            {"object": "list", "data": [{"id": name, "object": "model",
+                                         "owned_by": "sglang_security_tpu",
+                                         "created": int(self.start_time)}]}
+        )
+
+    async def generate(self, request):
+        body = await request.json()
+        stream = body.get("stream", False)
+        kwargs = dict(
+            prompt=body.get("text"),
+            input_ids=body.get("input_ids"),
+            sampling_params=body.get("sampling_params"),
+            user_id=body.get("user_id"),
+            rid=body.get("rid"),
+            return_logprob=body.get("return_logprob", False),
+        )
+        if not stream:
+            out = await self._run(self.engine.generate, **kwargs)
+            return web.json_response(out)
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        it = self.engine.generate(stream=True, **kwargs)
+        async for chunk in self._aiter(it):
+            await resp.write(
+                b"data: " + json.dumps(chunk).encode() + b"\n\n"
+            )
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    async def _aiter(self, it):
+        loop = asyncio.get_running_loop()
+        sentinel = object()
+        while True:
+            item = await loop.run_in_executor(None, next, it, sentinel)
+            if item is sentinel:
+                return
+            yield item
+
+    # --------------------------------------------------------- OpenAI APIs
+    async def v1_completions(self, request):
+        body = await request.json()
+        req = CompletionRequest(**body)
+        gri = completion_to_gri(req)
+        model = req.model or self.engine.server_args.served_model_name
+        if not req.stream:
+            outs = await self._run(self._engine_gri, gri)
+            choices = [
+                {
+                    "index": i,
+                    "text": (req.prompt if req.echo and isinstance(req.prompt, str) else "")
+                    + o["text"],
+                    "logprobs": None,
+                    "finish_reason": o["meta_info"]["finish_reason"]["type"],
+                }
+                for i, o in enumerate(outs)
+            ]
+            usage = self._usage(outs)
+            return web.json_response(
+                {
+                    "id": f"cmpl-{uuid.uuid4().hex}",
+                    "object": "text_completion",
+                    "created": int(time.time()),
+                    "model": model,
+                    "choices": choices,
+                    "usage": usage,
+                }
+            )
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream"}
+        )
+        await resp.prepare(request)
+        rid = f"cmpl-{uuid.uuid4().hex}"
+        it = self.engine.generate(
+            prompt=gri.text, input_ids=gri.input_ids,
+            sampling_params=gri.sampling_params, stream=True,
+            user_id=gri.user_id,
+        )
+        async for chunk in self._aiter(it):
+            fin = chunk["meta_info"]["finish_reason"]
+            data = {
+                "id": rid, "object": "text_completion",
+                "created": int(time.time()), "model": model,
+                "choices": [{
+                    "index": 0, "text": chunk["delta"], "logprobs": None,
+                    "finish_reason": fin["type"] if fin else None,
+                }],
+            }
+            await resp.write(b"data: " + json.dumps(data).encode() + b"\n\n")
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    def _engine_gri(self, gri):
+        out = self.engine.generate(
+            prompt=gri.text,
+            input_ids=gri.input_ids,
+            sampling_params=gri.sampling_params,
+            user_id=gri.user_id,
+            return_logprob=gri.return_logprob,
+        )
+        return out if isinstance(out, list) else [out]
+
+    async def v1_chat(self, request):
+        body = await request.json()
+        req = ChatCompletionRequest(**body)
+        tokenizer = self.engine.tokenizer_manager.tokenizer
+        gri = chat_to_gri(req, tokenizer)
+        model = req.model or self.engine.server_args.served_model_name
+        rid = f"chatcmpl-{uuid.uuid4().hex}"
+        if not req.stream:
+            outs = await self._run(self._engine_gri, gri)
+            o = outs[0]
+            return web.json_response(
+                {
+                    "id": rid,
+                    "object": "chat.completion",
+                    "created": int(time.time()),
+                    "model": model,
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant", "content": o["text"]},
+                        "logprobs": None,
+                        "finish_reason": o["meta_info"]["finish_reason"]["type"],
+                    }],
+                    "usage": self._usage(outs),
+                }
+            )
+        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+        first = {
+            "id": rid, "object": "chat.completion.chunk",
+            "created": int(time.time()), "model": model,
+            "choices": [{"index": 0,
+                         "delta": {"role": "assistant", "content": ""},
+                         "finish_reason": None}],
+        }
+        await resp.write(b"data: " + json.dumps(first).encode() + b"\n\n")
+        it = self.engine.generate(
+            prompt=gri.text, sampling_params=gri.sampling_params,
+            stream=True, user_id=gri.user_id,
+        )
+        async for chunk in self._aiter(it):
+            fin = chunk["meta_info"]["finish_reason"]
+            data = {
+                "id": rid, "object": "chat.completion.chunk",
+                "created": int(time.time()), "model": model,
+                "choices": [{
+                    "index": 0,
+                    "delta": {"content": chunk["delta"]},
+                    "finish_reason": fin["type"] if fin else None,
+                }],
+            }
+            await resp.write(b"data: " + json.dumps(data).encode() + b"\n\n")
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    def _usage(self, outs):
+        pt = sum(o["meta_info"]["prompt_tokens"] for o in outs)
+        ct = sum(o["meta_info"]["completion_tokens"] for o in outs)
+        cached = sum(o["meta_info"].get("cached_tokens", 0) for o in outs)
+        return {
+            "prompt_tokens": pt,
+            "completion_tokens": ct,
+            "total_tokens": pt + ct,
+            "prompt_tokens_details": {"cached_tokens": cached},
+        }
+
+    # ------------------------------------------------------------- control
+    async def flush_cache(self, request):
+        ok = await self._run(self.engine.flush_cache)
+        return web.json_response({"success": ok})
+
+    async def abort_request(self, request):
+        body = await request.json()
+        self.engine.abort_request(body.get("rid", ""))
+        return web.json_response({"success": True})
+
+    async def update_weights(self, request):
+        body = await request.json()
+        ok = await self._run(
+            self.engine.update_weights_from_disk, body["model_path"]
+        )
+        return web.json_response({"success": ok})
+
+    async def metrics(self, request):
+        try:
+            from prometheus_client import generate_latest
+
+            from sglang_security_tpu.metrics.collector import REGISTRY
+
+            return web.Response(
+                body=generate_latest(REGISTRY),
+                content_type="text/plain",
+            )
+        except Exception:
+            return web.Response(text="")
+
+
+def launch_server(server_args: ServerArgs) -> None:
+    engine = Engine(server_args)
+    server = HttpServer(engine)
+    logger.info(
+        "serving on http://%s:%d", server_args.host, server_args.port
+    )
+    web.run_app(
+        server.app,
+        host=server_args.host,
+        port=server_args.port,
+        print=None,
+        access_log=None,
+    )

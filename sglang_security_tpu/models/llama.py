@@ -30,7 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from sglang_security_tpu.layers.linear import apply_linear, make_linear_params
+from sglang_security_tpu.layers.linear import (
+    apply_linear,
+    make_linear_params,
+    merge_for_tp,
+)
 from sglang_security_tpu.layers.norms import fused_add_rms_norm, rms_norm
 from sglang_security_tpu.layers.rotary import apply_rope, compute_inv_freq
 from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
@@ -48,9 +52,17 @@ def _act(name: str):
 class LlamaForCausalLM:
     """Also serves Qwen2ForCausalLM / MistralForCausalLM (registry aliases)."""
 
-    def __init__(self, config: ModelConfig, quantization: Optional[str] = None):
+    def __init__(
+        self,
+        config: ModelConfig,
+        quantization: Optional[str] = None,
+        tp_size: int = 1,
+    ):
         self.config = config
         self.quantization = quantization
+        # merged projections are column-interleaved per TP shard at load
+        # (layers/linear.py merge_for_tp), so `tp_size` is fixed here
+        self.tp_size = tp_size
         self.inv_freq = jnp.asarray(
             compute_inv_freq(config.head_dim, config.rope_theta, config.rope_scaling)
         )
@@ -77,13 +89,23 @@ class LlamaForCausalLM:
                 dtype=dtype,
             )
 
+        def lin_merged(k, ns, bias):
+            ws = [rand(k, n) for n in ns]
+            bs = [jnp.zeros((n,)) for n in ns] if bias else None
+            w, b = merge_for_tp(ws, self.tp_size, bs)
+            return make_linear_params(
+                w, bias=b, quantization=self.quantization, dtype=dtype
+            )
+
         def one_layer(_):
             return {
                 "input_norm": jnp.ones((H,), dtype),
                 "post_norm": jnp.ones((H,), dtype),
-                "qkv": lin(H, (Hq + 2 * Hkv) * hd, cfg.qkv_bias),
+                "qkv": lin_merged(
+                    H, [Hq * hd, Hkv * hd, Hkv * hd], cfg.qkv_bias
+                ),
                 "o": lin(Hq * hd, H, cfg.o_bias),
-                "gate_up": lin(H, 2 * I, cfg.mlp_bias),
+                "gate_up": lin_merged(H, [I, I], cfg.mlp_bias),
                 "down": lin(I, H, cfg.mlp_bias),
             }
 
@@ -114,10 +136,11 @@ class LlamaForCausalLM:
             return jnp.asarray(get_tensor(name)).astype(jnp.float32)
 
         def lin_merged(names, bias_names):
-            w = jnp.concatenate([t(n).T for n in names], axis=1)
-            b = None
+            ws = [t(n).T for n in names]
+            bs = None
             if bias_names and all(has(n) for n in bias_names):
-                b = jnp.concatenate([t(n) for n in bias_names], axis=0)
+                bs = [t(n) for n in bias_names]
+            w, b = merge_for_tp(ws, self.tp_size, bs)
             return make_linear_params(
                 w, bias=b, quantization=self.quantization, dtype=dtype
             )
@@ -174,11 +197,20 @@ class LlamaForCausalLM:
         block_q: int,
         pages_per_block: int = 8,
         interpret: Optional[bool] = None,
+        tp_size: int = 1,
+        tp_axis: Optional[str] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Returns (selected_hidden [S, H], k_pages, v_pages)."""
+        """Returns (selected_hidden [S, H], k_pages, v_pages).
+
+        With ``tp_axis`` set (inside shard_map over a mesh), params and KV
+        arrive pre-sharded: column-parallel projections produce local
+        heads; row-parallel outputs are psum'd over the axis — the same
+        collective points where the reference issues NCCL all-reduce.
+        """
         cfg = self.config
         T = fb.token_ids.shape[0]
-        hd, Hq, Hkv = cfg.head_dim, cfg.num_q_heads, cfg.num_kv_heads
+        hd = cfg.head_dim
+        Hq, Hkv = cfg.num_q_heads // tp_size, cfg.num_kv_heads // tp_size
         P, ps = k_pages.shape[2], k_pages.shape[3]
 
         x = params["embed"][fb.token_ids]  # [T, H]
@@ -223,13 +255,18 @@ class LlamaForCausalLM:
                 interpret=interpret,
             )
             o = apply_linear(attn.reshape(T, Hq * hd), lp["o"])
+            if tp_axis is not None:
+                o = lax.psum(o, tp_axis)
             x = resid + o
 
             h, resid = fused_add_rms_norm(x, None, lp["post_norm"], cfg.rms_eps)
             gate_up = apply_linear(h, lp["gate_up"])
             gate, up = jnp.split(gate_up, 2, axis=-1)
             mlp = _act(cfg.act_fn)(gate) * up
-            x = resid + apply_linear(mlp, lp["down"])
+            down = apply_linear(mlp, lp["down"])
+            if tp_axis is not None:
+                down = lax.psum(down, tp_axis)
+            x = resid + down
             return (x, k_pages, v_pages), None
 
         (x, k_pages, v_pages), _ = lax.scan(
@@ -241,7 +278,9 @@ class LlamaForCausalLM:
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
         return sel, k_pages, v_pages
 
-    def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
+    def compute_logits(
+        self, params, hidden: jax.Array, tp_axis: Optional[str] = None
+    ) -> jax.Array:
         cfg = self.config
         if cfg.tie_word_embeddings:
             logits = jnp.dot(
@@ -250,6 +289,9 @@ class LlamaForCausalLM:
             )
         else:
             logits = apply_linear(hidden, params["lm_head"]).astype(jnp.float32)
+        if tp_axis is not None:
+            # vocab-parallel head: gather shards to the full vocab
+            logits = lax.all_gather(logits, tp_axis, axis=1, tiled=True)
         if cfg.logit_softcap:
             logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
         return logits

@@ -65,10 +65,13 @@ class ServerArgs:
     schedule_conservativeness: float = 1.0
     stream_interval: int = 1
     disable_overlap_schedule: bool = False
+    # decode tokens generated per host round-trip (device-chained sampling;
+    # the TPU analog of the reference's overlap scheduler). 1 = off.
+    decode_steps_per_batch: int = 8
     retract_decode_steps: int = 20
     new_token_ratio: float = 0.4
     min_new_token_ratio: float = 0.2
-    watchdog_timeout: float = 300.0
+    watchdog_timeout: float = 900.0  # generous: first-compile via tunnel is slow
 
     # ---- bucketing (XLA static-shape discipline; replaces CUDA graphs) ----
     decode_bs_buckets: List[int] = field(
@@ -133,6 +136,12 @@ class ServerArgs:
     enable_request_time_stats_logging: bool = False
     kv_events_config: Optional[str] = None
     decode_log_interval: int = 40
+
+    # ---- warmup / compile cache ----
+    enable_warmup: bool = True  # precompile standard buckets at startup
+    warmup_decode_bs: List[int] = field(default_factory=lambda: [8])
+    warmup_prefill_tokens: List[int] = field(default_factory=lambda: [512])
+    compilation_cache_dir: Optional[str] = "~/.cache/sgl_tpu_xla"
 
     # ---- misc / debug ----
     random_seed: Optional[int] = None

@@ -1,0 +1,68 @@
+"""SafeKV end-to-end: privacy gating + async verdicts through the Engine."""
+
+import time
+
+import pytest
+
+from sglang_security_tpu.entrypoints.engine import Engine
+from sglang_security_tpu.server_args import ServerArgs
+from sglang_security_tpu.test_utils import make_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tiny_skv") / "llama")
+    make_tiny_llama(path)
+    eng = Engine(
+        ServerArgs(
+            model_path=path,
+            dtype="float32",
+            max_total_tokens=4096,
+            page_size=8,
+            enable_safekv=True,
+            prefill_token_buckets=[128, 256],
+            decode_bs_buckets=[1, 4, 8],
+            max_seq_pages_buckets=[8, 16],
+            random_seed=0,
+        )
+    )
+    yield eng
+    eng.shutdown()
+
+
+SP = {"temperature": 0.0, "max_new_tokens": 4, "ignore_eos": True}
+
+
+def _drain(eng):
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        if not eng.scheduler.has_work():
+            time.sleep(0.3)  # let detector threads run + verdicts drain
+            eng.scheduler.tree_cache  # noqa
+            return
+        time.sleep(0.05)
+
+
+def test_private_prefix_not_shared_across_users(engine):
+    secret = "my password is hunter2 and my ssn is 123-45-6789 " * 3
+    out_a = engine.generate(prompt=secret, sampling_params=SP, user_id="alice")
+    assert out_a["meta_info"]["cached_tokens"] == 0
+    _drain(engine)
+    # tier-1 flags this text as private -> bob must NOT get cache hits
+    out_b = engine.generate(prompt=secret, sampling_params=SP, user_id="bob")
+    assert out_b["meta_info"]["cached_tokens"] == 0
+    # ...but alice herself does share her own entries
+    out_a2 = engine.generate(prompt=secret, sampling_params=SP, user_id="alice")
+    assert out_a2["meta_info"]["cached_tokens"] > 0
+
+
+def test_public_prefix_shared_after_verdict(engine):
+    boring = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        * 3
+    )
+    engine.generate(prompt=boring, sampling_params=SP, user_id="alice")
+    _drain(engine)
+    time.sleep(0.5)  # allow async tier-1 public verdict to land
+    out_b = engine.generate(prompt=boring, sampling_params=SP, user_id="bob")
+    assert out_b["meta_info"]["cached_tokens"] > 0
