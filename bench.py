@@ -1,0 +1,109 @@
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Measures offline output throughput (the reference's
+``test_bench_serving.py:36`` metric: total generated tokens / wall time,
+all requests submitted at once) on a Llama-3-8B-architecture model with
+INT4 weight-only quantization and dummy weights, served end-to-end
+through the Engine (continuous batching + paged KV + radix cache +
+multi-step decode) on one TPU chip.
+
+Baseline: the reference's 1-GPU CI gate for Llama-3.1-8B offline
+throughput is > 3,800 tok/s (A100-class; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+LLAMA3_8B_CONFIG = {
+    "architectures": ["LlamaForCausalLM"],
+    "hidden_size": 4096,
+    "intermediate_size": 14336,
+    "num_hidden_layers": 32,
+    "num_attention_heads": 32,
+    "num_key_value_heads": 8,
+    "head_dim": 128,
+    "vocab_size": 128256,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 500000.0,
+    "max_position_embeddings": 8192,
+    "tie_word_embeddings": False,
+    "bos_token_id": 128000,
+    "eos_token_id": 128001,
+    "model_type": "llama",
+}
+
+
+def main() -> None:
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+
+    model_dir = "/tmp/bench_llama3_8b"
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(LLAMA3_8B_CONFIG, f)
+
+    n_reqs = int(os.environ.get("BENCH_NUM_REQS", 128))
+    in_len = int(os.environ.get("BENCH_INPUT_LEN", 128))
+    out_len = int(os.environ.get("BENCH_OUTPUT_LEN", 128))
+
+    eng = Engine(
+        ServerArgs(
+            model_path=model_dir,
+            load_format="dummy",
+            quantization="int4",
+            dtype="bfloat16",
+            skip_tokenizer_init=True,
+            max_total_tokens=49152,
+            page_size=32,
+            max_running_requests=n_reqs,
+            max_prefill_tokens=4096,
+            chunked_prefill_size=4096,
+            decode_bs_buckets=[n_reqs],
+            prefill_token_buckets=[4096],
+            max_seq_pages_buckets=[16],
+            decode_steps_per_batch=16,
+            enable_warmup=False,
+            random_seed=0,
+            log_level="warning",
+        )
+    )
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(10, 120000, in_len).tolist() for _ in range(n_reqs)
+    ]
+    sp = {"temperature": 0.0, "max_new_tokens": out_len, "ignore_eos": True}
+
+    def run_once():
+        t0 = time.time()
+        outs = eng.generate(input_ids=prompts, sampling_params=sp)
+        dt = time.time() - t0
+        toks = sum(o["meta_info"]["completion_tokens"] for o in outs)
+        return toks, dt
+
+    run_once()  # warm: compiles prefill + decode buckets
+    eng.flush_cache()
+    toks, dt = run_once()
+    throughput = toks / dt
+    baseline = 3800.0
+    print(
+        json.dumps(
+            {
+                "metric": "offline_output_throughput_llama3_8b_int4_dummy",
+                "value": round(throughput, 1),
+                "unit": "tok/s",
+                "vs_baseline": round(throughput / baseline, 3),
+            }
+        )
+    )
+    eng.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,12 +46,22 @@ class Engine:
             privacy_client = PrivateJudgeClient(server_args)
         self.privacy_client = privacy_client
 
+        grammar_backend = None
+        if self.tokenizer_manager.tokenizer is not None:
+            from sglang_security_tpu.constrained import GrammarBackend
+
+            grammar_backend = GrammarBackend(
+                self.tokenizer_manager.tokenizer,
+                self.model_runner.config.eos_token_ids,
+                whitespace_pattern=server_args.constrained_json_whitespace_pattern,
+            )
         self.scheduler = Scheduler(
             server_args,
             self.model_runner,
             output_cb=self._on_output,
             tokenizer=self.tokenizer_manager.tokenizer,
             privacy_client=privacy_client,
+            grammar_backend=grammar_backend,
         )
         self._in_queue: "queue.Queue" = queue.Queue()
         self._rid_queues: Dict[str, queue.Queue] = {}

@@ -53,11 +53,13 @@ class Scheduler:
         output_cb: Optional[Callable[[StepOutput], None]] = None,
         tokenizer=None,
         privacy_client=None,
+        grammar_backend=None,
     ):
         self.server_args = server_args
         self.runner = model_runner or ModelRunner(server_args)
         self.output_cb = output_cb or (lambda out: None)
         self.tokenizer = tokenizer
+        self.grammar_backend = grammar_backend
         self.page_size = self.runner.page_size
         self.allocator = PageAllocator(self.runner.num_pages, self.page_size)
         self.privacy_client = privacy_client
@@ -93,6 +95,15 @@ class Scheduler:
         req.time_stats.queued = time.monotonic()
         if self.privacy_client is not None:
             self.privacy_client.drain_verdicts(self.tree_cache)
+        spec = req.sampling_params.grammar_spec()
+        if spec is not None and self.grammar_backend is not None:
+            try:
+                req.grammar = self.grammar_backend.get(*spec)
+            except Exception as e:
+                logger.warning("grammar compile failed for %s: %s", req.rid, e)
+                req.finished_reason = FinishReason.ABORT
+                self._emit(req, [], finished=True, reason=FinishReason.ABORT)
+                return
         self.waiting.append(req)
 
     def abort_request(self, rid: str) -> None:

@@ -138,6 +138,9 @@ def _write_tiny_tokenizer(path: str, vocab_size: int) -> None:
             "hello world this is a tiny tokenizer for tests",
             "0123456789 abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ",
             "The capital of France is Paris. The capital of Italy is Rome.",
+            '{"ok": true, "count": 42, "items": ["a", "b"], "x": null}',
+            "yes no maybe (parens) [brackets] {braces} <angle> - _ = + * / \\",
+            'false true null {"name": "bob", "age": 7}, 3.14 -2e10 !? ; : \'',
         ]
         tk.train_from_iterator(corpus * 50, trainer)
         tk.save(os.path.join(path, "tokenizer.json"))

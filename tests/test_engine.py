@@ -128,6 +128,7 @@ def test_stop_token(engine, tiny_model):
                                         "ignore_eos": True},
     )
     stop_tok = base["output_ids"][2]
+    expect_len = base["output_ids"].index(stop_tok) + 1  # first occurrence
     out = engine.generate(
         prompt="abcd",
         sampling_params={
@@ -136,7 +137,7 @@ def test_stop_token(engine, tiny_model):
         },
     )
     assert out["meta_info"]["finish_reason"]["type"] == "stop"
-    assert len(out["output_ids"]) == 3
+    assert len(out["output_ids"]) == expect_len
 
 
 def test_concurrent_requests(engine):
