@@ -69,16 +69,25 @@ class LlamaForCausalLM:
 
     # ------------------------------------------------------------- params
     def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
-        """Random weights (reference DummyModelLoader, loader.py:475)."""
+        """Random weights (reference DummyModelLoader, loader.py:475).
+
+        Generated on device with jax.random: an 8B-parameter dummy would
+        otherwise be built on the host and shipped over the wire.
+        """
         cfg = self.config
-        rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        counter = [0]
         H, hd = cfg.hidden_size, cfg.head_dim
         Hq, Hkv, I = cfg.num_q_heads, cfg.num_kv_heads, cfg.intermediate_size
 
         def rand(*shape, scale=None):
             scale = scale or (1.0 / np.sqrt(shape[0]))
-            return jnp.asarray(
-                rng.standard_normal(shape, dtype=np.float32) * scale
+            counter[0] += 1
+            return (
+                jax.random.normal(
+                    jax.random.fold_in(key, counter[0]), shape, jnp.float32
+                )
+                * scale
             )
 
         def lin(k, n, bias):
