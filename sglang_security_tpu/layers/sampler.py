@@ -25,6 +25,9 @@ class SamplingTensors(NamedTuple):
     top_k: jax.Array  # [B] i32; 0 or >=V => disabled
     top_p: jax.Array  # [B] f32; 1.0 => disabled
     min_p: jax.Array  # [B] f32; 0.0 => disabled
+    presence_penalty: jax.Array  # [B, 1] f32
+    frequency_penalty: jax.Array  # [B, 1] f32
+    repetition_penalty: jax.Array  # [B, 1] f32; 1.0 = off
 
     @classmethod
     def greedy(cls, batch: int):
@@ -33,6 +36,9 @@ class SamplingTensors(NamedTuple):
             top_k=jnp.zeros((batch,), jnp.int32),
             top_p=jnp.ones((batch,), jnp.float32),
             min_p=jnp.zeros((batch,), jnp.float32),
+            presence_penalty=jnp.zeros((batch, 1), jnp.float32),
+            frequency_penalty=jnp.zeros((batch, 1), jnp.float32),
+            repetition_penalty=jnp.ones((batch, 1), jnp.float32),
         )
 
 
@@ -57,9 +63,18 @@ def sample(
     s: SamplingTensors,
     key: jax.Array,
     vocab_mask: Optional[jax.Array] = None,  # [B, V] bool, True = allowed
+    output_counts: Optional[jax.Array] = None,  # [B, V] generated-token counts
 ) -> jax.Array:
     """Returns sampled token ids [B] (greedy rows use argmax)."""
     logits = logits.astype(jnp.float32)
+    if output_counts is not None:
+        logits = apply_penalties(
+            logits,
+            output_counts,
+            s.presence_penalty,
+            s.frequency_penalty,
+            s.repetition_penalty,
+        )
     if vocab_mask is not None:
         logits = jnp.where(vocab_mask, logits, NEG_INF)
     B, V = logits.shape

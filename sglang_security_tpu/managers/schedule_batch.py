@@ -62,6 +62,7 @@ class Req:
         self.last_node = None  # pinned radix node
         self.finished_reason: Optional[FinishReason] = None
         self.grammar = None  # constrained-decoding state machine
+        self.penalty_slot = -1  # device penalty-count slot (-1 = unused)
         self.stream = False
         self.time_stats = TimeStats()
         self.return_logprob = sampling_params.return_logprob
@@ -72,6 +73,14 @@ class Req:
         self.decoded_text = ""
 
     # ------------------------------------------------------------------
+    def needs_penalties(self) -> bool:
+        sp = self.sampling_params
+        return (
+            sp.presence_penalty != 0.0
+            or sp.frequency_penalty != 0.0
+            or sp.repetition_penalty != 1.0
+        )
+
     @property
     def seq_len(self) -> int:
         return len(self.input_ids) + len(self.output_ids)

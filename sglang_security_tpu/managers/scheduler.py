@@ -86,6 +86,7 @@ class Scheduler:
         cfg = self.runner.config
         self.eos_token_ids = set(cfg.eos_token_ids)
         self.vocab_size = cfg.vocab_size
+        self._penalty_free = list(range(self.runner.max_penalty_slots))
         self._steps = 0
         self._last_decode_log = time.monotonic()
         self._decode_tokens_since_log = 0
@@ -312,6 +313,7 @@ class Scheduler:
         for req in finished:
             self.running.remove(req)
             self._cache_finished(req)
+            self._release_penalty_slot(req)
         self._decode_tokens_since_log += produced
         self._log_decode_stats()
 
@@ -347,12 +349,28 @@ class Scheduler:
         # keep generated tokens: they re-enter as part of the prompt
         req.input_ids = req.all_ids()
         req.output_ids = []
+        self._release_penalty_slot(req)
         self.waiting.insert(0, req)
+
+    def _release_penalty_slot(self, req: Req) -> None:
+        if req.penalty_slot >= 0:
+            self._penalty_free.append(req.penalty_slot)
+            req.penalty_slot = -1
 
     # ---------------------------------------------------------- bookkeeping
     def _make_plan(self, is_decode, token_ids, positions, slots, q_starts,
                    q_lens, kv_lens, page_lists, reqs) -> BatchPlan:
         sp = [r.sampling_params for r in reqs]
+        penalty_slots = None
+        if any(r.needs_penalties() for r in reqs):
+            for r in reqs:
+                if r.needs_penalties() and r.penalty_slot < 0:
+                    if self._penalty_free:
+                        r.penalty_slot = self._penalty_free.pop()
+                        self.runner.reset_penalty_slot(r.penalty_slot)
+            penalty_slots = np.asarray(
+                [r.penalty_slot for r in reqs], np.int32
+            )
         vocab_mask = None
         if any(r.grammar is not None for r in reqs):
             vocab_mask = np.ones((len(reqs), self.vocab_size), bool)
@@ -372,6 +390,16 @@ class Scheduler:
             top_k=np.asarray([s.top_k for s in sp], np.int32),
             top_p=np.asarray([s.top_p for s in sp], np.float32),
             min_p=np.asarray([s.min_p for s in sp], np.float32),
+            presence_penalty=np.asarray(
+                [s.presence_penalty for s in sp], np.float32
+            ),
+            frequency_penalty=np.asarray(
+                [s.frequency_penalty for s in sp], np.float32
+            ),
+            repetition_penalty=np.asarray(
+                [s.repetition_penalty for s in sp], np.float32
+            ),
+            penalty_slots=penalty_slots,
             vocab_mask=vocab_mask,
         )
 

@@ -58,6 +58,10 @@ class BatchPlan:
     top_k: np.ndarray
     top_p: np.ndarray
     min_p: np.ndarray
+    presence_penalty: Optional[np.ndarray] = None  # [S]
+    frequency_penalty: Optional[np.ndarray] = None
+    repetition_penalty: Optional[np.ndarray] = None
+    penalty_slots: Optional[np.ndarray] = None  # [S] i32, -1 = no penalties
     vocab_mask: Optional[np.ndarray] = None  # [S, V] bool (grammar)
 
 
@@ -103,6 +107,8 @@ class ModelRunner:
         )
         self._step_cache: Dict[tuple, callable] = {}
         self._rng_key = jax.random.PRNGKey(server_args.random_seed)
+        self.max_penalty_slots = (server_args.max_running_requests or 256) * 2
+        self.penalty_counts = None  # lazy [max_slots, V] i32 device array
         self._max_pps = max(
             server_args.max_seq_pages_buckets
         )  # hard cap pages/seq
@@ -135,36 +141,49 @@ class ModelRunner:
         return cdiv(tokens, self.page_size) + 1  # +1 for the null page
 
     # ------------------------------------------------------------------
-    def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool):
-        key = (T, S, PPS, block_q, masked)
+    def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
+                  penalized: bool = False):
+        key = (T, S, PPS, block_q, masked, penalized)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
         model = self.model
         interpret = self.interpret
 
-        def step(params, k_pages, v_pages, fb, st, key, vocab_mask):
+        def step(params, k_pages, v_pages, fb, st, key, vocab_mask,
+                 counts, slots):
             hidden, k_pages, v_pages = model.forward(
                 params, k_pages, v_pages, fb, block_q=block_q,
                 interpret=interpret,
             )
             logits = model.compute_logits(params, hidden)  # [S, V] f32
-            tokens = sample(logits, st, key, vocab_mask=vocab_mask)
+            row_counts = None
+            if penalized:
+                safe = jnp.clip(slots, 0, counts.shape[0] - 1)
+                row_counts = jnp.where(
+                    (slots >= 0)[:, None], counts[safe], 0
+                )
+            tokens = sample(logits, st, key, vocab_mask=vocab_mask,
+                            output_counts=row_counts)
             logprobs = compute_logprobs(logits, tokens)
-            return tokens, logprobs, k_pages, v_pages
+            if penalized:
+                drop = jnp.where(slots < 0, counts.shape[0], slots)
+                counts = counts.at[drop, tokens].add(1, mode="drop")
+            return tokens, logprobs, k_pages, v_pages, counts
 
-        fn = jax.jit(step, donate_argnums=(1, 2))
+        fn = jax.jit(step, donate_argnums=(1, 2, 8))
         self._step_cache[key] = fn
         logger.info(
             "compiling step T=%d S=%d PPS=%d block_q=%d", T, S, PPS, block_q
         )
         return fn
 
-    def _get_multi_step(self, B: int, PPS: int, num_steps: int):
+    def _get_multi_step(self, B: int, PPS: int, num_steps: int,
+                        penalized: bool = False):
         """Decode `num_steps` tokens per host round-trip: lax.scan chains
         sampled tokens on device (the TPU-native form of the reference's
         future-token-ids overlap scheduler, tp_worker_overlap_thread.py:43)."""
-        key = ("multi", B, PPS, num_steps)
+        key = ("multi", B, PPS, num_steps, penalized)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -172,10 +191,10 @@ class ModelRunner:
         interpret = self.interpret
 
         def multi(params, k_pages, v_pages, tokens0, positions0, slot_mat,
-                  kv_lens0, page_indices, st, key):
+                  kv_lens0, page_indices, st, key, counts, pslots):
             # slot_mat: [num_steps, B] precomputed KV slots per step
             def body(carry, xs):
-                tokens, k_pages, v_pages, step_i, key = carry
+                tokens, k_pages, v_pages, step_i, key, counts = carry
                 slots = xs
                 fb = ForwardBatch(
                     token_ids=tokens,
@@ -193,18 +212,27 @@ class ModelRunner:
                 )
                 logits = model.compute_logits(params, hidden)
                 key, sub = jax.random.split(key)
-                nxt = sample(logits, st, sub)
+                row_counts = None
+                if penalized:
+                    safe = jnp.clip(pslots, 0, counts.shape[0] - 1)
+                    row_counts = jnp.where(
+                        (pslots >= 0)[:, None], counts[safe], 0
+                    )
+                nxt = sample(logits, st, sub, output_counts=row_counts)
                 lps = compute_logprobs(logits, nxt)
-                return (nxt, k_pages, v_pages, step_i + 1, key), (nxt, lps)
+                if penalized:
+                    drop = jnp.where(pslots < 0, counts.shape[0], pslots)
+                    counts = counts.at[drop, nxt].add(1, mode="drop")
+                return (nxt, k_pages, v_pages, step_i + 1, key, counts), (nxt, lps)
 
-            (tokens, k_pages, v_pages, _, _), (all_toks, all_lps) = jax.lax.scan(
+            (tokens, k_pages, v_pages, _, _, counts), (all_toks, all_lps) = jax.lax.scan(
                 body,
-                (tokens0, k_pages, v_pages, jnp.int32(0), key),
+                (tokens0, k_pages, v_pages, jnp.int32(0), key, counts),
                 slot_mat,
             )
-            return all_toks, all_lps, k_pages, v_pages
+            return all_toks, all_lps, k_pages, v_pages, counts
 
-        fn = jax.jit(multi, donate_argnums=(1, 2))
+        fn = jax.jit(multi, donate_argnums=(1, 2, 10))
         self._step_cache[key] = fn
         logger.info(
             "compiling multi-step decode B=%d PPS=%d steps=%d", B, PPS, num_steps
@@ -227,8 +255,9 @@ class ModelRunner:
         sm = np.full((num_steps, S), -1, np.int32)
         sm[:, :S_real] = slot_mat
         self._rng_key, sub = jax.random.split(self._rng_key)
-        fn = self._get_multi_step(S, PPS, num_steps)
-        toks, lps, k_pages, v_pages = fn(
+        penalized, counts, pslots = self._get_penalty_state(plan, S)
+        fn = self._get_multi_step(S, PPS, num_steps, penalized)
+        toks, lps, k_pages, v_pages, counts = fn(
             self.params,
             self.kv_pool.k_pages,
             self.kv_pool.v_pages,
@@ -239,15 +268,38 @@ class ModelRunner:
             fb.page_indices,
             st,
             sub,
+            counts,
+            pslots,
         )
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
+        if penalized:
+            self.penalty_counts = counts
         return (
             np.asarray(jax.device_get(toks))[:, :S_real],
             np.asarray(jax.device_get(lps))[:, :S_real],
         )
 
     # ------------------------------------------------------------------
+    def _get_penalty_state(self, plan: BatchPlan, S: int):
+        penalized = plan.penalty_slots is not None and (
+            np.asarray(plan.penalty_slots) >= 0
+        ).any()
+        if not penalized:
+            dummy = jnp.zeros((1, 1), jnp.int32)
+            return False, dummy, jnp.full((S,), -1, jnp.int32)
+        if self.penalty_counts is None:
+            self.penalty_counts = jnp.zeros(
+                (self.max_penalty_slots, self.config.vocab_size), jnp.int32
+            )
+        slots = np.full(S, -1, np.int32)
+        slots[: len(plan.penalty_slots)] = plan.penalty_slots
+        return True, self.penalty_counts, jnp.asarray(slots)
+
+    def reset_penalty_slot(self, slot: int) -> None:
+        if self.penalty_counts is not None:
+            self.penalty_counts = self.penalty_counts.at[slot].set(0)
+
     def execute(self, plan: BatchPlan) -> Tuple[np.ndarray, np.ndarray]:
         """Run one step; returns (next_token per seq [S_real], logprobs)."""
         sa = self.server_args
@@ -271,8 +323,11 @@ class ModelRunner:
 
         fb, st, vocab_mask = self._pad_plan(plan, T, S, PPS)
         self._rng_key, sub = jax.random.split(self._rng_key)
-        fn = self._get_step(T, S, PPS, block_q, plan.vocab_mask is not None)
-        tokens, logprobs, k_pages, v_pages = fn(
+        penalized, counts, pslots = self._get_penalty_state(plan, S)
+        fn = self._get_step(
+            T, S, PPS, block_q, plan.vocab_mask is not None, penalized
+        )
+        tokens, logprobs, k_pages, v_pages, counts = fn(
             self.params,
             self.kv_pool.k_pages,
             self.kv_pool.v_pages,
@@ -280,9 +335,13 @@ class ModelRunner:
             st,
             sub,
             vocab_mask,
+            counts,
+            pslots,
         )
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
+        if penalized:
+            self.penalty_counts = counts
         tokens_np = np.asarray(jax.device_get(tokens))[:S_real]
         logprobs_np = np.asarray(jax.device_get(logprobs))[:S_real]
         return tokens_np, logprobs_np
@@ -328,6 +387,13 @@ class ModelRunner:
             page_indices=jnp.asarray(pi),
             out_rows=jnp.asarray(out_rows),
         )
+        def opt(a, fill):
+            if a is None:
+                a = np.full(S_real, fill, np.float32)
+            return jnp.asarray(
+                pad1(a, S, fill=fill).reshape(S, 1), jnp.float32
+            )
+
         st = SamplingTensors(
             temperature=jnp.asarray(
                 pad1(plan.temperature, S, fill=0.0).reshape(S, 1), jnp.float32
@@ -335,6 +401,9 @@ class ModelRunner:
             top_k=jnp.asarray(pad1(plan.top_k, S), jnp.int32),
             top_p=jnp.asarray(pad1(plan.top_p, S, fill=1.0), jnp.float32),
             min_p=jnp.asarray(pad1(plan.min_p, S), jnp.float32),
+            presence_penalty=opt(plan.presence_penalty, 0.0),
+            frequency_penalty=opt(plan.frequency_penalty, 0.0),
+            repetition_penalty=opt(plan.repetition_penalty, 1.0),
         )
         if plan.vocab_mask is not None:
             V = self.config.vocab_size
