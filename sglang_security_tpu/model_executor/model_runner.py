@@ -141,9 +141,20 @@ class ModelRunner:
         return cdiv(tokens, self.page_size) + 1  # +1 for the null page
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _sampling_mode(plan: BatchPlan) -> str:
+        if (np.asarray(plan.temperature) == 0).all():
+            return "greedy"
+        unfiltered = (
+            (np.asarray(plan.top_p) >= 1.0).all()
+            and (np.asarray(plan.top_k) <= 0).all()
+            and (np.asarray(plan.min_p) <= 0.0).all()
+        )
+        return "categorical" if unfiltered else "topk"
+
     def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
-                  penalized: bool = False):
-        key = (T, S, PPS, block_q, masked, penalized)
+                  penalized: bool = False, mode: str = "topk"):
+        key = (T, S, PPS, block_q, masked, penalized, mode)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -164,7 +175,7 @@ class ModelRunner:
                     (slots >= 0)[:, None], counts[safe], 0
                 )
             tokens = sample(logits, st, key, vocab_mask=vocab_mask,
-                            output_counts=row_counts)
+                            output_counts=row_counts, mode=mode)
             logprobs = compute_logprobs(logits, tokens)
             if penalized:
                 drop = jnp.where(slots < 0, counts.shape[0], slots)
@@ -179,11 +190,11 @@ class ModelRunner:
         return fn
 
     def _get_multi_step(self, B: int, PPS: int, num_steps: int,
-                        penalized: bool = False):
+                        penalized: bool = False, mode: str = "topk"):
         """Decode `num_steps` tokens per host round-trip: lax.scan chains
         sampled tokens on device (the TPU-native form of the reference's
         future-token-ids overlap scheduler, tp_worker_overlap_thread.py:43)."""
-        key = ("multi", B, PPS, num_steps, penalized)
+        key = ("multi", B, PPS, num_steps, penalized, mode)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -218,7 +229,8 @@ class ModelRunner:
                     row_counts = jnp.where(
                         (pslots >= 0)[:, None], counts[safe], 0
                     )
-                nxt = sample(logits, st, sub, output_counts=row_counts)
+                nxt = sample(logits, st, sub, output_counts=row_counts,
+                             mode=mode)
                 lps = compute_logprobs(logits, nxt)
                 if penalized:
                     drop = jnp.where(pslots < 0, counts.shape[0], pslots)
@@ -256,7 +268,9 @@ class ModelRunner:
         sm[:, :S_real] = slot_mat
         self._rng_key, sub = jax.random.split(self._rng_key)
         penalized, counts, pslots = self._get_penalty_state(plan, S)
-        fn = self._get_multi_step(S, PPS, num_steps, penalized)
+        fn = self._get_multi_step(
+            S, PPS, num_steps, penalized, self._sampling_mode(plan)
+        )
         toks, lps, k_pages, v_pages, counts = fn(
             self.params,
             self.kv_pool.k_pages,
@@ -325,7 +339,8 @@ class ModelRunner:
         self._rng_key, sub = jax.random.split(self._rng_key)
         penalized, counts, pslots = self._get_penalty_state(plan, S)
         fn = self._get_step(
-            T, S, PPS, block_q, plan.vocab_mask is not None, penalized
+            T, S, PPS, block_q, plan.vocab_mask is not None, penalized,
+            self._sampling_mode(plan),
         )
         tokens, logprobs, k_pages, v_pages, counts = fn(
             self.params,

@@ -67,6 +67,35 @@ class LlamaForCausalLM:
             compute_inv_freq(config.head_dim, config.rope_theta, config.rope_scaling)
         )
 
+    # ----------------------------------------------------------- FFN hooks
+    # Dense SwiGLU by default; MoE models (models/mixtral.py) override.
+    def _ffn_params_dummy(self, i, rand, lin, lin_merged, dtype):
+        cfg = self.config
+        I = cfg.intermediate_size
+        return {
+            "gate_up": lin_merged(cfg.hidden_size, [I, I], cfg.mlp_bias),
+            "down": lin(I, cfg.hidden_size, cfg.mlp_bias),
+        }
+
+    def _ffn_params_load(self, i, t, lin_merged, dtype):
+        m = f"model.layers.{i}.mlp."
+        return {
+            "gate_up": lin_merged(
+                [m + "gate_proj.weight", m + "up_proj.weight"], None
+            ),
+            "down": lin_merged([m + "down_proj.weight"], None),
+        }
+
+    def _ffn_apply(self, lp, h, tp_size, tp_axis):
+        cfg = self.config
+        gate_up = apply_linear(h, lp["gate_up"])
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        mlp = _act(cfg.act_fn)(gate) * up
+        down = apply_linear(mlp, lp["down"])
+        if tp_axis is not None:
+            down = lax.psum(down, tp_axis)
+        return down
+
     # ------------------------------------------------------------- params
     def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
         """Random weights (reference DummyModelLoader, loader.py:475).
@@ -106,7 +135,7 @@ class LlamaForCausalLM:
                 w, bias=b, quantization=self.quantization, dtype=dtype
             )
 
-        def one_layer(_):
+        def one_layer(i):
             return {
                 "input_norm": jnp.ones((H,), dtype),
                 "post_norm": jnp.ones((H,), dtype),
@@ -114,8 +143,7 @@ class LlamaForCausalLM:
                     H, [Hq * hd, Hkv * hd, Hkv * hd], cfg.qkv_bias
                 ),
                 "o": lin(Hq * hd, H, cfg.o_bias),
-                "gate_up": lin_merged(H, [I, I], cfg.mlp_bias),
-                "down": lin(I, H, cfg.mlp_bias),
+                **self._ffn_params_dummy(i, rand, lin, lin_merged, dtype),
             }
 
         layers = [one_layer(i) for i in range(cfg.num_layers)]
@@ -177,10 +205,7 @@ class LlamaForCausalLM:
                         else None,
                     ),
                     "o": lin_merged([a + "o_proj.weight"], None),
-                    "gate_up": lin_merged(
-                        [m + "gate_proj.weight", m + "up_proj.weight"], None
-                    ),
-                    "down": lin_merged([m + "down_proj.weight"], None),
+                    **self._ffn_params_load(i, t, lin_merged, dtype),
                 }
             )
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
@@ -269,13 +294,7 @@ class LlamaForCausalLM:
             x = resid + o
 
             h, resid = fused_add_rms_norm(x, None, lp["post_norm"], cfg.rms_eps)
-            gate_up = apply_linear(h, lp["gate_up"])
-            gate, up = jnp.split(gate_up, 2, axis=-1)
-            mlp = _act(cfg.act_fn)(gate) * up
-            down = apply_linear(mlp, lp["down"])
-            if tp_axis is not None:
-                down = lax.psum(down, tp_axis)
-            x = resid + down
+            x = resid + self._ffn_apply(lp, h, tp_size, tp_axis)
             return (x, k_pages, v_pages), None
 
         (x, k_pages, v_pages), _ = lax.scan(

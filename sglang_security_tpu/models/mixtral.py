@@ -1,0 +1,150 @@
+"""MoE decoder models: Mixtral, Qwen2/3-MoE (shared-expert variant).
+
+Subclasses the llama body (attention/norms/scan identical — compare the
+reference's ``srt/models/mixtral.py`` / ``qwen2_moe.py`` which mirror
+llama.py with the MLP swapped for a router + experts) and overrides the
+FFN hooks with the capacity-dispatch MoE layer (layers/moe.py).
+
+Param additions per layer:
+  router: [H, E] f32
+  experts_gate_up: [E, H, 2*I_moe]
+  experts_down: [E, I_moe, H]
+  (qwen-moe) shared gate_up/down dense params + shared_gate [H, 1]
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sglang_security_tpu.layers.linear import apply_linear
+from sglang_security_tpu.layers.moe import moe_ffn
+from sglang_security_tpu.models.llama import LlamaForCausalLM, _act
+
+
+class MixtralForCausalLM(LlamaForCausalLM):
+    renormalize = True
+    has_shared_expert = False
+    capacity_factor = 1.5  # raise to num_experts/top_k for drop-free routing
+
+    def _moe_dims(self):
+        cfg = self.config
+        E = cfg.num_experts
+        I = cfg.moe_intermediate_size or cfg.intermediate_size
+        return E, I
+
+    # ------------------------------------------------------------- params
+    def _ffn_params_dummy(self, i, rand, lin, lin_merged, dtype):
+        cfg = self.config
+        E, I = self._moe_dims()
+        H = cfg.hidden_size
+        p = {
+            "router": rand(H, E).astype(jnp.float32),
+            "experts_gate_up": jnp.stack(
+                [rand(H, 2 * I) for _ in range(E)]
+            ).astype(dtype),
+            "experts_down": jnp.stack(
+                [rand(I, H) for _ in range(E)]
+            ).astype(dtype),
+        }
+        if self.has_shared_expert:
+            Is = cfg.intermediate_size
+            p["shared_gate_up"] = lin_merged(H, [Is, Is], False)
+            p["shared_down"] = lin(Is, H, False)
+            p["shared_gate"] = rand(H, 1).astype(dtype)
+        return p
+
+    def _ffn_params_load(self, i, t, lin_merged, dtype):
+        cfg = self.config
+        E, I = self._moe_dims()
+        base = f"model.layers.{i}."
+        p = {}
+        if self._is_mixtral_naming(t, i):
+            m = base + "block_sparse_moe."
+            p["router"] = t(m + "gate.weight").T.astype(jnp.float32)
+            gus, downs = [], []
+            for e in range(E):
+                w1 = t(m + f"experts.{e}.w1.weight").T  # gate [H, I]
+                w3 = t(m + f"experts.{e}.w3.weight").T  # up
+                w2 = t(m + f"experts.{e}.w2.weight").T  # down [I, H]
+                gus.append(jnp.concatenate([w1, w3], axis=1))
+                downs.append(w2)
+            p["experts_gate_up"] = jnp.stack(gus).astype(dtype)
+            p["experts_down"] = jnp.stack(downs).astype(dtype)
+        else:  # qwen2-moe naming
+            m = base + "mlp."
+            p["router"] = t(m + "gate.weight").T.astype(jnp.float32)
+            gus, downs = [], []
+            for e in range(E):
+                ep = m + f"experts.{e}."
+                gus.append(
+                    jnp.concatenate(
+                        [t(ep + "gate_proj.weight").T, t(ep + "up_proj.weight").T],
+                        axis=1,
+                    )
+                )
+                downs.append(t(ep + "down_proj.weight").T)
+            p["experts_gate_up"] = jnp.stack(gus).astype(dtype)
+            p["experts_down"] = jnp.stack(downs).astype(dtype)
+            if self.has_shared_expert:
+                sp = m + "shared_expert."
+                p["shared_gate_up"] = lin_merged(
+                    [sp + "gate_proj.weight", sp + "up_proj.weight"], None
+                )
+                p["shared_down"] = lin_merged([sp + "down_proj.weight"], None)
+                p["shared_gate"] = t(
+                    m + "shared_expert_gate.weight"
+                ).T.astype(dtype)
+        return p
+
+    def _is_mixtral_naming(self, t, i) -> bool:
+        try:
+            t(f"model.layers.{i}.block_sparse_moe.gate.weight")
+            return True
+        except KeyError:
+            return False
+
+    # ------------------------------------------------------------ forward
+    def _ffn_apply(self, lp, h, tp_size, tp_axis):
+        cfg = self.config
+        out = moe_ffn(
+            h,
+            lp["router"],
+            lp["experts_gate_up"],
+            lp["experts_down"],
+            top_k=cfg.num_experts_per_tok,
+            act=_act(cfg.act_fn),
+            capacity_factor=self.capacity_factor,
+            renormalize=self.renormalize,
+            ep_axis=tp_axis,  # experts sharded over the tp axis (EP=TP mesh)
+            ep_size=tp_size,
+        )
+        if self.has_shared_expert:
+            gate_up = apply_linear(h, lp["shared_gate_up"])
+            g, u = jnp.split(gate_up, 2, axis=-1)
+            shared = apply_linear(_act(cfg.act_fn)(g) * u, lp["shared_down"])
+            if tp_axis is not None:
+                shared = lax.psum(shared, tp_axis)
+            sg = jax.nn.sigmoid(
+                jnp.dot(h.astype(jnp.float32), lp["shared_gate"].astype(jnp.float32))
+            )
+            out = out + sg.astype(out.dtype) * shared
+        return out
+
+
+class Qwen2MoeForCausalLM(MixtralForCausalLM):
+    renormalize = False  # qwen2-moe: norm_topk_prob=False by default
+    has_shared_expert = True
+
+    def __init__(self, config, quantization=None, tp_size: int = 1):
+        super().__init__(config, quantization, tp_size)
+        self.renormalize = bool(config.raw.get("norm_topk_prob", False))
+
+
+class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
+    has_shared_expert = False
+
+    def __init__(self, config, quantization=None, tp_size: int = 1):
+        super().__init__(config, quantization, tp_size)
+        self.renormalize = bool(config.raw.get("norm_topk_prob", True))

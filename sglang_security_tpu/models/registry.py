@@ -11,6 +11,11 @@ from typing import Dict, Type
 
 from sglang_security_tpu.models.config import ModelConfig
 from sglang_security_tpu.models.llama import LlamaForCausalLM
+from sglang_security_tpu.models.mixtral import (
+    MixtralForCausalLM,
+    Qwen2MoeForCausalLM,
+    Qwen3MoeForCausalLM,
+)
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -18,6 +23,9 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "Qwen2ForCausalLM": LlamaForCausalLM,
     "Qwen3ForCausalLM": LlamaForCausalLM,
     "TinyLlamaForCausalLM": LlamaForCausalLM,
+    "MixtralForCausalLM": MixtralForCausalLM,
+    "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
+    "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
 }
 
 

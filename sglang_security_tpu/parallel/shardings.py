@@ -71,16 +71,28 @@ def llama_param_pspecs(params: dict) -> dict:
             is_leaf=lambda x: isinstance(x, P),
         )
 
+    lp = params["layers"]
     layers = {
         "input_norm": P(None, None),
         "post_norm": P(None, None),
-        "qkv": add_layer_dim(_linear_pspec(params["layers"]["qkv"], True)),
-        "o": add_layer_dim(_linear_pspec(params["layers"]["o"], False)),
-        "gate_up": add_layer_dim(
-            _linear_pspec(params["layers"]["gate_up"], True)
-        ),
-        "down": add_layer_dim(_linear_pspec(params["layers"]["down"], False)),
+        "qkv": add_layer_dim(_linear_pspec(lp["qkv"], True)),
+        "o": add_layer_dim(_linear_pspec(lp["o"], False)),
     }
+    if "gate_up" in lp:  # dense FFN
+        layers["gate_up"] = add_layer_dim(_linear_pspec(lp["gate_up"], True))
+        layers["down"] = add_layer_dim(_linear_pspec(lp["down"], False))
+    if "router" in lp:  # MoE: experts sharded over tp (expert parallelism)
+        layers["router"] = P(None, None, None)
+        layers["experts_gate_up"] = P(None, "tp", None, None)
+        layers["experts_down"] = P(None, "tp", None, None)
+    if "shared_gate_up" in lp:
+        layers["shared_gate_up"] = add_layer_dim(
+            _linear_pspec(lp["shared_gate_up"], True)
+        )
+        layers["shared_down"] = add_layer_dim(
+            _linear_pspec(lp["shared_down"], False)
+        )
+        layers["shared_gate"] = P(None, None, None)
     # norms carry the stacked layer dim only
     layers["input_norm"] = P(None, None)
     layers["post_norm"] = P(None, None)

@@ -160,6 +160,67 @@ def _write_tiny_tokenizer(path: str, vocab_size: int) -> None:
         )
 
 
+TINY_MIXTRAL_CONFIG = {
+    "architectures": ["MixtralForCausalLM"],
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "max_position_embeddings": 2048,
+    "tie_word_embeddings": False,
+    "num_local_experts": 4,
+    "num_experts_per_tok": 2,
+    "bos_token_id": 1,
+    "eos_token_id": 2,
+    "torch_dtype": "float32",
+    "model_type": "mixtral",
+}
+
+
+def make_tiny_mixtral(path: str, config: dict | None = None, seed: int = 0) -> str:
+    from safetensors.numpy import save_file
+
+    cfg = dict(TINY_MIXTRAL_CONFIG)
+    if config:
+        cfg.update(config)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+    rng = np.random.default_rng(seed)
+    H, I = cfg["hidden_size"], cfg["intermediate_size"]
+    hd, Hq, Hkv = cfg["head_dim"], cfg["num_attention_heads"], cfg["num_key_value_heads"]
+    V, E = cfg["vocab_size"], cfg["num_local_experts"]
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    t = {"model.embed_tokens.weight": r(V, H),
+         "model.norm.weight": np.ones(H, np.float32),
+         "lm_head.weight": r(V, H)}
+    for i in range(cfg["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "self_attn.q_proj.weight"] = r(Hq * hd, H)
+        t[p + "self_attn.k_proj.weight"] = r(Hkv * hd, H)
+        t[p + "self_attn.v_proj.weight"] = r(Hkv * hd, H)
+        t[p + "self_attn.o_proj.weight"] = r(H, Hq * hd)
+        m = p + "block_sparse_moe."
+        t[m + "gate.weight"] = r(E, H)
+        for e in range(E):
+            t[m + f"experts.{e}.w1.weight"] = r(I, H)
+            t[m + f"experts.{e}.w2.weight"] = r(H, I)
+            t[m + f"experts.{e}.w3.weight"] = r(I, H)
+    save_file(t, os.path.join(path, "model.safetensors"))
+    _write_tiny_tokenizer(path, V)
+    return path
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "make-tiny-llama":
         p = make_tiny_llama(sys.argv[2])

@@ -1,0 +1,110 @@
+"""MoE layer + Mixtral model tests (HF parity, EP sharding, engine e2e)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sglang_security_tpu.layers.moe import moe_ffn, topk_routing
+from sglang_security_tpu.model_loader import load_model
+from sglang_security_tpu.test_utils import make_tiny_mixtral
+from tests.test_model_parity import hf_logits, run_prefill
+
+
+def ref_moe(x, router_w, w_gate_up, w_down, top_k, renormalize=True):
+    """Dense per-token reference (no capacity, exact)."""
+    T, H = x.shape
+    E = router_w.shape[1]
+    w, ids = topk_routing(
+        jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32)),
+        top_k, renormalize,
+    )
+    out = jnp.zeros((T, H), jnp.float32)
+    for t in range(T):
+        for k in range(top_k):
+            e = int(ids[t, k])
+            gu = x[t].astype(jnp.float32) @ w_gate_up[e].astype(jnp.float32)
+            g, u = jnp.split(gu, 2)
+            y = (jax.nn.silu(g) * u) @ w_down[e].astype(jnp.float32)
+            out = out.at[t].add(w[t, k] * y)
+    return out
+
+
+def test_moe_ffn_matches_dense_reference(rng):
+    T, H, I, E, K = 12, 32, 64, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
+    wgu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+    out = moe_ffn(x, router, wgu, wd, K, capacity_factor=float(E) / K)
+    ref = ref_moe(x, router, wgu, wd, K)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_moe_ep_sharded_matches(rng):
+    if jax.device_count() < 2:
+        pytest.skip("needs 2+ devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    T, H, I, E, K = 8, 32, 64, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
+    wgu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+    ref = moe_ffn(x, router, wgu, wd, K, capacity_factor=float(E) / K)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("ep",))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("ep"), P("ep")), out_specs=P(),
+        check_rep=False,
+    )
+    def sharded(x, router, wgu, wd):
+        return moe_ffn(x, router, wgu, wd, K, capacity_factor=float(E) / K,
+                       ep_axis="ep", ep_size=2)
+
+    out = jax.jit(sharded)(x, router, wgu, wd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
+                               atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_mixtral(tmp_path_factory):
+    path = tmp_path_factory.mktemp("tiny_moe") / "mixtral"
+    make_tiny_mixtral(str(path))
+    return str(path)
+
+
+def test_mixtral_logits_match_hf(tiny_mixtral):
+    model, params, cfg = load_model(tiny_mixtral, dtype="float32")
+    model.capacity_factor = float(cfg.num_experts) / cfg.num_experts_per_tok
+    token_ids = [1, 17, 93, 203, 44, 150, 7, 77]
+    ref = hf_logits(tiny_mixtral, token_ids)
+    ours, *_ = run_prefill(model, params, token_ids)
+    np.testing.assert_allclose(ours[0], ref[-1], rtol=5e-3, atol=5e-3)
+
+
+def test_mixtral_engine_e2e(tiny_mixtral):
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+
+    eng = Engine(
+        ServerArgs(model_path=tiny_mixtral, dtype="float32",
+                   max_total_tokens=2048, page_size=8,
+                   prefill_token_buckets=[128], decode_bs_buckets=[1, 4],
+                   max_seq_pages_buckets=[8], random_seed=0)
+    )
+    try:
+        out = eng.generate(
+            prompt="mixture of experts",
+            sampling_params={"temperature": 0.0, "max_new_tokens": 6,
+                             "ignore_eos": True},
+        )
+        assert out["meta_info"]["completion_tokens"] == 6
+    finally:
+        eng.shutdown()
