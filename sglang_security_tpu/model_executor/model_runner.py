@@ -93,10 +93,10 @@ class ModelRunner:
         self.num_pages = self._profile_num_pages()
         self.kv_pool = KVCachePool(
             num_layers=self.config.num_layers,
-            num_kv_heads=self.config.num_kv_heads,
+            num_kv_heads=self.config.kv_cache_num_heads,
             num_pages=self.num_pages,
             page_size=self.page_size,
-            head_dim=self.config.head_dim,
+            head_dim=self.config.kv_cache_head_dim,
             dtype=self.dtype,
         )
         logger.info(
@@ -119,8 +119,8 @@ class ModelRunner:
         cfg = self.config
         bytes_per_token = (
             cfg.num_layers
-            * cfg.num_kv_heads
-            * cfg.head_dim
+            * cfg.kv_cache_num_heads
+            * cfg.kv_cache_head_dim
             * 2  # K and V
             * jnp.dtype(self.dtype).itemsize
         )

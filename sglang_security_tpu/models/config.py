@@ -110,6 +110,16 @@ class ModelConfig:
             return cls.from_hf_dict(json.load(f))
 
     @property
-    def kv_head_dim(self) -> int:
-        """Head dim stored in the KV pool (MLA compresses this)."""
+    def kv_cache_head_dim(self) -> int:
+        """Head dim stored in the KV pool.
+
+        MLA stores the compressed latent + rope key padded up to a lane
+        multiple (128) instead of per-head K/V."""
+        if self.use_mla:
+            d = self.kv_lora_rank + self.qk_rope_head_dim
+            return ((d + 127) // 128) * 128
         return self.head_dim
+
+    @property
+    def kv_cache_num_heads(self) -> int:
+        return 1 if self.use_mla else self.num_kv_heads

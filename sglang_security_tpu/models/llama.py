@@ -97,11 +97,16 @@ class LlamaForCausalLM:
         return down
 
     # ------------------------------------------------------------- params
-    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16):
+    def init_dummy_params(
+        self, seed: int = 0, dtype=jnp.bfloat16, unique_layers: bool = False
+    ):
         """Random weights (reference DummyModelLoader, loader.py:475).
 
-        Generated on device with jax.random: an 8B-parameter dummy would
-        otherwise be built on the host and shipped over the wire.
+        Generated on device with jax.random.  By default one layer is
+        generated and tiled across the stack (perf benchmarking doesn't
+        care about values, and per-layer generation of an 8B model costs
+        hundreds of dispatches); pass unique_layers=True for distinct
+        layer weights.
         """
         cfg = self.config
         key = jax.random.PRNGKey(seed)
@@ -146,8 +151,15 @@ class LlamaForCausalLM:
                 **self._ffn_params_dummy(i, rand, lin, lin_merged, dtype),
             }
 
-        layers = [one_layer(i) for i in range(cfg.num_layers)]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        if unique_layers:
+            layers = [one_layer(i) for i in range(cfg.num_layers)]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        else:
+            one = one_layer(0)
+            L = cfg.num_layers
+            stacked = jax.tree.map(
+                lambda x: jnp.tile(x[None], (L,) + (1,) * x.ndim), one
+            )
         params = {
             "embed": rand(cfg.vocab_size, H, scale=0.02).astype(dtype),
             "final_norm": jnp.ones((H,), dtype),
@@ -255,56 +267,84 @@ class LlamaForCausalLM:
             lp, li = xs
 
             h, resid = fused_add_rms_norm(x, None, lp["input_norm"], cfg.rms_eps)
-            qkv = apply_linear(h, lp["qkv"])
-            q, k, v = jnp.split(qkv, [Hq * hd, (Hq + Hkv) * hd], axis=-1)
-            q = q.reshape(T, Hq, hd)
-            k = k.reshape(T, Hkv, hd)
-            v = v.reshape(T, Hkv, hd)
-            q, k = apply_rope(q, k, fb.positions, self.inv_freq)
-
-            # scatter new K/V into layer li of the pool (in-place on carry)
-            kf = k_pages.reshape(cfg.num_layers, Hkv, P * ps, hd)
-            vf = v_pages.reshape(cfg.num_layers, Hkv, P * ps, hd)
-            # note: [li, :, slots] mixes advanced + basic indexing, so the
-            # advanced result dims (T) come first: value shape [T, Hkv, hd]
-            kf = kf.at[li, :, safe_slots].set(k.astype(k_pages.dtype), mode="drop")
-            vf = vf.at[li, :, safe_slots].set(v.astype(v_pages.dtype), mode="drop")
-            k_pages = kf.reshape(k_pages.shape)
-            v_pages = vf.reshape(v_pages.shape)
-
-            attn = ragged_paged_attention(
-                q,
-                k_pages,
-                v_pages,
-                fb.kv_lens,
-                fb.page_indices,
-                fb.q_starts,
-                fb.q_lens,
-                layer=li,
-                sm_scale=hd**-0.5,
-                sliding_window=cfg.sliding_window,
-                soft_cap=cfg.attn_softcap,
-                block_q=block_q,
-                pages_per_block=pages_per_block,
-                interpret=interpret,
+            o, k_pages, v_pages = self._attn_apply(
+                lp, h, fb, k_pages, v_pages, li, safe_slots,
+                block_q=block_q, pages_per_block=pages_per_block,
+                interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
             )
-            o = apply_linear(attn.reshape(T, Hq * hd), lp["o"])
-            if tp_axis is not None:
-                o = lax.psum(o, tp_axis)
             x = resid + o
 
             h, resid = fused_add_rms_norm(x, None, lp["post_norm"], cfg.rms_eps)
             x = resid + self._ffn_apply(lp, h, tp_size, tp_axis)
             return (x, k_pages, v_pages), None
 
-        (x, k_pages, v_pages), _ = lax.scan(
-            body,
-            (x, k_pages, v_pages),
-            (params["layers"], jnp.arange(cfg.num_layers)),
-        )
+        li0 = 0
+        for group in self._param_groups(params):
+            n_layers = jax.tree.leaves(group)[0].shape[0]
+            (x, k_pages, v_pages), _ = lax.scan(
+                body,
+                (x, k_pages, v_pages),
+                (group, li0 + jnp.arange(n_layers)),
+            )
+            li0 += n_layers
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
         return sel, k_pages, v_pages
+
+    def _param_groups(self, params):
+        """Stacked layer groups scanned in order (heterogeneous models —
+        e.g. DeepSeek's first-k-dense-then-MoE — return several)."""
+        return [params["layers"]]
+
+    def _attn_apply(
+        self, lp, h, fb, k_pages, v_pages, li, safe_slots, *,
+        block_q, pages_per_block, interpret, tp_size, tp_axis,
+    ):
+        """Standard GQA attention (MLA models override; models/deepseek_v2.py)."""
+        cfg = self.config
+        T = h.shape[0]
+        hd = cfg.head_dim
+        Hq, Hkv = cfg.num_q_heads // tp_size, cfg.num_kv_heads // tp_size
+        L = k_pages.shape[0]
+        P, ps = k_pages.shape[2], k_pages.shape[3]
+
+        qkv = apply_linear(h, lp["qkv"])
+        q, k, v = jnp.split(qkv, [Hq * hd, (Hq + Hkv) * hd], axis=-1)
+        q = q.reshape(T, Hq, hd)
+        k = k.reshape(T, Hkv, hd)
+        v = v.reshape(T, Hkv, hd)
+        q, k = apply_rope(q, k, fb.positions, self.inv_freq)
+
+        # scatter new K/V into layer li of the pool (in-place on carry)
+        kf = k_pages.reshape(L, Hkv, P * ps, hd)
+        vf = v_pages.reshape(L, Hkv, P * ps, hd)
+        # note: [li, :, slots] mixes advanced + basic indexing, so the
+        # advanced result dims (T) come first: value shape [T, Hkv, hd]
+        kf = kf.at[li, :, safe_slots].set(k.astype(k_pages.dtype), mode="drop")
+        vf = vf.at[li, :, safe_slots].set(v.astype(v_pages.dtype), mode="drop")
+        k_pages = kf.reshape(k_pages.shape)
+        v_pages = vf.reshape(v_pages.shape)
+
+        attn = ragged_paged_attention(
+            q,
+            k_pages,
+            v_pages,
+            fb.kv_lens,
+            fb.page_indices,
+            fb.q_starts,
+            fb.q_lens,
+            layer=li,
+            sm_scale=hd**-0.5,
+            sliding_window=cfg.sliding_window,
+            soft_cap=cfg.attn_softcap,
+            block_q=block_q,
+            pages_per_block=pages_per_block,
+            interpret=interpret,
+        )
+        o = apply_linear(attn.reshape(T, Hq * hd), lp["o"])
+        if tp_axis is not None:
+            o = lax.psum(o, tp_axis)
+        return o, k_pages, v_pages
 
     def compute_logits(
         self, params, hidden: jax.Array, tp_axis: Optional[str] = None

@@ -11,6 +11,10 @@ from typing import Dict, Type
 
 from sglang_security_tpu.models.config import ModelConfig
 from sglang_security_tpu.models.llama import LlamaForCausalLM
+from sglang_security_tpu.models.deepseek_v2 import (
+    DeepseekV2ForCausalLM,
+    DeepseekV3ForCausalLM,
+)
 from sglang_security_tpu.models.mixtral import (
     MixtralForCausalLM,
     Qwen2MoeForCausalLM,
@@ -26,6 +30,8 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "MixtralForCausalLM": MixtralForCausalLM,
     "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
     "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
+    "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
+    "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
 }
 
 

@@ -221,6 +221,101 @@ def make_tiny_mixtral(path: str, config: dict | None = None, seed: int = 0) -> s
     return path
 
 
+TINY_DEEPSEEK_CONFIG = {
+    "architectures": ["DeepseekV2ForCausalLM"],
+    "model_type": "deepseek_v2",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "moe_intermediate_size": 64,
+    "num_hidden_layers": 3,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 4,
+    "vocab_size": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "max_position_embeddings": 2048,
+    "tie_word_embeddings": False,
+    "q_lora_rank": None,
+    "kv_lora_rank": 64,
+    "qk_nope_head_dim": 32,
+    "qk_rope_head_dim": 16,
+    "v_head_dim": 32,
+    "qk_head_dim": 48,
+    "n_routed_experts": 4,
+    "num_experts_per_tok": 2,
+    "n_shared_experts": 1,
+    "first_k_dense_replace": 1,
+    "moe_layer_freq": 1,
+    "routed_scaling_factor": 1.0,
+    "norm_topk_prob": False,
+    "scoring_func": "softmax",
+    "topk_method": "greedy",
+    "n_group": 1,
+    "topk_group": 1,
+    "aux_loss_alpha": 0.0,
+    "seq_aux": False,
+    "bos_token_id": 1,
+    "eos_token_id": 2,
+    "torch_dtype": "float32",
+    "attention_bias": False,
+}
+
+
+def make_tiny_deepseek(path: str, config: dict | None = None, seed: int = 0) -> str:
+    from safetensors.numpy import save_file
+
+    cfg = dict(TINY_DEEPSEEK_CONFIG)
+    if config:
+        cfg.update(config)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+    rng = np.random.default_rng(seed)
+    H = cfg["hidden_size"]
+    Hq = cfg["num_attention_heads"]
+    nope, rope = cfg["qk_nope_head_dim"], cfg["qk_rope_head_dim"]
+    c, vdim = cfg["kv_lora_rank"], cfg["v_head_dim"]
+    V, E = cfg["vocab_size"], cfg["n_routed_experts"]
+    I, Im = cfg["intermediate_size"], cfg["moe_intermediate_size"]
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    t = {"model.embed_tokens.weight": r(V, H),
+         "model.norm.weight": np.ones(H, np.float32),
+         "lm_head.weight": r(V, H)}
+    for i in range(cfg["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        a = p + "self_attn."
+        t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        t[a + "q_proj.weight"] = r(Hq * (nope + rope), H)
+        t[a + "kv_a_proj_with_mqa.weight"] = r(c + rope, H)
+        t[a + "kv_a_layernorm.weight"] = np.ones(c, np.float32)
+        t[a + "kv_b_proj.weight"] = r(Hq * (nope + vdim), c)
+        t[a + "o_proj.weight"] = r(H, Hq * vdim)
+        m = p + "mlp."
+        if i < cfg["first_k_dense_replace"]:
+            t[m + "gate_proj.weight"] = r(I, H)
+            t[m + "up_proj.weight"] = r(I, H)
+            t[m + "down_proj.weight"] = r(H, I)
+        else:
+            t[m + "gate.weight"] = r(E, H)
+            for e in range(E):
+                ep = m + f"experts.{e}."
+                t[ep + "gate_proj.weight"] = r(Im, H)
+                t[ep + "up_proj.weight"] = r(Im, H)
+                t[ep + "down_proj.weight"] = r(H, Im)
+            sp = m + "shared_experts."
+            Is = Im * cfg["n_shared_experts"]
+            t[sp + "gate_proj.weight"] = r(Is, H)
+            t[sp + "up_proj.weight"] = r(Is, H)
+            t[sp + "down_proj.weight"] = r(H, Is)
+    save_file(t, os.path.join(path, "model.safetensors"))
+    _write_tiny_tokenizer(path, V)
+    return path
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "make-tiny-llama":
         p = make_tiny_llama(sys.argv[2])

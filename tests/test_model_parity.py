@@ -35,7 +35,13 @@ def run_prefill(model, params, token_ids, page_size=8, block_q=16, dtype=jnp.flo
     T = round_up(len(token_ids), block_q)
     n_pages = 64
     pps = 16
-    kshape = (cfg.num_layers, cfg.num_kv_heads, n_pages, page_size, cfg.head_dim)
+    kshape = (
+        cfg.num_layers,
+        cfg.kv_cache_num_heads,
+        n_pages,
+        page_size,
+        cfg.kv_cache_head_dim,
+    )
     k_pages = jnp.zeros(kshape, dtype)
     v_pages = jnp.zeros(kshape, dtype)
     n = len(token_ids)
