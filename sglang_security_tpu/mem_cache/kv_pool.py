@@ -51,7 +51,8 @@ class KVCachePool:
             store_dtype = dtype
         self.store_dtype = store_dtype
         self.compute_dtype = dtype
-        shape = (num_layers, num_kv_heads, num_pages, page_size, head_dim)
+        # flat token dim: pages are row ranges (see ops/ragged_paged_attention)
+        shape = (num_layers, num_kv_heads, num_pages * page_size, head_dim)
 
         def _zeros():
             z = jnp.zeros(shape, store_dtype)

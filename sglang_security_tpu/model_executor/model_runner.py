@@ -90,6 +90,7 @@ class ModelRunner:
         )
         logger.info("model loaded in %.1fs", time.time() - t0)
         self.page_size = server_args.page_size
+        self.model.kv_page_size = self.page_size
         self.num_pages = self._profile_num_pages()
         self.kv_pool = KVCachePool(
             num_layers=self.config.num_layers,

@@ -291,8 +291,6 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         T = h.shape[0]
         c, nope, rope, vdim, hd_pad = self._dims
         Hq = cfg.num_q_heads // tp_size
-        L = k_pages.shape[0]
-        P, ps = k_pages.shape[2], k_pages.shape[3]
 
         # ---- queries ----
         if cfg.q_lora_rank:
@@ -334,12 +332,12 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         v_vec = jnp.concatenate(
             [c_kv, jnp.zeros((T, hd_pad - c), h.dtype)], axis=-1
         )[:, None, :]
-        kf = k_pages.reshape(L, 1, P * ps, hd_pad)
-        vf = v_pages.reshape(L, 1, P * ps, hd_pad)
-        kf = kf.at[li, :, safe_slots].set(k_vec.astype(k_pages.dtype), mode="drop")
-        vf = vf.at[li, :, safe_slots].set(v_vec.astype(v_pages.dtype), mode="drop")
-        k_pages = kf.reshape(k_pages.shape)
-        v_pages = vf.reshape(v_pages.shape)
+        k_pages = k_pages.at[li, :, safe_slots].set(
+            k_vec.astype(k_pages.dtype), mode="drop"
+        )
+        v_pages = v_pages.at[li, :, safe_slots].set(
+            v_vec.astype(v_pages.dtype), mode="drop"
+        )
 
         attn = ragged_paged_attention(
             q_full,
@@ -349,6 +347,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             fb.page_indices,
             fb.q_starts,
             fb.q_lens,
+            page_size=self.kv_page_size,
             layer=li,
             sm_scale=self._sm_scale(),
             block_q=min(block_q, MLA_PREFILL_BLOCK_Q) if block_q > 1 else 1,

@@ -63,6 +63,7 @@ class LlamaForCausalLM:
         # merged projections are column-interleaved per TP shard at load
         # (layers/linear.py merge_for_tp), so `tp_size` is fixed here
         self.tp_size = tp_size
+        self.kv_page_size = 32  # set by the runner to ServerArgs.page_size
         self.inv_freq = jnp.asarray(
             compute_inv_freq(config.head_dim, config.rope_theta, config.rope_scaling)
         )
@@ -255,12 +256,10 @@ class LlamaForCausalLM:
         """
         cfg = self.config
         T = fb.token_ids.shape[0]
-        hd = cfg.head_dim
-        Hq, Hkv = cfg.num_q_heads // tp_size, cfg.num_kv_heads // tp_size
-        P, ps = k_pages.shape[2], k_pages.shape[3]
+        num_tokens = k_pages.shape[2]  # flat pool [L, Hkv, tokens, hd]
 
         x = params["embed"][fb.token_ids]  # [T, H]
-        safe_slots = jnp.where(fb.slots < 0, P * ps, fb.slots)
+        safe_slots = jnp.where(fb.slots < 0, num_tokens, fb.slots)
 
         def body(carry, xs):
             x, k_pages, v_pages = carry
@@ -305,8 +304,6 @@ class LlamaForCausalLM:
         T = h.shape[0]
         hd = cfg.head_dim
         Hq, Hkv = cfg.num_q_heads // tp_size, cfg.num_kv_heads // tp_size
-        L = k_pages.shape[0]
-        P, ps = k_pages.shape[2], k_pages.shape[3]
 
         qkv = apply_linear(h, lp["qkv"])
         q, k, v = jnp.split(qkv, [Hq * hd, (Hq + Hkv) * hd], axis=-1)
@@ -315,15 +312,16 @@ class LlamaForCausalLM:
         v = v.reshape(T, Hkv, hd)
         q, k = apply_rope(q, k, fb.positions, self.inv_freq)
 
-        # scatter new K/V into layer li of the pool (in-place on carry)
-        kf = k_pages.reshape(L, Hkv, P * ps, hd)
-        vf = v_pages.reshape(L, Hkv, P * ps, hd)
+        # scatter new K/V into layer li of the flat pool (in place on the
+        # donated scan carry; no reshape => no layout copies).
         # note: [li, :, slots] mixes advanced + basic indexing, so the
         # advanced result dims (T) come first: value shape [T, Hkv, hd]
-        kf = kf.at[li, :, safe_slots].set(k.astype(k_pages.dtype), mode="drop")
-        vf = vf.at[li, :, safe_slots].set(v.astype(v_pages.dtype), mode="drop")
-        k_pages = kf.reshape(k_pages.shape)
-        v_pages = vf.reshape(v_pages.shape)
+        k_pages = k_pages.at[li, :, safe_slots].set(
+            k.astype(k_pages.dtype), mode="drop"
+        )
+        v_pages = v_pages.at[li, :, safe_slots].set(
+            v.astype(v_pages.dtype), mode="drop"
+        )
 
         attn = ragged_paged_attention(
             q,
@@ -333,6 +331,7 @@ class LlamaForCausalLM:
             fb.page_indices,
             fb.q_starts,
             fb.q_lens,
+            page_size=self.kv_page_size,
             layer=li,
             sm_scale=hd**-0.5,
             sliding_window=cfg.sliding_window,

@@ -11,10 +11,14 @@ and ``sgl-kernel/csrc/attention/``):
     separate "merge attention states" cascade kernel for chunked prefix
     (``merge_attn_states.cu``); here it falls out of the unified layout.
 
-  * Layout: ``{k,v}_pages: [num_kv_heads, num_pages, page_size, head_dim]``.
-    The grid iterates KV heads outermost, so each page DMA moves exactly one
+  * Layout: ``{k,v}_pages: [num_layers, num_kv_heads, num_tokens, head_dim]``
+    with ``num_tokens = num_pages * page_size`` kept *flat*: pages are a
+    logical view (a page is rows [pg*page_size, (pg+1)*page_size)), so the
+    scheduler's KV scatter and this kernel's page DMAs share one layout and
+    XLA updates the donated pool in place with zero reshape copies.  The
+    grid iterates KV heads outermost, so each page DMA moves exactly one
     head's slice — total bytes moved equals the KV cache read once, and the
-    leading axis shards cleanly over a ``tp`` mesh axis.
+    head axis shards cleanly over a ``tp`` mesh axis.
 
   * "Aligned-ragged" query layout: each sequence's new tokens start at a
     ``block_q``-aligned row of the flattened token axis (the scheduler packs
@@ -122,7 +126,7 @@ def _kernel(
     init_flag_ref,  # [1] i32
     # --- tensor inputs ---
     q_ref,  # [block_q, q_per_kv, head_dim] (current block, VMEM)
-    k_pages_ref,  # [L, Hkv, num_pages, ps, d]  (ANY/HBM)
+    k_pages_ref,  # [L, Hkv, num_tokens, d]  (ANY/HBM, flat page view)
     v_pages_ref,
     # --- outputs ---
     o_ref,  # [block_q, q_per_kv, head_dim]
@@ -192,29 +196,36 @@ def _kernel(
 
     layer = layer_ref[0]
 
-    def start_page_dmas(h_, qb_, kb_, slot):
+    def _page_copies(h_, qb_, kb_, slot):
         s = jnp.maximum(seq_of(qb_), 0)
         base = s * pages_per_seq + kb_ * pages_per_block
+        copies = []
         for p in range(pages_per_block):
             pg = page_indices_ref[base + p]
-            pltpu.make_async_copy(
-                k_pages_ref.at[layer, h_, pg], k_buf.at[slot, p], k_sems.at[slot]
-            ).start()
-            pltpu.make_async_copy(
-                v_pages_ref.at[layer, h_, pg], v_buf.at[slot, p], v_sems.at[slot]
-            ).start()
+            row0 = pg * page_size
+            copies.append(
+                pltpu.make_async_copy(
+                    k_pages_ref.at[layer, h_, pl.ds(row0, page_size)],
+                    k_buf.at[slot, p],
+                    k_sems.at[slot],
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    v_pages_ref.at[layer, h_, pl.ds(row0, page_size)],
+                    v_buf.at[slot, p],
+                    v_sems.at[slot],
+                )
+            )
+        return copies
+
+    def start_page_dmas(h_, qb_, kb_, slot):
+        for c in _page_copies(h_, qb_, kb_, slot):
+            c.start()
 
     def wait_page_dmas(h_, qb_, kb_, slot):
-        s = jnp.maximum(seq_of(qb_), 0)
-        base = s * pages_per_seq + kb_ * pages_per_block
-        for p in range(pages_per_block):
-            pg = page_indices_ref[base + p]
-            pltpu.make_async_copy(
-                k_pages_ref.at[layer, h_, pg], k_buf.at[slot, p], k_sems.at[slot]
-            ).wait()
-            pltpu.make_async_copy(
-                v_pages_ref.at[layer, h_, pg], v_buf.at[slot, p], v_sems.at[slot]
-            ).wait()
+        for c in _page_copies(h_, qb_, kb_, slot):
+            c.wait()
 
     limit = kv_limit(qb)
 
@@ -302,6 +313,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "page_size",
         "sm_scale",
         "sliding_window",
         "soft_cap",
@@ -312,14 +324,15 @@ def _kernel(
 )
 def ragged_paged_attention(
     q: jax.Array,  # [T, num_q_heads, head_dim] (aligned-ragged)
-    k_pages: jax.Array,  # [[L,] num_kv_heads, num_pages, page_size, head_dim]
+    k_pages: jax.Array,  # [L, num_kv_heads, num_tokens, head_dim] (flat)
     v_pages: jax.Array,
     kv_lens: jax.Array,  # [S] i32
     page_indices: jax.Array,  # [S, pages_per_seq] i32
     q_starts: jax.Array,  # [S] i32, each a multiple of block_q
     q_lens: jax.Array,  # [S] i32
     *,
-    layer: jax.Array | int = 0,  # layer index when pools are stacked 5D
+    page_size: int = 32,
+    layer: jax.Array | int = 0,  # layer index into the stacked pool
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
@@ -330,15 +343,13 @@ def ragged_paged_attention(
     """Unified prefill/decode attention over the paged KV pool.
 
     Decode is expressed by the `paged_decode_attention` wrapper below
-    (block_q=1, one row per sequence).  A stacked multi-layer pool
-    [L, Hkv, P, ps, d] plus a (traced) `layer` index lets lax.scan over
-    layers thread one donated KV carry with no per-layer slice copies.
+    (block_q=1, one row per sequence).  The pool keeps its token dim
+    FLAT (pages are row ranges) so the same layout serves the KV-write
+    scatter and these page DMAs — lax.scan over layers threads one
+    donated carry with zero reshape/layout copies.
     """
-    if k_pages.ndim == 4:
-        k_pages = k_pages[None]
-        v_pages = v_pages[None]
     T, num_q_heads, head_dim = q.shape
-    _, num_kv_heads, _, page_size, _ = k_pages.shape
+    _, num_kv_heads, _, _ = k_pages.shape
     S, pages_per_seq = page_indices.shape
     q_per_kv = num_q_heads // num_kv_heads
     assert num_q_heads % num_kv_heads == 0
@@ -449,6 +460,7 @@ def paged_decode_attention(
     kv_lens: jax.Array,  # [B] i32 (0 = padded slot)
     page_indices: jax.Array,  # [B, pages_per_seq]
     *,
+    page_size: int = 32,
     layer: jax.Array | int = 0,
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
@@ -466,6 +478,7 @@ def paged_decode_attention(
         page_indices,
         q_starts=jnp.arange(B, dtype=jnp.int32),
         q_lens=jnp.where(kv_lens > 0, 1, 0).astype(jnp.int32),
+        page_size=page_size,
         layer=layer,
         sm_scale=sm_scale,
         sliding_window=sliding_window,

@@ -38,8 +38,7 @@ def run_prefill(model, params, token_ids, page_size=8, block_q=16, dtype=jnp.flo
     kshape = (
         cfg.num_layers,
         cfg.kv_cache_num_heads,
-        n_pages,
-        page_size,
+        n_pages * page_size,
         cfg.kv_cache_head_dim,
     )
     k_pages = jnp.zeros(kshape, dtype)
@@ -61,6 +60,7 @@ def run_prefill(model, params, token_ids, page_size=8, block_q=16, dtype=jnp.flo
         page_indices=jnp.asarray(page_indices),
         out_rows=jnp.asarray([n - 1], jnp.int32),
     )
+    model.kv_page_size = page_size
     hidden, k_pages, v_pages = model.forward(
         params, k_pages, v_pages, fb, block_q=block_q, pages_per_block=2
     )

@@ -12,6 +12,12 @@ from sglang_security_tpu.ops.ragged_paged_attention import (
 )
 
 
+def flat(pages):
+    """[Hkv, P, ps, hd] view -> kernel's flat [1, Hkv, P*ps, hd] layout."""
+    Hkv, P, ps, hd = pages.shape
+    return pages.reshape(1, Hkv, P * ps, hd)
+
+
 def make_pool(rng, num_kv_heads, num_pages, page_size, head_dim, dtype=jnp.float32):
     k = jnp.asarray(
         rng.standard_normal((num_kv_heads, num_pages, page_size, head_dim)),
@@ -68,12 +74,13 @@ def test_prefill_matches_reference(rng, q_per_kv, q_lens, kv_lens):
 
     out = ragged_paged_attention(
         q,
-        k_pages,
-        v_pages,
+        flat(k_pages),
+        flat(v_pages),
         jnp.asarray(kv_lens, jnp.int32),
         jnp.asarray(page_indices),
         jnp.asarray(q_starts),
         jnp.asarray(q_lens, jnp.int32),
+        page_size=page_size,
         block_q=block_q,
         pages_per_block=pages_per_block,
     )
@@ -115,10 +122,11 @@ def test_decode_matches_reference(rng):
     )
     out = paged_decode_attention(
         q,
-        k_pages,
-        v_pages,
+        flat(k_pages),
+        flat(v_pages),
         jnp.asarray(kv_lens),
         jnp.asarray(page_indices),
+        page_size=page_size,
         pages_per_block=2,
     )
     ref = ref_ragged_paged_attention(
@@ -147,8 +155,8 @@ def test_decode_with_padded_slots(rng):
         rng.standard_normal((B, num_kv_heads, head_dim)), dtype=jnp.float32
     )
     out = paged_decode_attention(
-        q, k_pages, v_pages, jnp.asarray(kv_lens), jnp.asarray(page_indices),
-        pages_per_block=2,
+        q, flat(k_pages), flat(v_pages), jnp.asarray(kv_lens),
+        jnp.asarray(page_indices), page_size=page_size, pages_per_block=2,
     )
     ref = ref_ragged_paged_attention(
         q,
@@ -180,12 +188,13 @@ def test_sliding_window_and_softcap(rng):
     kwargs = dict(sliding_window=20, soft_cap=30.0)
     out = ragged_paged_attention(
         q,
-        k_pages,
-        v_pages,
+        flat(k_pages),
+        flat(v_pages),
         jnp.asarray(kv_lens, jnp.int32),
         jnp.asarray(page_indices),
         jnp.asarray(q_starts),
         jnp.asarray(q_lens, jnp.int32),
+        page_size=page_size,
         block_q=block_q,
         pages_per_block=2,
         **kwargs,

@@ -58,9 +58,10 @@ def test_tp2_matches_single_device():
     T, S, PPS = 16, 2, 8
     n = 5
     fb = make_fb(T, S, PPS, n, Pn * ps)
-    kv = jnp.zeros((L, Hkv, Pn, ps, hd), jnp.float32)
+    kv = jnp.zeros((L, Hkv, Pn * ps, hd), jnp.float32)
 
     # single-device reference
+    model.kv_page_size = ps
     hidden_ref, _, _ = model.forward(
         params, kv, kv, fb, block_q=16, pages_per_block=2
     )
@@ -68,6 +69,7 @@ def test_tp2_matches_single_device():
 
     # tp=2: same seed -> same underlying weights, shard-interleaved merge
     model = LlamaForCausalLM(cfg, tp_size=2)
+    model.kv_page_size = ps
     params = model.init_dummy_params(seed=3, dtype=jnp.float32)
     mesh = build_mesh(tp_size=2, dp_size=1)
     pspecs = llama_param_pspecs(params)
