@@ -52,7 +52,7 @@ class KVCachePool:
         self.store_dtype = store_dtype
         self.compute_dtype = dtype
         # flat token dim: pages are row ranges (see ops/ragged_paged_attention)
-        shape = (num_layers, num_kv_heads, num_pages * page_size, head_dim)
+        shape = (num_layers, num_pages * page_size, num_kv_heads, head_dim)
 
         def _zeros():
             z = jnp.zeros(shape, store_dtype)

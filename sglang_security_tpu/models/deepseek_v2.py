@@ -332,10 +332,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         v_vec = jnp.concatenate(
             [c_kv, jnp.zeros((T, hd_pad - c), h.dtype)], axis=-1
         )[:, None, :]
-        k_pages = k_pages.at[li, :, safe_slots].set(
+        k_pages = k_pages.at[li, safe_slots].set(
             k_vec.astype(k_pages.dtype), mode="drop"
         )
-        v_pages = v_pages.at[li, :, safe_slots].set(
+        v_pages = v_pages.at[li, safe_slots].set(
             v_vec.astype(v_pages.dtype), mode="drop"
         )
 

@@ -256,7 +256,7 @@ class LlamaForCausalLM:
         """
         cfg = self.config
         T = fb.token_ids.shape[0]
-        num_tokens = k_pages.shape[2]  # flat pool [L, Hkv, tokens, hd]
+        num_tokens = k_pages.shape[1]  # flat pool [L, tokens, Hkv, hd]
 
         x = params["embed"][fb.token_ids]  # [T, H]
         safe_slots = jnp.where(fb.slots < 0, num_tokens, fb.slots)
@@ -312,14 +312,13 @@ class LlamaForCausalLM:
         v = v.reshape(T, Hkv, hd)
         q, k = apply_rope(q, k, fb.positions, self.inv_freq)
 
-        # scatter new K/V into layer li of the flat pool (in place on the
-        # donated scan carry; no reshape => no layout copies).
-        # note: [li, :, slots] mixes advanced + basic indexing, so the
-        # advanced result dims (T) come first: value shape [T, Hkv, hd]
-        k_pages = k_pages.at[li, :, safe_slots].set(
+        # scatter new K/V into layer li of the flat [L, tokens, Hkv, hd]
+        # pool: leading index dims + contiguous trailing window, so XLA
+        # scatters into the donated scan carry in place (no layout copies).
+        k_pages = k_pages.at[li, safe_slots].set(
             k.astype(k_pages.dtype), mode="drop"
         )
-        v_pages = v_pages.at[li, :, safe_slots].set(
+        v_pages = v_pages.at[li, safe_slots].set(
             v.astype(v_pages.dtype), mode="drop"
         )
 

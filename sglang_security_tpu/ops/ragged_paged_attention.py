@@ -11,26 +11,27 @@ and ``sgl-kernel/csrc/attention/``):
     separate "merge attention states" cascade kernel for chunked prefix
     (``merge_attn_states.cu``); here it falls out of the unified layout.
 
-  * Layout: ``{k,v}_pages: [num_layers, num_kv_heads, num_tokens, head_dim]``
-    with ``num_tokens = num_pages * page_size`` kept *flat*: pages are a
-    logical view (a page is rows [pg*page_size, (pg+1)*page_size)), so the
-    scheduler's KV scatter and this kernel's page DMAs share one layout and
-    XLA updates the donated pool in place with zero reshape copies.  The
-    grid iterates KV heads outermost, so each page DMA moves exactly one
-    head's slice — total bytes moved equals the KV cache read once, and the
-    head axis shards cleanly over a ``tp`` mesh axis.
+  * Layout: ``{k,v}_pages: [num_layers, num_tokens, num_kv_heads, head_dim]``
+    with the token dim *flat* (a page is rows [pg*page_size, (pg+1)*page_size)).
+    This single layout serves three masters with zero copies:
+      - the model's KV-write scatter (`at[layer, slots]`, trailing window
+        dims contiguous, so XLA updates the donated scan carry in place),
+      - this kernel's page DMAs (one contiguous [page_size, Hkv*hd] block
+        per page, every page byte moved exactly once), and
+      - TP sharding (head dim shards over the mesh's ``tp`` axis).
+    KV heads are an **in-kernel loop**, not a grid dimension, so GQA pages
+    are never re-fetched per head.
 
   * "Aligned-ragged" query layout: each sequence's new tokens start at a
     ``block_q``-aligned row of the flattened token axis (the scheduler packs
     batches this way).  Decode is the same kernel with ``block_q=1``: one
-    query row per sequence.  GQA query heads of one KV head are folded into
-    the matmul M dimension (rows are token-major: ``r // q_per_kv`` is the
-    token), so the QK^T matmul has M = block_q * q_per_kv.
+    query row per sequence.  GQA query heads of one KV head fold into the
+    matmul M dimension (rows token-major), so QK^T has M = block_q * q_per_kv.
 
-  * Pages are fetched HBM→VMEM with double-buffered async DMA; the next
-    (head, q-block, kv-block) work item is located by walking the block
-    descriptors in SMEM, skipping causally-masked and padded blocks, so the
-    prefetch never stalls on invalid cells.
+  * Pages are fetched HBM->VMEM with double-buffered async DMA; the next
+    (q-block, kv-block) work item is located by walking block descriptors
+    in SMEM, skipping causally-masked and padded blocks, so the prefetch
+    never stalls on invalid cells.
 
 The jnp reference (`ref_ragged_paged_attention`) defines the semantics and
 is what unit tests compare against (test strategy per SURVEY.md §4).
@@ -59,18 +60,18 @@ MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 
 def ref_ragged_paged_attention(
-    q: jax.Array,  # [T, num_q_heads, head_dim] (aligned-ragged rows)
-    k_pages: jax.Array,  # [num_kv_heads, num_pages, page_size, head_dim]
-    v_pages: jax.Array,
-    kv_lens: np.ndarray,  # [S] total kv len per seq (prefix + new)
-    page_indices: np.ndarray,  # [S, pages_per_seq]
-    q_starts: np.ndarray,  # [S] row of each seq's first query token
-    q_lens: np.ndarray,  # [S] number of query tokens per seq
+    q,  # [T, num_q_heads, head_dim] (aligned-ragged rows)
+    k_pages,  # [num_kv_heads, num_pages, page_size, head_dim]
+    v_pages,
+    kv_lens,  # [S] total kv len per seq (prefix + new)
+    page_indices,  # [S, pages_per_seq]
+    q_starts,  # [S] row of each seq's first query token
+    q_lens,  # [S] number of query tokens per seq
     *,
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
-) -> jax.Array:
+):
     """Host-looped oracle. Rows outside any sequence are zero."""
     num_kv_heads, _, page_size, head_dim = k_pages.shape
     num_q_heads = q.shape[1]
@@ -125,19 +126,19 @@ def _kernel(
     buffer_index_ref,  # [1] i32 (mutable across grid steps)
     init_flag_ref,  # [1] i32
     # --- tensor inputs ---
-    q_ref,  # [block_q, q_per_kv, head_dim] (current block, VMEM)
-    k_pages_ref,  # [L, Hkv, num_tokens, d]  (ANY/HBM, flat page view)
+    q_ref,  # [block_q, num_q_heads, head_dim] (current block, VMEM)
+    k_pages_ref,  # [L, num_tokens, Hkv, d]  (ANY/HBM, flat page view)
     v_pages_ref,
     # --- outputs ---
-    o_ref,  # [block_q, q_per_kv, head_dim]
+    o_ref,  # [block_q, num_q_heads, head_dim]
     # --- scratch ---
-    k_buf,  # [2, ppb, ps, d] VMEM
+    k_buf,  # [2, ppb * ps, Hkv, d] VMEM
     v_buf,
     k_sems,  # DMA (2,)
     v_sems,
-    m_scr,  # [rows, 128] f32
+    m_scr,  # [Hkv, rows, 128] f32
     l_scr,
-    acc_scr,  # [rows, head_dim] f32
+    acc_scr,  # [Hkv, rows, head_dim] f32
     *,
     block_q: int,
     pages_per_block: int,
@@ -149,11 +150,11 @@ def _kernel(
     sliding_window: Optional[int],
     soft_cap: Optional[float],
 ):
-    h = pl.program_id(0)
-    qb = pl.program_id(1)
-    kb = pl.program_id(2)
+    qb = pl.program_id(0)
+    kb = pl.program_id(1)
     block_kv = pages_per_block * page_size
-    q_per_kv = q_ref.shape[1]
+    num_q_heads = q_ref.shape[1]
+    q_per_kv = num_q_heads // num_kv_heads
     rows = block_q * q_per_kv
     head_dim = q_ref.shape[-1]
 
@@ -174,29 +175,24 @@ def _kernel(
     def first_valid_qb(start_qb):
         """Smallest qb' >= start_qb with work (or num_qblks if none)."""
         return lax.while_loop(
-            lambda x: jnp.logical_and(x < num_qblks, nblocks_of(jnp.minimum(x, num_qblks - 1)) == 0),
+            lambda x: jnp.logical_and(
+                x < num_qblks, nblocks_of(jnp.minimum(x, num_qblks - 1)) == 0
+            ),
             lambda x: x + 1,
             start_qb,
         )
 
-    def next_work(h_, qb_, kb_):
-        """Next valid (h, qb, kb) strictly after the current cell."""
-
-        def adv_qb():
-            nqb = first_valid_qb(qb_ + 1)
-
-            def adv_h():
-                return (h_ + 1, first_valid_qb(0), 0)
-
-            return lax.cond(nqb < num_qblks, lambda: (h_, nqb, 0), adv_h)
-
+    def next_work(qb_, kb_):
+        """Next valid (qb, kb) strictly after the current cell."""
         return lax.cond(
-            kb_ + 1 < nblocks_of(qb_), lambda: (h_, qb_, kb_ + 1), adv_qb
+            kb_ + 1 < nblocks_of(qb_),
+            lambda: (qb_, kb_ + 1),
+            lambda: (first_valid_qb(qb_ + 1), 0),
         )
 
     layer = layer_ref[0]
 
-    def _page_copies(h_, qb_, kb_, slot):
+    def _page_copies(qb_, kb_, slot):
         s = jnp.maximum(seq_of(qb_), 0)
         base = s * pages_per_seq + kb_ * pages_per_block
         copies = []
@@ -205,26 +201,26 @@ def _kernel(
             row0 = pg * page_size
             copies.append(
                 pltpu.make_async_copy(
-                    k_pages_ref.at[layer, h_, pl.ds(row0, page_size)],
-                    k_buf.at[slot, p],
+                    k_pages_ref.at[layer, pl.ds(row0, page_size)],
+                    k_buf.at[slot, pl.ds(p * page_size, page_size)],
                     k_sems.at[slot],
                 )
             )
             copies.append(
                 pltpu.make_async_copy(
-                    v_pages_ref.at[layer, h_, pl.ds(row0, page_size)],
-                    v_buf.at[slot, p],
+                    v_pages_ref.at[layer, pl.ds(row0, page_size)],
+                    v_buf.at[slot, pl.ds(p * page_size, page_size)],
                     v_sems.at[slot],
                 )
             )
         return copies
 
-    def start_page_dmas(h_, qb_, kb_, slot):
-        for c in _page_copies(h_, qb_, kb_, slot):
+    def start_page_dmas(qb_, kb_, slot):
+        for c in _page_copies(qb_, kb_, slot):
             c.start()
 
-    def wait_page_dmas(h_, qb_, kb_, slot):
-        for c in _page_copies(h_, qb_, kb_, slot):
+    def wait_page_dmas(qb_, kb_, slot):
+        for c in _page_copies(qb_, kb_, slot):
             c.wait()
 
     limit = kv_limit(qb)
@@ -237,7 +233,7 @@ def _kernel(
 
         @pl.when(init)
         def _prefetch_first():
-            start_page_dmas(h, qb, kb, slot)
+            start_page_dmas(qb, kb, slot)
 
         @pl.when(kb == 0)
         def _reset_accumulators():
@@ -245,12 +241,12 @@ def _kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        nh, nqb, nkb = next_work(h, qb, kb)
+        nqb, nkb = next_work(qb, kb)
 
-        @pl.when(nh < num_kv_heads)
+        @pl.when(nqb < num_qblks)
         def _prefetch_next():
             nslot = jnp.where(slot == 0, 1, 0)
-            start_page_dmas(nh, nqb, nkb, nslot)
+            start_page_dmas(nqb, nkb, nslot)
             buffer_index_ref[0] = nslot
 
         # ---- compute on the current block ----
@@ -258,19 +254,7 @@ def _kernel(
         q_off = qb * block_q - q_starts_ref[s_idx]
         kv_start = kv_lens_ref[s_idx] - q_lens_ref[s_idx]
 
-        q = q_ref[...].reshape(rows, head_dim)  # token-major rows
-        wait_page_dmas(h, qb, kb, slot)
-        k = k_buf[slot].reshape(block_kv, head_dim)
-
-        qk = lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [rows, block_kv]
-        qk *= sm_scale
-        if soft_cap is not None:
-            qk = soft_cap * jnp.tanh(qk / soft_cap)
+        wait_page_dmas(qb, kb, slot)
 
         tok = lax.broadcasted_iota(jnp.int32, (rows, block_kv), 0) // q_per_kv
         q_pos = kv_start + q_off + tok
@@ -280,34 +264,54 @@ def _kernel(
         allow = kv_pos <= q_pos
         if sliding_window is not None:
             allow = jnp.logical_and(allow, kv_pos > q_pos - sliding_window)
-        qk = jnp.where(allow, qk, MASK_VALUE)
 
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(qk, axis=-1, keepdims=True)  # [rows, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # [rows, 128]
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(qk - m_next[:, 0:1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+        is_last = kb == nblocks_of(qb) - 1
+        for h in range(num_kv_heads):
+            # [block_q, q_per_kv, d] -> token-major rows [rows, d]
+            q_h = q_ref[:, h * q_per_kv : (h + 1) * q_per_kv, :].reshape(
+                rows, head_dim
+            )
+            k_h = k_buf[slot, :, h, :]  # [block_kv, d]
+            qk = lax.dot_general(
+                q_h,
+                k_h,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            qk *= sm_scale
+            if soft_cap is not None:
+                qk = soft_cap * jnp.tanh(qk / soft_cap)
+            qk = jnp.where(allow, qk, MASK_VALUE)
 
-        v = v_buf[slot].reshape(block_kv, head_dim)
-        pv = lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha[:, 0:1] + pv
+            m_prev = m_scr[h]
+            l_prev = l_scr[h]
+            m_curr = jnp.max(qk, axis=-1, keepdims=True)  # [rows, 1]
+            m_next = jnp.maximum(m_prev, m_curr)  # [rows, 128]
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(qk - m_next[:, 0:1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[h] = m_next
+            l_scr[h] = l_next
 
-        @pl.when(kb == nblocks_of(qb) - 1)
-        def _write_out():
-            l = l_scr[:, 0:1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[...] = (acc_scr[...] * l_inv).reshape(
-                block_q, q_per_kv, head_dim
-            ).astype(o_ref.dtype)
+            v_h = v_buf[slot, :, h, :]
+            pv = lax.dot_general(
+                p.astype(v_h.dtype),
+                v_h,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc_scr[h] * alpha[:, 0:1] + pv
+            acc_scr[h] = acc
+
+            @pl.when(is_last)
+            def _write_out():
+                l = l_scr[h][:, 0:1]
+                l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+                o_ref[:, h * q_per_kv : (h + 1) * q_per_kv, :] = (
+                    (acc_scr[h] * l_inv)
+                    .reshape(block_q, q_per_kv, head_dim)
+                    .astype(o_ref.dtype)
+                )
 
 
 @functools.partial(
@@ -323,33 +327,34 @@ def _kernel(
     ),
 )
 def ragged_paged_attention(
-    q: jax.Array,  # [T, num_q_heads, head_dim] (aligned-ragged)
-    k_pages: jax.Array,  # [L, num_kv_heads, num_tokens, head_dim] (flat)
-    v_pages: jax.Array,
-    kv_lens: jax.Array,  # [S] i32
-    page_indices: jax.Array,  # [S, pages_per_seq] i32
-    q_starts: jax.Array,  # [S] i32, each a multiple of block_q
-    q_lens: jax.Array,  # [S] i32
+    q,  # [T, num_q_heads, head_dim] (aligned-ragged)
+    k_pages,  # [L, num_tokens, num_kv_heads, head_dim] (flat)
+    v_pages,
+    kv_lens,  # [S] i32
+    page_indices,  # [S, pages_per_seq] i32
+    q_starts,  # [S] i32, each a multiple of block_q
+    q_lens,  # [S] i32
     *,
     page_size: int = 32,
-    layer: jax.Array | int = 0,  # layer index into the stacked pool
+    layer=0,  # layer index into the stacked pool
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     block_q: int = 128,
     pages_per_block: int = 8,
     interpret: Optional[bool] = None,
-) -> jax.Array:
+):
     """Unified prefill/decode attention over the paged KV pool.
 
     Decode is expressed by the `paged_decode_attention` wrapper below
-    (block_q=1, one row per sequence).  The pool keeps its token dim
-    FLAT (pages are row ranges) so the same layout serves the KV-write
-    scatter and these page DMAs — lax.scan over layers threads one
-    donated carry with zero reshape/layout copies.
+    (block_q=1, one row per sequence).  The pool layout
+    [L, tokens, Hkv, hd] is shared verbatim with the model's KV-write
+    scatter, so lax.scan over layers threads one donated carry with zero
+    reshape/layout copies; q and the output stay [T, Hq, hd] (no
+    transposes on the hot path).
     """
     T, num_q_heads, head_dim = q.shape
-    _, num_kv_heads, _, _ = k_pages.shape
+    _, _, num_kv_heads, _ = k_pages.shape
     S, pages_per_seq = page_indices.shape
     q_per_kv = num_q_heads // num_kv_heads
     assert num_q_heads % num_kv_heads == 0
@@ -375,13 +380,12 @@ def ragged_paged_attention(
     valid = (owner >= 0) & in_range & (q_lens[owner_c] > 0)
     qblk_seq = jnp.where(valid, owner_c, -1)
 
-    # Fold GQA heads: [T, Hq, d] -> [Hkv, T, q_per_kv, d]
-    qr = q.reshape(T, num_kv_heads, q_per_kv, head_dim).transpose(1, 0, 2, 3)
+    orig_dtype = q.dtype
     if block_q * q_per_kv < 8:
-        qr = qr.astype(jnp.float32)  # avoid sub-sublane bf16 tiles in VMEM
+        q = q.astype(jnp.float32)  # avoid sub-sublane bf16 tiles in VMEM
 
     rows = block_q * q_per_kv
-    grid = (num_kv_heads, num_qblks, num_kvblks)
+    grid = (num_qblks, num_kvblks)
 
     kernel = functools.partial(
         _kernel,
@@ -403,35 +407,35 @@ def ragged_paged_attention(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (None, block_q, q_per_kv, head_dim),
-                    lambda h, qb, kb, *_: (h, qb, 0, 0),
+                    (block_q, num_q_heads, head_dim),
+                    lambda qb, kb, *_: (qb, 0, 0),
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (None, block_q, q_per_kv, head_dim),
-                lambda h, qb, kb, *_: (h, qb, 0, 0),
+                (block_q, num_q_heads, head_dim),
+                lambda qb, kb, *_: (qb, 0, 0),
             ),
             scratch_shapes=[
                 pltpu.VMEM(
-                    (2, pages_per_block, page_size, head_dim), k_pages.dtype
+                    (2, pages_per_block * page_size, num_kv_heads, head_dim),
+                    k_pages.dtype,
                 ),
                 pltpu.VMEM(
-                    (2, pages_per_block, page_size, head_dim), v_pages.dtype
+                    (2, pages_per_block * page_size, num_kv_heads, head_dim),
+                    v_pages.dtype,
                 ),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((rows, 128), jnp.float32),
-                pltpu.VMEM((rows, 128), jnp.float32),
-                pltpu.VMEM((rows, head_dim), jnp.float32),
+                pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
+                pltpu.VMEM((num_kv_heads, rows, head_dim), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (num_kv_heads, T, q_per_kv, head_dim), qr.dtype
-        ),
+        out_shape=jax.ShapeDtypeStruct((T, num_q_heads, head_dim), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(
@@ -443,34 +447,31 @@ def ragged_paged_attention(
         jnp.asarray(layer, jnp.int32).reshape(1),
         jnp.zeros((1,), jnp.int32),  # buffer index
         jnp.ones((1,), jnp.int32),  # init flag
-        qr,
+        q,
         k_pages,
         v_pages,
     )
-    # [Hkv, T, q_per_kv, d] -> [T, Hq, d]
-    return (
-        out.transpose(1, 0, 2, 3).reshape(T, num_q_heads, head_dim).astype(q.dtype)
-    )
+    return out.astype(orig_dtype)
 
 
 def paged_decode_attention(
-    q: jax.Array,  # [B, num_q_heads, head_dim]
-    k_pages: jax.Array,
-    v_pages: jax.Array,
-    kv_lens: jax.Array,  # [B] i32 (0 = padded slot)
-    page_indices: jax.Array,  # [B, pages_per_seq]
+    q,  # [B, num_q_heads, head_dim]
+    k_pages,
+    v_pages,
+    kv_lens,  # [B] i32 (0 = padded slot)
+    page_indices,  # [B, pages_per_seq]
     *,
     page_size: int = 32,
-    layer: jax.Array | int = 0,
+    layer=0,
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     pages_per_block: int = 8,
     interpret: Optional[bool] = None,
-) -> jax.Array:
+):
     """Batched decode: one query token per sequence (block_q = 1)."""
     B = q.shape[0]
-    out = ragged_paged_attention(
+    return ragged_paged_attention(
         q,
         k_pages,
         v_pages,
@@ -487,4 +488,3 @@ def paged_decode_attention(
         pages_per_block=pages_per_block,
         interpret=interpret,
     )
-    return out

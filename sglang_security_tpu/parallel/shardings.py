@@ -107,8 +107,8 @@ def llama_param_pspecs(params: dict) -> dict:
 
 
 def kv_pspec() -> P:
-    """KV pool [L, Hkv, tokens, hd] (flat): shard the head dim over tp."""
-    return P(None, "tp", None, None)
+    """KV pool [L, tokens, Hkv, hd] (flat): shard the head dim over tp."""
+    return P(None, None, "tp", None)
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
