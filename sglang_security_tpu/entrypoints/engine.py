@@ -63,6 +63,13 @@ class Engine:
             privacy_client=privacy_client,
             grammar_backend=grammar_backend,
         )
+        from sglang_security_tpu.managers.session_controller import (
+            SessionController,
+        )
+
+        self.session_controller = (
+            SessionController() if server_args.enable_session else None
+        )
         self._in_queue: "queue.Queue" = queue.Queue()
         self._rid_queues: Dict[str, queue.Queue] = {}
         self._rid_lock = threading.Lock()
@@ -161,6 +168,7 @@ class Engine:
         user_id: Optional[str] = None,
         rid: Optional[str] = None,
         return_logprob: bool = False,
+        session_id: Optional[str] = None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -170,6 +178,7 @@ class Engine:
             user_id=user_id,
             rid=rid,
             return_logprob=return_logprob,
+            session_id=session_id,
         )
         treqs = self.tokenizer_manager.make_reqs(gri)
         qs = [self._submit(t) for t in treqs]
@@ -193,6 +202,13 @@ class Engine:
         )
 
     def _submit(self, treq) -> queue.Queue:
+        if treq.session_id and self.session_controller is not None:
+            sess = self.session_controller.get(treq.session_id)
+            if sess is not None:
+                ctx = sess.context_for(None)
+                delta = list(treq.input_ids)
+                treq.input_ids = ctx + delta
+                sess.record(treq.rid, delta, None)
         req = self.tokenizer_manager.to_req(treq)
         q: queue.Queue = queue.Queue()
         with self._rid_lock:
@@ -221,6 +237,7 @@ class Engine:
                 break
         with self._rid_lock:
             self._rid_queues.pop(rid, None)
+        self._finish_session(rid, token_ids)
         return {
             "text": "".join(text_parts),
             "output_ids": token_ids,
@@ -260,6 +277,23 @@ class Engine:
                 break
         with self._rid_lock:
             self._rid_queues.pop(rid, None)
+        self._finish_session(rid, acc_tokens)
+
+    def _finish_session(self, rid: str, output_ids) -> None:
+        if self.session_controller is None:
+            return
+        for sess in list(self.session_controller._sessions.values()):
+            if rid in sess.nodes:
+                sess.finish(rid, output_ids)
+                return
+
+    def open_session(self, session_id=None, capacity_tokens: int = 1 << 20):
+        assert self.session_controller is not None, "sessions disabled"
+        return self.session_controller.open_session(session_id, capacity_tokens)
+
+    def close_session(self, session_id: str) -> bool:
+        assert self.session_controller is not None, "sessions disabled"
+        return self.session_controller.close_session(session_id)
 
     # ------------------------------------------------------------- control
     def abort_request(self, rid: str) -> None:

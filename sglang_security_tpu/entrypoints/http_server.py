@@ -52,6 +52,8 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights)
+        r.add_post("/open_session", self.open_session)
+        r.add_post("/close_session", self.close_session)
         r.add_get("/metrics", self.metrics)
         self.app.middlewares.append(self._auth_middleware)
 
@@ -119,6 +121,7 @@ class HttpServer:
     async def generate(self, request):
         body = await request.json()
         stream = body.get("stream", False)
+        session_params = body.get("session_params") or {}
         kwargs = dict(
             prompt=body.get("text"),
             input_ids=body.get("input_ids"),
@@ -126,6 +129,7 @@ class HttpServer:
             user_id=body.get("user_id"),
             rid=body.get("rid"),
             return_logprob=body.get("return_logprob", False),
+            session_id=body.get("session_id") or session_params.get("id"),
         )
         if not stream:
             out = await self._run(self.engine.generate, **kwargs)
@@ -298,6 +302,19 @@ class HttpServer:
         ok = await self._run(
             self.engine.update_weights_from_disk, body["model_path"]
         )
+        return web.json_response({"success": ok})
+
+    async def open_session(self, request):
+        body = await request.json()
+        sid = self.engine.open_session(
+            body.get("session_id"),
+            body.get("capacity_of_str_len", 1 << 20),
+        )
+        return web.json_response({"session_id": sid})
+
+    async def close_session(self, request):
+        body = await request.json()
+        ok = self.engine.close_session(body["session_id"])
         return web.json_response({"success": ok})
 
     async def metrics(self, request):
