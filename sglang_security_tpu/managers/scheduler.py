@@ -75,9 +75,28 @@ class Scheduler:
                     privacy_client.submit if privacy_client else None
                 ),
             )
-            self.tree_cache = RadixCache(
-                self.page_size, self.allocator.free, safekv=safekv
-            )
+            if server_args.enable_hierarchical_cache:
+                from sglang_security_tpu.mem_cache.hiradix_cache import (
+                    HiCacheController,
+                    HiRadixCache,
+                )
+
+                n_host = int(
+                    (self.runner.num_pages - 1) * server_args.hicache_ratio
+                )
+                controller = HiCacheController(self.runner, n_host)
+                self.tree_cache = HiRadixCache(
+                    self.page_size,
+                    self.allocator.free,
+                    controller,
+                    alloc_pages_fn=lambda n: self._alloc_pages(n),
+                    safekv=safekv,
+                    write_policy=server_args.hicache_write_policy,
+                )
+            else:
+                self.tree_cache = RadixCache(
+                    self.page_size, self.allocator.free, safekv=safekv
+                )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
         self.waiting: List[Req] = []
         self.running: List[Req] = []
@@ -168,6 +187,12 @@ class Scheduler:
             m = self.tree_cache.match_prefix(
                 np.asarray(req.input_ids, np.int32), user_id=req.user_id
             )
+            if getattr(m, "host_nodes", None):
+                # HiCache: restore host-tier prefix pages to the device
+                self.tree_cache.load_back(m.host_nodes)
+                m = self.tree_cache.match_prefix(
+                    np.asarray(req.input_ids, np.int32), user_id=req.user_id
+                )
             # never match the *entire* prompt (at least 1 token must run)
             prefix_len = min(m.num_tokens, len(req.input_ids) - 1)
             prefix_pages = prefix_len // self.page_size

@@ -44,6 +44,7 @@ class MatchResult:
     pages: np.ndarray  # matched physical pages, in order
     last_node: TreeNode
     num_tokens: int  # matched token count (pages * page_size)
+    host_nodes: list = field(default_factory=list)  # HiCache continuation
 
 
 @dataclass
@@ -115,12 +116,18 @@ class RadixCache:
         for c in siblings:
             if not c.accessible_by(user_id):
                 continue
+            if not self._walkable(c):
+                continue
             # prefer the sibling with the longest match
             if best is None or self._match_len_pages(
                 tokens, c.key
             ) > self._match_len_pages(tokens, best.key):
                 best = c
         return best
+
+    def _walkable(self, node: TreeNode) -> bool:
+        """Hook: HiRadixCache stops the device walk at host-resident nodes."""
+        return True
 
     # ------------------------------------------------------------------
     def match_prefix(
