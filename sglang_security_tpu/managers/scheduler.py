@@ -106,6 +106,21 @@ class Scheduler:
         self.eos_token_ids = set(cfg.eos_token_ids)
         self.vocab_size = cfg.vocab_size
         self._penalty_free = list(range(self.runner.max_penalty_slots))
+        from sglang_security_tpu.speculative import (
+            NgramDrafter,
+            SpeculativeAlgorithm,
+        )
+
+        self.spec_algorithm = SpeculativeAlgorithm.from_string(
+            server_args.speculative_algorithm
+        )
+        self.spec_drafter = (
+            NgramDrafter(server_args.speculative_num_draft_tokens)
+            if self.spec_algorithm == SpeculativeAlgorithm.NGRAM
+            else None
+        )
+        self.spec_accept_sum = 0
+        self.spec_verify_count = 0
         self._steps = 0
         self._last_decode_log = time.monotonic()
         self._decode_tokens_since_log = 0
@@ -286,6 +301,11 @@ class Scheduler:
         return k
 
     def _run_decode(self) -> None:
+        if self.spec_drafter is not None and not any(
+            r.grammar is not None or r.needs_penalties() for r in self.running
+        ):
+            if self._run_spec_decode():
+                return
         K = self._decode_steps()
         self._maybe_retract(K)
         if not self.running:
@@ -341,6 +361,83 @@ class Scheduler:
             self._release_penalty_slot(req)
         self._decode_tokens_since_log += produced
         self._log_decode_stats()
+
+    def _run_spec_decode(self) -> bool:
+        """Draft + single-verify speculative decode round (reference
+        eagle_worker.py:273 capability, NGRAM drafter). Returns False to
+        fall back to normal decode when no sequence has a draft."""
+        from sglang_security_tpu.speculative.spec_algorithm import accept_draft
+
+        K = self.spec_drafter.num_draft_tokens
+        rows = K + 1
+        self._maybe_retract(rows)
+        if not self.running:
+            return True
+        reqs = self.running
+        drafts = [self.spec_drafter.draft(r.all_ids()) for r in reqs]
+        if not any(drafts):
+            return False
+        bq = self.runner.SPEC_BLOCK_Q
+        token_ids, positions, slots = [], [], []
+        q_starts, q_lens, kv_lens, page_lists, out_rows = [], [], [], [], []
+        for i, (req, draft) in enumerate(zip(reqs, drafts)):
+            pos = req.seq_len - 1
+            q_len = 1 + len(draft)
+            need = cdiv(pos + q_len, self.page_size) - len(req.pages)
+            if need > 0:
+                pages = self._alloc_pages(need)
+                req.pages = np.concatenate([req.pages, pages])
+            fed = [req.all_ids()[pos]] + list(draft)
+            row0 = i * bq
+            token_ids.extend(fed + [0] * (bq - q_len))
+            positions.extend(list(range(pos, pos + q_len)) + [0] * (bq - q_len))
+            slots.extend(
+                [req.token_slot(pos + j, self.page_size) for j in range(q_len)]
+                + [-1] * (bq - q_len)
+            )
+            q_starts.append(row0)
+            q_lens.append(q_len)
+            kv_lens.append(pos + q_len)
+            page_lists.append(req.pages)
+            out_rows.extend(
+                row0 + min(j, q_len - 1) for j in range(rows)
+            )
+        plan = self._make_plan(
+            is_decode=False,
+            token_ids=token_ids,
+            positions=positions,
+            slots=slots,
+            q_starts=q_starts,
+            q_lens=q_lens,
+            kv_lens=kv_lens,
+            page_lists=page_lists,
+            reqs=reqs,
+        )
+        plan.out_rows = np.asarray(out_rows, np.int32)
+        tokens, logprobs = self.runner.execute_spec_verify(plan, rows)
+        finished: List[Req] = []
+        produced = 0
+        for i, (req, draft) in enumerate(zip(reqs, drafts)):
+            sampled = tokens[i * rows : (i + 1) * rows]
+            lps = logprobs[i * rows : (i + 1) * rows]
+            committed = accept_draft(draft, sampled)
+            self.spec_accept_sum += len(committed)
+            self.spec_verify_count += 1
+            for j, tok in enumerate(committed):
+                if req.finished():
+                    break
+                self._append_token(req, int(tok), float(lps[j]))
+                produced += 1
+            req.computed_len = req.seq_len - 1
+            if req.finished():
+                finished.append(req)
+        for req in finished:
+            self.running.remove(req)
+            self._cache_finished(req)
+            self._release_penalty_slot(req)
+        self._decode_tokens_since_log += produced
+        self._log_decode_stats()
+        return True
 
     def _maybe_retract(self, steps: int = 1) -> None:
         """Reference retract_decode (schedule_batch.py:1352): if the pool

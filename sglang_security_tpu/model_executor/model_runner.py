@@ -63,6 +63,7 @@ class BatchPlan:
     repetition_penalty: Optional[np.ndarray] = None
     penalty_slots: Optional[np.ndarray] = None  # [S] i32, -1 = no penalties
     vocab_mask: Optional[np.ndarray] = None  # [S, V] bool (grammar)
+    out_rows: Optional[np.ndarray] = None  # [R] override (spec verify)
 
 
 class ModelRunner:
@@ -252,6 +253,47 @@ class ModelRunner:
         )
         return fn
 
+    SPEC_BLOCK_Q = 8
+
+    def execute_spec_verify(
+        self, plan: BatchPlan, rows_per_seq: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Target verify pass for speculative decoding: each sequence feeds
+        [last_committed, *draft] (q_len = rows_per_seq) and logits are
+        sampled at every fed position.  Returns ([R] tokens, logprobs)
+        reshaped host-side by the caller."""
+        sa = self.server_args
+        bq = self.SPEC_BLOCK_Q
+        assert rows_per_seq <= bq
+        S_real = len(plan.q_lens)
+        S = next_bucket(S_real, sa.decode_bs_buckets)
+        T = S * bq
+        R = S * rows_per_seq
+        pps_real = max((len(p) for p in plan.page_indices), default=1)
+        PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
+        fb, st, vocab_mask = self._pad_plan(
+            plan, T, S, PPS, block_q=bq, R=R, rows_per_seq=rows_per_seq
+        )
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        penalized, counts, pslots = self._get_penalty_state(plan, R)
+        fn = self._get_step(
+            T, R, PPS, bq, plan.vocab_mask is not None, penalized,
+            self._sampling_mode(plan),
+        )
+        tokens, logprobs, k_pages, v_pages, counts = fn(
+            self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
+            fb, st, sub, vocab_mask, counts, pslots,
+        )
+        self.kv_pool.k_pages = k_pages
+        self.kv_pool.v_pages = v_pages
+        if penalized:
+            self.penalty_counts = counts
+        R_real = S_real * rows_per_seq
+        return (
+            np.asarray(jax.device_get(tokens))[:R_real],
+            np.asarray(jax.device_get(logprobs))[:R_real],
+        )
+
     def execute_decode_multi(
         self, plan: BatchPlan, slot_mat: np.ndarray, num_steps: int
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -363,7 +405,11 @@ class ModelRunner:
         return tokens_np, logprobs_np
 
     # ------------------------------------------------------------------
-    def _pad_plan(self, plan: BatchPlan, T: int, S: int, PPS: int):
+    def _pad_plan(self, plan: BatchPlan, T: int, S: int, PPS: int,
+                  block_q: Optional[int] = None, R: Optional[int] = None,
+                  rows_per_seq: int = 1):
+        """R: number of output/sampling rows (defaults to S; spec verify
+        samples rows_per_seq positions per sequence)."""
         def pad1(a, n, fill=0):
             a = np.asarray(a)
             out = np.full(n, fill, a.dtype)
@@ -371,6 +417,7 @@ class ModelRunner:
             return out
 
         S_real = len(plan.q_lens)
+        bq = block_q or PREFILL_BLOCK_Q
         pi = np.zeros((S, PPS), np.int32)
         for i, pages in enumerate(plan.page_indices):
             m = min(len(pages), PPS)
@@ -379,15 +426,16 @@ class ModelRunner:
             q_starts = np.arange(S, dtype=np.int32)
             out_rows = np.arange(S, dtype=np.int32)
         else:
-            q_starts = pad1(
-                plan.q_starts, S, fill=T - PREFILL_BLOCK_Q
-            ).astype(np.int32)
-            # row of each seq's last new token
-            out_rows = (
-                np.asarray(plan.q_starts)
-                + np.maximum(np.asarray(plan.q_lens) - 1, 0)
-            ).astype(np.int32)
-            out_rows = pad1(out_rows, S)
+            q_starts = pad1(plan.q_starts, S).astype(np.int32)
+            if plan.out_rows is not None:
+                out_rows = pad1(plan.out_rows, R or S)
+            else:
+                # row of each seq's last new token
+                out_rows = (
+                    np.asarray(plan.q_starts)
+                    + np.maximum(np.asarray(plan.q_lens) - 1, 0)
+                ).astype(np.int32)
+                out_rows = pad1(out_rows, R or S)
             # padded q_starts must stay sorted & aligned for the kernel's
             # block->seq mapping; point them at the last block
             if S_real < S:
@@ -403,28 +451,36 @@ class ModelRunner:
             page_indices=jnp.asarray(pi),
             out_rows=jnp.asarray(out_rows),
         )
+        Rr = R or S
+        rep = rows_per_seq
+
+        def srow(a, fill):
+            a = np.asarray(a)
+            if rep > 1:
+                a = np.repeat(a, rep)
+            return pad1(a, Rr, fill=fill)
+
         def opt(a, fill):
             if a is None:
                 a = np.full(S_real, fill, np.float32)
-            return jnp.asarray(
-                pad1(a, S, fill=fill).reshape(S, 1), jnp.float32
-            )
+            return jnp.asarray(srow(a, fill).reshape(Rr, 1), jnp.float32)
 
         st = SamplingTensors(
             temperature=jnp.asarray(
-                pad1(plan.temperature, S, fill=0.0).reshape(S, 1), jnp.float32
+                srow(plan.temperature, 0.0).reshape(Rr, 1), jnp.float32
             ),
-            top_k=jnp.asarray(pad1(plan.top_k, S), jnp.int32),
-            top_p=jnp.asarray(pad1(plan.top_p, S, fill=1.0), jnp.float32),
-            min_p=jnp.asarray(pad1(plan.min_p, S), jnp.float32),
+            top_k=jnp.asarray(srow(plan.top_k, 0), jnp.int32),
+            top_p=jnp.asarray(srow(plan.top_p, 1.0), jnp.float32),
+            min_p=jnp.asarray(srow(plan.min_p, 0.0), jnp.float32),
             presence_penalty=opt(plan.presence_penalty, 0.0),
             frequency_penalty=opt(plan.frequency_penalty, 0.0),
             repetition_penalty=opt(plan.repetition_penalty, 1.0),
         )
         if plan.vocab_mask is not None:
             V = self.config.vocab_size
-            vm = np.ones((S, V), bool)
-            vm[: len(plan.vocab_mask)] = plan.vocab_mask
+            vm = np.ones((Rr, V), bool)
+            src_vm = np.repeat(plan.vocab_mask, rep, axis=0) if rep > 1 else plan.vocab_mask
+            vm[: len(src_vm)] = src_vm
             vocab_mask = jnp.asarray(vm)
         else:
             vocab_mask = None
