@@ -169,6 +169,9 @@ class Engine:
         rid: Optional[str] = None,
         return_logprob: bool = False,
         session_id: Optional[str] = None,
+        bootstrap_host: Optional[str] = None,
+        bootstrap_port: Optional[int] = None,
+        bootstrap_room: Optional[int] = None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -179,6 +182,9 @@ class Engine:
             rid=rid,
             return_logprob=return_logprob,
             session_id=session_id,
+            bootstrap_host=bootstrap_host,
+            bootstrap_port=bootstrap_port,
+            bootstrap_room=bootstrap_room,
         )
         treqs = self.tokenizer_manager.make_reqs(gri)
         qs = [self._submit(t) for t in treqs]

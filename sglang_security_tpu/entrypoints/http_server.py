@@ -130,6 +130,9 @@ class HttpServer:
             rid=body.get("rid"),
             return_logprob=body.get("return_logprob", False),
             session_id=body.get("session_id") or session_params.get("id"),
+            bootstrap_host=body.get("bootstrap_host"),
+            bootstrap_port=body.get("bootstrap_port"),
+            bootstrap_room=body.get("bootstrap_room"),
         )
         if not stream:
             out = await self._run(self.engine.generate, **kwargs)

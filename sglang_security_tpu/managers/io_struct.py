@@ -26,6 +26,10 @@ class GenerateReqInput:
     user_id: Optional[str] = None
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
+    # PD disaggregation rendezvous
+    bootstrap_host: Optional[str] = None
+    bootstrap_port: Optional[int] = None
+    bootstrap_room: Optional[int] = None
 
     def is_batch(self) -> bool:
         if self.text is not None:
@@ -43,6 +47,9 @@ class TokenizedGenerateReqInput:
     user_id: Optional[str] = None
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
+    bootstrap_host: Optional[str] = None
+    bootstrap_port: Optional[int] = None
+    bootstrap_room: Optional[int] = None
 
 
 @dataclass

@@ -63,6 +63,10 @@ class Req:
         self.finished_reason: Optional[FinishReason] = None
         self.grammar = None  # constrained-decoding state machine
         self.penalty_slot = -1  # device penalty-count slot (-1 = unused)
+        # PD disaggregation
+        self.bootstrap_host: Optional[str] = None
+        self.bootstrap_port: Optional[int] = None
+        self.bootstrap_room: Optional[int] = None
         self.stream = False
         self.time_stats = TimeStats()
         self.return_logprob = sampling_params.return_logprob

@@ -121,6 +121,17 @@ class Scheduler:
         )
         self.spec_accept_sum = 0
         self.spec_verify_count = 0
+        # ---- PD disaggregation ----
+        self.disagg_mode = server_args.disaggregation_mode
+        self.disagg_waiting: List[Req] = []
+        self.kv_bootstrap = None
+        if self.disagg_mode == "decode":
+            from sglang_security_tpu.disaggregation.conn import make_bootstrap
+
+            self.kv_bootstrap = make_bootstrap(
+                server_args.disaggregation_transfer_backend,
+                server_args.disaggregation_bootstrap_port,
+            )
         self._steps = 0
         self._last_decode_log = time.monotonic()
         self._decode_tokens_since_log = 0
@@ -139,6 +150,9 @@ class Scheduler:
                 req.finished_reason = FinishReason.ABORT
                 self._emit(req, [], finished=True, reason=FinishReason.ABORT)
                 return
+        if self.disagg_mode == "decode" and req.bootstrap_room is not None:
+            self.disagg_waiting.append(req)  # KV arrives from prefill fleet
+            return
         self.waiting.append(req)
 
     def abort_request(self, rid: str) -> None:
@@ -153,13 +167,18 @@ class Scheduler:
                 return
 
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running or self.chunked_req)
+        return bool(
+            self.waiting or self.running or self.chunked_req
+            or self.disagg_waiting
+        )
 
     # ------------------------------------------------------------- stepping
     def step(self) -> None:
         """Run one scheduler iteration (one device batch at most)."""
         if self.privacy_client is not None:
             self.privacy_client.drain_verdicts(self.tree_cache)
+        if self.disagg_waiting:
+            self._poll_disagg_kv()
         prefill = self._get_prefill_batch()
         if prefill:
             self._run_prefill(prefill)
@@ -291,7 +310,81 @@ class Scheduler:
                 self._cache_unfinished(req)
                 continue
             self._append_token(req, int(tokens[i]), float(logprobs[i]))
-            self.running.append(req)
+            if self.disagg_mode == "prefill":
+                self._send_disagg_kv(req)
+            else:
+                self.running.append(req)
+
+    # ------------------------------------------------- PD disaggregation
+    def _send_disagg_kv(self, req: Req) -> None:
+        """Prefill server: hand the computed KV + first token to the
+        decode fleet via the request's bootstrap room, then finish."""
+        from sglang_security_tpu.disaggregation.conn import (
+            KVPayload,
+            make_sender,
+        )
+
+        if req.bootstrap_room is None:
+            self.running.append(req)  # no pairing: behave as a normal server
+            return
+        n = req.computed_len
+        n_pages = cdiv(n, self.page_size)
+        k_np, v_np = self.runner.export_kv(req.pages[:n_pages])
+        sender = make_sender(
+            self.server_args.disaggregation_transfer_backend,
+            req.bootstrap_host or "127.0.0.1",
+            req.bootstrap_port
+            or self.server_args.disaggregation_bootstrap_port,
+        )
+        ok = sender.send(
+            KVPayload(
+                room=req.bootstrap_room,
+                token_ids=req.input_ids[:n],
+                first_token=req.output_ids[-1],
+                k_bytes=k_np.tobytes(),
+                v_bytes=v_np.tobytes(),
+                shape=tuple(k_np.shape),
+                dtype=str(k_np.dtype),
+            )
+        )
+        if not ok:
+            logger.error("disagg KV send failed for room %s", req.bootstrap_room)
+        req.finished_reason = FinishReason.STOP
+        self._emit(req, [], finished=True, reason=FinishReason.STOP)
+        self._cache_finished(req)
+        self._release_penalty_slot(req)
+
+    def _poll_disagg_kv(self) -> None:
+        """Decode server: admit requests whose KV has arrived."""
+        import numpy as _np
+
+        import ml_dtypes  # noqa: F401  (np dtype registry for bfloat16)
+
+        for req in list(self.disagg_waiting):
+            payload = self.kv_bootstrap.poll(req.bootstrap_room)
+            if payload is None:
+                continue
+            n = len(payload.token_ids)
+            n_pages = cdiv(n, self.page_size)
+            pages = self._alloc_pages(n_pages)
+            if pages is None:
+                continue  # retry next tick
+            k_np = _np.frombuffer(
+                payload.k_bytes, dtype=_np.dtype(payload.dtype)
+            ).reshape(payload.shape)
+            v_np = _np.frombuffer(
+                payload.v_bytes, dtype=_np.dtype(payload.dtype)
+            ).reshape(payload.shape)
+            self.runner.import_kv(pages, k_np, v_np)
+            req.input_ids = list(payload.token_ids)
+            req.pages = pages
+            req.computed_len = n
+            self.disagg_waiting.remove(req)
+            self._append_token(req, payload.first_token, 0.0)
+            if req.finished():
+                self._cache_finished(req)
+            else:
+                self.running.append(req)
 
     # -------------------------------------------------------------- decode
     def _decode_steps(self) -> int:

@@ -92,6 +92,9 @@ class TokenizerManager:
             stream=gri.stream,
             user_id=gri.user_id or sp.user_id,
             session_id=gri.session_id,
+            bootstrap_host=gri.bootstrap_host,
+            bootstrap_port=gri.bootstrap_port,
+            bootstrap_room=gri.bootstrap_room,
         )
 
     def to_req(self, t: TokenizedGenerateReqInput) -> Req:
@@ -104,4 +107,7 @@ class TokenizerManager:
             session_id=t.session_id,
         )
         req.stream = t.stream
+        req.bootstrap_host = t.bootstrap_host
+        req.bootstrap_port = t.bootstrap_port
+        req.bootstrap_room = t.bootstrap_room
         return req

@@ -487,6 +487,26 @@ class ModelRunner:
         return fb, st, vocab_mask
 
     # ------------------------------------------------------------------
+    def _page_rows(self, pages: np.ndarray) -> np.ndarray:
+        ps = self.page_size
+        return (
+            np.asarray(pages, np.int64)[:, None] * ps + np.arange(ps)[None, :]
+        ).reshape(-1)
+
+    def export_kv(self, pages: np.ndarray):
+        """Fetch whole pages (all layers) to host: PD prefill-side handoff."""
+        rows = jnp.asarray(self._page_rows(pages))
+        return jax.device_get(
+            (self.kv_pool.k_pages[:, rows], self.kv_pool.v_pages[:, rows])
+        )
+
+    def import_kv(self, pages: np.ndarray, k_np, v_np) -> None:
+        """Inject received pages into the pool: PD decode-side handoff."""
+        rows = jnp.asarray(self._page_rows(pages))
+        pool = self.kv_pool
+        pool.k_pages = pool.k_pages.at[:, rows].set(jnp.asarray(k_np))
+        pool.v_pages = pool.v_pages.at[:, rows].set(jnp.asarray(v_np))
+
     def flush_cache(self) -> None:
         self.kv_pool.clear()
 
