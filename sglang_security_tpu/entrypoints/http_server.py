@@ -234,6 +234,31 @@ class HttpServer:
         if not req.stream:
             outs = await self._run(self._engine_gri, gri)
             o = outs[0]
+            message = {"role": "assistant", "content": o["text"]}
+            finish = o["meta_info"]["finish_reason"]["type"]
+            if req.tools:
+                from sglang_security_tpu.function_call import (
+                    FunctionCallParser,
+                )
+
+                normal, calls = FunctionCallParser().parse(o["text"])
+                if calls:
+                    message = {
+                        "role": "assistant",
+                        "content": normal or None,
+                        "tool_calls": [
+                            {
+                                "id": f"call_{uuid.uuid4().hex[:12]}",
+                                "type": "function",
+                                "function": {
+                                    "name": c.name,
+                                    "arguments": json.dumps(c.arguments),
+                                },
+                            }
+                            for c in calls
+                        ],
+                    }
+                    finish = "tool_calls"
             return web.json_response(
                 {
                     "id": rid,
@@ -242,9 +267,9 @@ class HttpServer:
                     "model": model,
                     "choices": [{
                         "index": 0,
-                        "message": {"role": "assistant", "content": o["text"]},
+                        "message": message,
                         "logprobs": None,
-                        "finish_reason": o["meta_info"]["finish_reason"]["type"],
+                        "finish_reason": finish,
                     }],
                     "usage": self._usage(outs),
                 }

@@ -101,6 +101,11 @@ def chat_to_gri(req: ChatCompletionRequest, tokenizer) -> GenerateReqInput:
         schema = (req.response_format.json_schema or {}).get("schema")
         if schema is not None:
             json_schema = _json.dumps(schema)
+    if req.tools and req.tool_choice not in (None, "none", "auto"):
+        # forced tool call: constrain output to a valid call for the tools
+        from sglang_security_tpu.function_call import FunctionCallParser
+
+        json_schema = FunctionCallParser.tools_to_json_schema(req.tools)
     sp = {
         "max_new_tokens": max_tokens,
         "temperature": req.temperature,

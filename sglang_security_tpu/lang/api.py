@@ -1,0 +1,192 @@
+"""DSL primitives + interpreter (see package docstring)."""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+# ------------------------------------------------------------------ exprs
+@dataclass
+class SglGen:
+    name: Optional[str] = None
+    max_tokens: int = 128
+    temperature: float = 0.0
+    top_p: float = 1.0
+    top_k: int = -1
+    stop: Optional[List[str]] = None
+    regex: Optional[str] = None
+    json_schema: Optional[str] = None
+    ignore_eos: bool = False
+
+
+@dataclass
+class SglSelect:
+    name: Optional[str]
+    choices: List[str]
+
+
+@dataclass
+class SglRole:
+    role: str
+    parts: List[Any]
+
+
+def gen(name: Optional[str] = None, **kwargs) -> SglGen:
+    return SglGen(name=name, **kwargs)
+
+
+def select(name: Optional[str] = None, choices: Optional[List[str]] = None) -> SglSelect:
+    return SglSelect(name, choices or [])
+
+
+def system(*parts) -> SglRole:
+    return SglRole("system", list(parts))
+
+
+def user(*parts) -> SglRole:
+    return SglRole("user", list(parts))
+
+
+def assistant(*parts) -> SglRole:
+    return SglRole("assistant", list(parts))
+
+
+# --------------------------------------------------------------- backends
+class EngineBackend:
+    """Runs programs against an in-process Engine."""
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    def generate(self, prompt: str, sp: dict, user_id=None) -> str:
+        out = self.engine.generate(
+            prompt=prompt, sampling_params=sp, user_id=user_id
+        )
+        return out["text"]
+
+
+class RuntimeEndpoint:
+    """Runs programs against a server's native /generate endpoint
+    (reference lang/backend/runtime_endpoint.py)."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    def generate(self, prompt: str, sp: dict, user_id=None) -> str:
+        import requests
+
+        r = requests.post(
+            self.base_url + "/generate",
+            json={"text": prompt, "sampling_params": sp, "user_id": user_id},
+            timeout=600,
+        )
+        r.raise_for_status()
+        return r.json()["text"]
+
+
+# ------------------------------------------------------------ interpreter
+class ProgramState:
+    def __init__(self, backend, user_id=None):
+        self.backend = backend
+        self.user_id = user_id
+        self.text_ = ""
+        self.variables: Dict[str, str] = {}
+
+    # s += <expr>
+    def __iadd__(self, other):
+        self._append(other)
+        return self
+
+    def _append(self, other) -> None:
+        if isinstance(other, str):
+            self.text_ += other
+        elif isinstance(other, SglGen):
+            self._run_gen(other)
+        elif isinstance(other, SglSelect):
+            self._run_select(other)
+        elif isinstance(other, SglRole):
+            self.text_ += f"<|{other.role}|>\n"
+            for p in other.parts:
+                self._append(p)
+            self.text_ += "\n"
+        elif isinstance(other, (list, tuple)):
+            for p in other:
+                self._append(p)
+        else:
+            raise TypeError(f"cannot append {type(other)} to program state")
+
+    def _run_gen(self, g: SglGen) -> None:
+        sp = {
+            "max_new_tokens": g.max_tokens,
+            "temperature": g.temperature,
+            "top_p": g.top_p,
+            "top_k": g.top_k,
+            "stop": g.stop,
+            "ignore_eos": g.ignore_eos,
+        }
+        if g.regex:
+            sp["regex"] = g.regex
+        if g.json_schema:
+            sp["json_schema"] = g.json_schema
+        out = self.backend.generate(self.text_, sp, self.user_id)
+        if g.name:
+            self.variables[g.name] = out
+        self.text_ += out
+
+    def _run_select(self, s: SglSelect) -> None:
+        assert s.choices, "select needs choices"
+        pattern = "(?:" + "|".join(re.escape(c) for c in s.choices) + ")"
+        out = self.backend.generate(
+            self.text_,
+            {"max_new_tokens": 32, "temperature": 0.0, "regex": pattern,
+             "ignore_eos": True},
+            self.user_id,
+        )
+        # constrained output is exactly one of the choices
+        chosen = next((c for c in s.choices if out.startswith(c)), out)
+        if s.name:
+            self.variables[s.name] = chosen
+        self.text_ += chosen
+
+    def fork(self, n: int) -> List["ProgramState"]:
+        out = []
+        for _ in range(n):
+            st = ProgramState(self.backend, self.user_id)
+            st.text_ = self.text_
+            st.variables = dict(self.variables)
+            out.append(st)
+        return out
+
+    def __getitem__(self, name: str) -> str:
+        return self.variables[name]
+
+    def text(self) -> str:
+        return self.text_
+
+
+@dataclass
+class SglFunction:
+    fn: Any
+    name: str = ""
+
+    def run(self, *args, backend=None, user_id=None, **kwargs) -> ProgramState:
+        assert backend is not None, "pass backend=EngineBackend(...)/RuntimeEndpoint(...)"
+        state = ProgramState(backend, user_id)
+        result = self.fn(state, *args, **kwargs)
+        # allow the function body to rebind s via +=; returned value ignored
+        return state
+
+    def run_batch(self, arg_list: List[dict], backend=None,
+                  max_workers: int = 8) -> List[ProgramState]:
+        with cf.ThreadPoolExecutor(max_workers) as ex:
+            futs = [
+                ex.submit(self.run, backend=backend, **kw) for kw in arg_list
+            ]
+            return [f.result() for f in futs]
+
+
+def function(fn) -> SglFunction:
+    return SglFunction(fn, name=fn.__name__)

@@ -1,0 +1,88 @@
+"""Frontend DSL tests (reference test/lang coverage)."""
+
+import pytest
+
+import sglang_security_tpu.lang as sgl
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    path = str(tmp_path_factory.mktemp("tiny_dsl") / "llama")
+    make_tiny_llama(path)
+    eng = Engine(
+        ServerArgs(model_path=path, dtype="float32", max_total_tokens=4096,
+                   page_size=8, prefill_token_buckets=[128, 256],
+                   decode_bs_buckets=[1, 4, 8], max_seq_pages_buckets=[8, 16],
+                   random_seed=0)
+    )
+    yield eng
+    eng.shutdown()
+
+
+def test_gen_and_variables(engine):
+    @sgl.function
+    def prog(s, topic):
+        s += sgl.system("You are terse.")
+        s += sgl.user(f"Say something about {topic}.")
+        s += sgl.assistant(sgl.gen("reply", max_tokens=6, ignore_eos=True))
+
+    st = prog.run(topic="rivers", backend=sgl.EngineBackend(engine))
+    assert "reply" in st.variables
+    assert st["reply"] in st.text()
+
+
+def test_select_constrained(engine):
+    @sgl.function
+    def prog(s):
+        s += "Is water wet? Answer: "
+        s += sgl.select("verdict", choices=["yes", "no"])
+
+    st = prog.run(backend=sgl.EngineBackend(engine))
+    assert st["verdict"] in ("yes", "no")
+
+
+def test_fork_branches(engine):
+    @sgl.function
+    def prog(s):
+        s += "Brainstorm: "
+        branches = s.fork(3)
+        outs = []
+        for i, b in enumerate(branches):
+            b += f"idea {i}: "
+            b += sgl.gen(f"idea", max_tokens=4, temperature=0.8,
+                         ignore_eos=True)
+            outs.append(b["idea"])
+        s += " | ".join(outs)
+
+    st = prog.run(backend=sgl.EngineBackend(engine))
+    assert st.text().count("|") == 2
+
+
+def test_run_batch(engine):
+    @sgl.function
+    def prog(s, x):
+        s += f"echo {x}: "
+        s += sgl.gen("out", max_tokens=3, ignore_eos=True)
+
+    states = prog.run_batch(
+        [{"x": i} for i in range(4)], backend=sgl.EngineBackend(engine)
+    )
+    assert len(states) == 4
+    for st in states:
+        assert len(st["out"]) >= 0
+
+
+def test_multi_turn_gen_chain(engine):
+    @sgl.function
+    def prog(s):
+        s += "Q1: what? "
+        s += sgl.gen("a1", max_tokens=4, ignore_eos=True)
+        s += " Q2: why? "
+        s += sgl.gen("a2", max_tokens=4, ignore_eos=True)
+
+    st = prog.run(backend=sgl.EngineBackend(engine))
+    assert st["a1"] in st.text() and st["a2"] in st.text()
