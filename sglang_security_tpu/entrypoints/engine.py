@@ -172,6 +172,7 @@ class Engine:
         bootstrap_host: Optional[str] = None,
         bootstrap_port: Optional[int] = None,
         bootstrap_room: Optional[int] = None,
+        lora_path: Optional[str] = None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -185,6 +186,7 @@ class Engine:
             bootstrap_host=bootstrap_host,
             bootstrap_port=bootstrap_port,
             bootstrap_room=bootstrap_room,
+            lora_path=lora_path,
         )
         treqs = self.tokenizer_manager.make_reqs(gri)
         qs = [self._submit(t) for t in treqs]
@@ -319,15 +321,47 @@ class Engine:
         self.model_runner.update_weights_from_disk(model_path)
         return True
 
+    def start_profile(self, output_dir: str = "/tmp/sgl_tpu_profile") -> bool:
+        """jax.profiler trace (reference torch-profiler /start_profile)."""
+        import os
+
+        import jax
+
+        os.makedirs(output_dir, exist_ok=True)
+        try:
+            jax.profiler.start_trace(output_dir)
+            return True
+        except Exception:
+            logger.exception("start_profile failed")
+            return False
+
+    def stop_profile(self) -> bool:
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+            return True
+        except Exception:
+            logger.exception("stop_profile failed")
+            return False
+
     def get_server_info(self) -> Dict[str, Any]:
-        return {
+        sched = self.scheduler
+        info = {
             "model_path": self.server_args.model_path,
             "version": __import__("sglang_security_tpu").__version__,
             "num_pages": self.model_runner.num_pages,
             "page_size": self.model_runner.page_size,
-            "waiting": len(self.scheduler.waiting),
-            "running": len(self.scheduler.running),
+            "waiting": len(sched.waiting),
+            "running": len(sched.running),
+            "cache_pages": sched.tree_cache.evictable_pages
+            + sched.tree_cache.protected_pages,
         }
+        if sched.spec_verify_count:
+            info["spec_avg_accept_length"] = (
+                sched.spec_accept_sum / sched.spec_verify_count
+            )
+        return info
 
     def shutdown(self) -> None:
         self._shutdown.set()

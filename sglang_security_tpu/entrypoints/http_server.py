@@ -52,6 +52,9 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
+        r.add_post("/configure_logging", self.configure_logging)
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_get("/metrics", self.metrics)
@@ -331,6 +334,34 @@ class HttpServer:
             self.engine.update_weights_from_disk, body["model_path"]
         )
         return web.json_response({"success": ok})
+
+    async def start_profile(self, request):
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        out_dir = body.get("output_dir", "/tmp/sgl_tpu_profile")
+        ok = await self._run(self.engine.start_profile, out_dir)
+        return web.json_response({"success": ok, "output_dir": out_dir})
+
+    async def stop_profile(self, request):
+        ok = await self._run(self.engine.stop_profile)
+        return web.json_response({"success": ok})
+
+    async def configure_logging(self, request):
+        body = await request.json()
+        import logging as _logging
+
+        level = body.get("log_level")
+        if level:
+            _logging.getLogger().setLevel(level.upper())
+            for name in list(_logging.root.manager.loggerDict):
+                if name.startswith("sglang_security_tpu"):
+                    _logging.getLogger(name).setLevel(level.upper())
+        self.engine.server_args.log_requests = bool(
+            body.get("log_requests", self.engine.server_args.log_requests)
+        )
+        return web.json_response({"success": True})
 
     async def open_session(self, request):
         body = await request.json()

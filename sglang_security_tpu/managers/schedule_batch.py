@@ -67,6 +67,8 @@ class Req:
         self.bootstrap_host: Optional[str] = None
         self.bootstrap_port: Optional[int] = None
         self.bootstrap_room: Optional[int] = None
+        self.lora_path: Optional[str] = None
+        self.lora_slot = -1
         self.stream = False
         self.time_stats = TimeStats()
         self.return_logprob = sampling_params.return_logprob

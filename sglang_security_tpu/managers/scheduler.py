@@ -219,13 +219,15 @@ class Scheduler:
                 break
             # refresh prefix match and pin it
             m = self.tree_cache.match_prefix(
-                np.asarray(req.input_ids, np.int32), user_id=req.user_id
+                np.asarray(req.input_ids, np.int32), user_id=req.user_id,
+                scope=req.lora_path,
             )
             if getattr(m, "host_nodes", None):
                 # HiCache: restore host-tier prefix pages to the device
                 self.tree_cache.load_back(m.host_nodes)
                 m = self.tree_cache.match_prefix(
-                    np.asarray(req.input_ids, np.int32), user_id=req.user_id
+                    np.asarray(req.input_ids, np.int32), user_id=req.user_id,
+                    scope=req.lora_path,
                 )
             # never match the *entire* prompt (at least 1 token must run)
             prefix_len = min(m.num_tokens, len(req.input_ids) - 1)
@@ -236,6 +238,13 @@ class Scheduler:
             req.computed_len = prefix_len
             req.pages = np.array(m.pages[:prefix_pages], np.int32)
             req.last_node = m.last_node
+            if req.lora_path and req.lora_slot < 0:
+                slot = self.runner.get_lora_manager().acquire_slot(
+                    req.lora_path
+                )
+                if slot is None:
+                    continue  # all adapter slots pinned; retry later
+                req.lora_slot = slot
             ok = adder.add_one_req(req)
             if req in adder.can_run:
                 self.tree_cache.inc_lock_ref(m.last_node)
@@ -395,7 +404,9 @@ class Scheduler:
 
     def _run_decode(self) -> None:
         if self.spec_drafter is not None and not any(
-            r.grammar is not None or r.needs_penalties() for r in self.running
+            r.grammar is not None or r.needs_penalties()
+            or r.lora_slot >= 0
+            for r in self.running
         ):
             if self._run_spec_decode():
                 return
@@ -576,6 +587,16 @@ class Scheduler:
     def _make_plan(self, is_decode, token_ids, positions, slots, q_starts,
                    q_lens, kv_lens, page_lists, reqs) -> BatchPlan:
         sp = [r.sampling_params for r in reqs]
+        lora_ids = None
+        if any(r.lora_slot >= 0 for r in reqs):
+            lora_ids = np.full(len(token_ids), -1, np.int32)
+            if is_decode:
+                for i, r in enumerate(reqs):
+                    lora_ids[i] = r.lora_slot
+            else:
+                for i, r in enumerate(reqs):
+                    row0, ql = q_starts[i], q_lens[i]
+                    lora_ids[row0 : row0 + ql] = r.lora_slot
         penalty_slots = None
         if any(r.needs_penalties() for r in reqs):
             for r in reqs:
@@ -615,6 +636,7 @@ class Scheduler:
                 [s.repetition_penalty for s in sp], np.float32
             ),
             penalty_slots=penalty_slots,
+            lora_ids=lora_ids,
             vocab_mask=vocab_mask,
         )
 
@@ -729,7 +751,7 @@ class Scheduler:
         ids = np.asarray(req.all_ids()[: aligned * self.page_size], np.int32)
         dup = self.tree_cache.insert(
             ids, req.pages[:aligned], user_id=req.user_id,
-            prompt_text=req.prompt_text,
+            prompt_text=req.prompt_text, scope=req.lora_path,
         )
         # free our duplicates beyond the already-shared prefix + the tail
         dup = max(dup, req.prefix_pages)
@@ -749,9 +771,11 @@ class Scheduler:
         ids = np.asarray(req.all_ids()[: aligned * self.page_size], np.int32)
         self.tree_cache.insert(
             ids, req.pages[:aligned], user_id=req.user_id,
-            prompt_text=req.prompt_text,
+            prompt_text=req.prompt_text, scope=req.lora_path,
         )
-        m = self.tree_cache.match_prefix(ids, user_id=req.user_id)
+        m = self.tree_cache.match_prefix(
+            ids, user_id=req.user_id, scope=req.lora_path
+        )
         got = len(m.pages)
         if got:
             # swap to tree-owned pages (identical KV), free our dups

@@ -95,6 +95,7 @@ class TokenizerManager:
             bootstrap_host=gri.bootstrap_host,
             bootstrap_port=gri.bootstrap_port,
             bootstrap_room=gri.bootstrap_room,
+            lora_path=gri.lora_path,
         )
 
     def to_req(self, t: TokenizedGenerateReqInput) -> Req:
@@ -110,4 +111,5 @@ class TokenizerManager:
         req.bootstrap_host = t.bootstrap_host
         req.bootstrap_port = t.bootstrap_port
         req.bootstrap_room = t.bootstrap_room
+        req.lora_path = t.lora_path
         return req

@@ -34,10 +34,11 @@ class ChunkCache:
     def protected_pages(self) -> int:
         return 0
 
-    def match_prefix(self, token_ids, user_id=None) -> MatchResult:
+    def match_prefix(self, token_ids, user_id=None, scope=None) -> MatchResult:
         return MatchResult(np.empty(0, np.int32), self.root, 0)
 
-    def insert(self, token_ids, pages, user_id=None, prompt_text=None) -> int:
+    def insert(self, token_ids, pages, user_id=None, prompt_text=None,
+               scope=None) -> int:
         # Nothing is retained: report every page as a duplicate so the
         # caller frees them all (same contract as RadixCache.insert).
         return len(np.asarray(pages).reshape(-1))

@@ -168,8 +168,8 @@ class HiRadixCache(RadixCache):
                 return c
         return None
 
-    def match_prefix(self, token_ids, user_id=None) -> MatchResult:
-        m = super().match_prefix(token_ids, user_id)
+    def match_prefix(self, token_ids, user_id=None, scope=None) -> MatchResult:
+        m = super().match_prefix(token_ids, user_id, scope=scope)
         # continue the walk into host-resident children
         host_nodes: List[TreeNode] = []
         rem = np.asarray(token_ids, np.int32)[m.num_tokens :]
@@ -263,8 +263,9 @@ class HiRadixCache(RadixCache):
             self._detach(node)
 
     # write-through: mirror to host at insert per policy
-    def insert(self, token_ids, pages, user_id=None, prompt_text=None) -> int:
-        dup = super().insert(token_ids, pages, user_id, prompt_text)
+    def insert(self, token_ids, pages, user_id=None, prompt_text=None,
+               scope=None) -> int:
+        dup = super().insert(token_ids, pages, user_id, prompt_text, scope)
         if self.write_policy == "write_through":
             self._write_through(token_ids, user_id)
         return dup

@@ -108,12 +108,17 @@ class RadixCache:
         return int(nz[0]) if len(nz) else n
 
     def _select_child(
-        self, node: TreeNode, tokens: np.ndarray, user_id: Optional[str]
+        self, node: TreeNode, tokens: np.ndarray, user_id: Optional[str],
+        scope: Optional[str] = None,
     ) -> Optional[TreeNode]:
-        """Pick the accessible child whose key shares the first page."""
+        """Pick the accessible child whose key shares the first page.
+        ``scope`` partitions the cache (KV computed under different LoRA
+        adapters is never interchangeable)."""
         siblings = node.children.get(self._page_key(tokens), [])
         best = None
         for c in siblings:
+            if c.scope != scope:
+                continue
             if not c.accessible_by(user_id):
                 continue
             if not self._walkable(c):
@@ -131,14 +136,15 @@ class RadixCache:
 
     # ------------------------------------------------------------------
     def match_prefix(
-        self, token_ids: np.ndarray, user_id: Optional[str] = None
+        self, token_ids: np.ndarray, user_id: Optional[str] = None,
+        scope: Optional[str] = None,
     ) -> MatchResult:
         token_ids = np.asarray(token_ids, np.int32)
         pages: List[np.ndarray] = []
         node = self.root
         rem = token_ids
         while len(rem) >= self.page_size:
-            child = self._select_child(node, rem, user_id)
+            child = self._select_child(node, rem, user_id, scope)
             if child is None:
                 break
             child.touch(user_id)
@@ -164,6 +170,7 @@ class RadixCache:
         pages: np.ndarray,
         user_id: Optional[str] = None,
         prompt_text: Optional[str] = None,
+        scope: Optional[str] = None,
     ) -> int:
         """Insert an aligned (token, page) run; returns number of leading
         pages that were already cached (caller frees those duplicates)."""
@@ -176,13 +183,15 @@ class RadixCache:
         rem_t, rem_p = token_ids, pages
         dup = 0
         while len(rem_t) >= self.page_size:
-            child = self._select_child(node, rem_t, user_id)
+            child = self._select_child(node, rem_t, user_id, scope)
             if child is None:
-                self._attach_new(node, rem_t, rem_p, user_id, prompt_text)
+                self._attach_new(node, rem_t, rem_p, user_id, prompt_text,
+                                 scope)
                 return dup
             m = self._match_len_pages(rem_t, child.key)
             if m == 0:
-                self._attach_new(node, rem_t, rem_p, user_id, prompt_text)
+                self._attach_new(node, rem_t, rem_p, user_id, prompt_text,
+                                 scope)
                 return dup
             if m < child.num_pages:
                 child = self._split_node(child, m)
@@ -202,6 +211,7 @@ class RadixCache:
         pages: np.ndarray,
         user_id: Optional[str],
         prompt_text: Optional[str],
+        scope: Optional[str] = None,
     ) -> None:
         """Create chunked child nodes under `parent` holding (tokens, pages)."""
         chunk_pages = max(1, self.safekv.chunk_tokens // self.page_size)
@@ -216,6 +226,7 @@ class RadixCache:
                 private=self.safekv.enabled,
                 owner_id=user_id,
             )
+            node.scope = scope
             node.prompt_text = prompt_text
             parent.children.setdefault(self._page_key(tokens[t0:]), []).append(
                 node
@@ -292,6 +303,7 @@ class RadixCache:
             private=node.private,
             owner_id=node.owner_id,
         )
+        upper.scope = node.scope
         upper.lock_ref = node.lock_ref
         upper.last_access_time = node.last_access_time
         upper.need_check_privacy = node.need_check_privacy

@@ -43,6 +43,7 @@ class TreeNode:
         # --- SafeKV privacy state ---
         self.private = private
         self.owner_id = owner_id
+        self.scope = None  # cache partition (e.g. LoRA adapter path)
         self.need_check_privacy = private  # cleared once a verdict lands
         self.pending_check = False
         self.prompt_text: Optional[str] = None  # detector context

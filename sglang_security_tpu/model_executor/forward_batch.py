@@ -30,6 +30,7 @@ class ForwardBatch(NamedTuple):
     kv_lens: jax.Array  # [S] i32 total kv length incl. new tokens
     page_indices: jax.Array  # [S, PPS] i32 (0-padded -> null page)
     out_rows: jax.Array  # [S] i32 row of each seq's last token (0 for pad)
+    lora_ids: Optional[jax.Array] = None  # [T] i32 adapter slot (-1 = none)
 
     @property
     def num_tokens(self) -> int:

@@ -64,6 +64,7 @@ class BatchPlan:
     penalty_slots: Optional[np.ndarray] = None  # [S] i32, -1 = no penalties
     vocab_mask: Optional[np.ndarray] = None  # [S, V] bool (grammar)
     out_rows: Optional[np.ndarray] = None  # [R] override (spec verify)
+    lora_ids: Optional[np.ndarray] = None  # [T] adapter slot per token
 
 
 class ModelRunner:
@@ -111,6 +112,7 @@ class ModelRunner:
         self._rng_key = jax.random.PRNGKey(server_args.random_seed)
         self.max_penalty_slots = (server_args.max_running_requests or 256) * 2
         self.penalty_counts = None  # lazy [max_slots, V] i32 device array
+        self.lora_manager = None  # lazy (lora/lora_manager.py)
         self._max_pps = max(
             server_args.max_seq_pages_buckets
         )  # hard cap pages/seq
@@ -154,6 +156,23 @@ class ModelRunner:
         )
         return "categorical" if unfiltered else "topk"
 
+    def get_lora_manager(self):
+        if self.lora_manager is None:
+            from sglang_security_tpu.lora import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.model, self.config,
+                max_loras_per_batch=self.server_args.max_loras_per_batch,
+                max_rank=(self.server_args.max_lora_rank or 64),
+                dtype=self.dtype,
+            )
+        return self.lora_manager
+
+    def _lora_step_params(self):
+        if self.lora_manager is None or self.lora_manager.pool is None:
+            return None
+        return self.lora_manager.step_params()
+
     def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
                   penalized: bool = False, mode: str = "topk"):
         key = (T, S, PPS, block_q, masked, penalized, mode)
@@ -164,10 +183,10 @@ class ModelRunner:
         interpret = self.interpret
 
         def step(params, k_pages, v_pages, fb, st, key, vocab_mask,
-                 counts, slots):
+                 counts, slots, lora):
             hidden, k_pages, v_pages = model.forward(
                 params, k_pages, v_pages, fb, block_q=block_q,
-                interpret=interpret,
+                interpret=interpret, lora=lora,
             )
             logits = model.compute_logits(params, hidden)  # [S, V] f32
             row_counts = None
@@ -204,7 +223,8 @@ class ModelRunner:
         interpret = self.interpret
 
         def multi(params, k_pages, v_pages, tokens0, positions0, slot_mat,
-                  kv_lens0, page_indices, st, key, counts, pslots):
+                  kv_lens0, page_indices, st, key, counts, pslots, lora,
+                  lora_ids0):
             # slot_mat: [num_steps, B] precomputed KV slots per step
             def body(carry, xs):
                 tokens, k_pages, v_pages, step_i, key, counts = carry
@@ -218,10 +238,11 @@ class ModelRunner:
                     kv_lens=jnp.where(kv_lens0 > 0, kv_lens0 + step_i, 0),
                     page_indices=page_indices,
                     out_rows=jnp.arange(B, dtype=jnp.int32),
+                    lora_ids=lora_ids0,
                 )
                 hidden, k_pages, v_pages = model.forward(
                     params, k_pages, v_pages, fb, block_q=1,
-                    interpret=interpret,
+                    interpret=interpret, lora=lora,
                 )
                 logits = model.compute_logits(params, hidden)
                 key, sub = jax.random.split(key)
@@ -283,6 +304,7 @@ class ModelRunner:
         tokens, logprobs, k_pages, v_pages, counts = fn(
             self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
             fb, st, sub, vocab_mask, counts, pslots,
+            self._lora_step_params() if plan.lora_ids is not None else None,
         )
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
@@ -327,6 +349,8 @@ class ModelRunner:
             sub,
             counts,
             pslots,
+            self._lora_step_params() if plan.lora_ids is not None else None,
+            fb.lora_ids,
         )
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
@@ -395,6 +419,7 @@ class ModelRunner:
             vocab_mask,
             counts,
             pslots,
+            self._lora_step_params() if plan.lora_ids is not None else None,
         )
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
@@ -450,6 +475,11 @@ class ModelRunner:
             kv_lens=jnp.asarray(pad1(plan.kv_lens, S)),
             page_indices=jnp.asarray(pi),
             out_rows=jnp.asarray(out_rows),
+            lora_ids=(
+                jnp.asarray(pad1(plan.lora_ids, T, fill=-1))
+                if plan.lora_ids is not None
+                else None
+            ),
         )
         Rr = R or S
         rep = rows_per_seq

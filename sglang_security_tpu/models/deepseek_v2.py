@@ -286,6 +286,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     def _attn_apply(
         self, lp, h, fb, k_pages, v_pages, li, safe_slots, *,
         block_q, pages_per_block, interpret, tp_size, tp_axis,
+        lora_lp=None, lora_ids=None, lora_scale=None,
     ):
         cfg = self.config
         T = h.shape[0]
@@ -394,7 +395,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return rot(q_pe), rot(k_pe)
 
     # ------------------------------------------------------------ FFN
-    def _ffn_apply(self, lp, h, tp_size, tp_axis):
+    def _ffn_apply(self, lp, h, tp_size, tp_axis, lora_lp=None,
+                   lora_ids=None, lora_scale=None):
         cfg = self.config
         if "router" not in lp:
             return super()._ffn_apply(lp, h, tp_size, tp_axis)

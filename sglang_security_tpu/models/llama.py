@@ -87,12 +87,25 @@ class LlamaForCausalLM:
             "down": lin_merged([m + "down_proj.weight"], None),
         }
 
-    def _ffn_apply(self, lp, h, tp_size, tp_axis):
+    def _ffn_apply(self, lp, h, tp_size, tp_axis, lora_lp=None,
+                   lora_ids=None, lora_scale=None):
         cfg = self.config
         gate_up = apply_linear(h, lp["gate_up"])
+        if lora_lp is not None:
+            from sglang_security_tpu.lora.lora_manager import apply_lora
+
+            gate_up = gate_up + apply_lora(
+                h, lora_lp, "gate_up", lora_ids, lora_scale
+            ).astype(gate_up.dtype)
         gate, up = jnp.split(gate_up, 2, axis=-1)
         mlp = _act(cfg.act_fn)(gate) * up
         down = apply_linear(mlp, lp["down"])
+        if lora_lp is not None:
+            from sglang_security_tpu.lora.lora_manager import apply_lora
+
+            down = down + apply_lora(
+                mlp, lora_lp, "down", lora_ids, lora_scale
+            ).astype(down.dtype)
         if tp_axis is not None:
             down = lax.psum(down, tp_axis)
         return down
@@ -246,6 +259,7 @@ class LlamaForCausalLM:
         interpret: Optional[bool] = None,
         tp_size: int = 1,
         tp_axis: Optional[str] = None,
+        lora=None,  # LoRAManager.step_params() pytree, or None
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (selected_hidden [S, H], k_pages, v_pages).
 
@@ -261,29 +275,45 @@ class LlamaForCausalLM:
         x = params["embed"][fb.token_ids]  # [T, H]
         safe_slots = jnp.where(fb.slots < 0, num_tokens, fb.slots)
 
+        lora_scale = lora["scale"] if lora is not None else None
+        lora_ids = fb.lora_ids
+
         def body(carry, xs):
             x, k_pages, v_pages = carry
-            lp, li = xs
+            if lora is not None:
+                lp, li, lora_lp = xs
+            else:
+                lp, li = xs
+                lora_lp = None
 
             h, resid = fused_add_rms_norm(x, None, lp["input_norm"], cfg.rms_eps)
             o, k_pages, v_pages = self._attn_apply(
                 lp, h, fb, k_pages, v_pages, li, safe_slots,
                 block_q=block_q, pages_per_block=pages_per_block,
                 interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
+                lora_lp=lora_lp, lora_ids=lora_ids, lora_scale=lora_scale,
             )
             x = resid + o
 
             h, resid = fused_add_rms_norm(x, None, lp["post_norm"], cfg.rms_eps)
-            x = resid + self._ffn_apply(lp, h, tp_size, tp_axis)
+            x = resid + self._ffn_apply(
+                lp, h, tp_size, tp_axis,
+                lora_lp=lora_lp, lora_ids=lora_ids, lora_scale=lora_scale,
+            )
             return (x, k_pages, v_pages), None
 
         li0 = 0
         for group in self._param_groups(params):
             n_layers = jax.tree.leaves(group)[0].shape[0]
+            if lora is not None:
+                lora_layers = {
+                    t: lora[t] for t in ("qkv", "o", "gate_up", "down")
+                }
+                xs = (group, li0 + jnp.arange(n_layers), lora_layers)
+            else:
+                xs = (group, li0 + jnp.arange(n_layers))
             (x, k_pages, v_pages), _ = lax.scan(
-                body,
-                (x, k_pages, v_pages),
-                (group, li0 + jnp.arange(n_layers)),
+                body, (x, k_pages, v_pages), xs
             )
             li0 += n_layers
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
@@ -298,6 +328,7 @@ class LlamaForCausalLM:
     def _attn_apply(
         self, lp, h, fb, k_pages, v_pages, li, safe_slots, *,
         block_q, pages_per_block, interpret, tp_size, tp_axis,
+        lora_lp=None, lora_ids=None, lora_scale=None,
     ):
         """Standard GQA attention (MLA models override; models/deepseek_v2.py)."""
         cfg = self.config
@@ -306,6 +337,12 @@ class LlamaForCausalLM:
         Hq, Hkv = cfg.num_q_heads // tp_size, cfg.num_kv_heads // tp_size
 
         qkv = apply_linear(h, lp["qkv"])
+        if lora_lp is not None:
+            from sglang_security_tpu.lora.lora_manager import apply_lora
+
+            qkv = qkv + apply_lora(
+                h, lora_lp, "qkv", lora_ids, lora_scale
+            ).astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [Hq * hd, (Hq + Hkv) * hd], axis=-1)
         q = q.reshape(T, Hq, hd)
         k = k.reshape(T, Hkv, hd)
@@ -339,7 +376,14 @@ class LlamaForCausalLM:
             pages_per_block=pages_per_block,
             interpret=interpret,
         )
-        o = apply_linear(attn.reshape(T, Hq * hd), lp["o"])
+        attn2 = attn.reshape(T, Hq * hd)
+        o = apply_linear(attn2, lp["o"])
+        if lora_lp is not None:
+            from sglang_security_tpu.lora.lora_manager import apply_lora
+
+            o = o + apply_lora(
+                attn2, lora_lp, "o", lora_ids, lora_scale
+            ).astype(o.dtype)
         if tp_axis is not None:
             o = lax.psum(o, tp_axis)
         return o, k_pages, v_pages

@@ -106,7 +106,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
             return False
 
     # ------------------------------------------------------------ forward
-    def _ffn_apply(self, lp, h, tp_size, tp_axis):
+    def _ffn_apply(self, lp, h, tp_size, tp_axis, lora_lp=None,
+                   lora_ids=None, lora_scale=None):
         cfg = self.config
         out = moe_ffn(
             h,
