@@ -50,6 +50,7 @@ def main() -> None:
         json.dump(LLAMA3_8B_CONFIG, f)
 
     n_reqs = int(os.environ.get("BENCH_NUM_REQS", 128))
+    page_size = int(os.environ.get("BENCH_PAGE_SIZE", 64))
     in_len = int(os.environ.get("BENCH_INPUT_LEN", 128))
     out_len = int(os.environ.get("BENCH_OUTPUT_LEN", 128))
 
@@ -61,13 +62,13 @@ def main() -> None:
             dtype="bfloat16",
             skip_tokenizer_init=True,
             max_total_tokens=49152,
-            page_size=32,
+            page_size=page_size,
             max_running_requests=n_reqs,
             max_prefill_tokens=4096,
             chunked_prefill_size=4096,
             decode_bs_buckets=[n_reqs],
             prefill_token_buckets=[4096],
-            max_seq_pages_buckets=[16],
+            max_seq_pages_buckets=[512 // page_size],
             decode_steps_per_batch=16,
             enable_warmup=False,
             random_seed=0,

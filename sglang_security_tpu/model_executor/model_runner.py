@@ -91,6 +91,8 @@ class ModelRunner:
             download_dir=server_args.download_dir,
         )
         logger.info("model loaded in %.1fs", time.time() - t0)
+        if server_args.unroll_layers:
+            self.params = self.model.unroll_params(self.params)
         self.page_size = server_args.page_size
         self.model.kv_page_size = self.page_size
         self.num_pages = self._profile_num_pages()

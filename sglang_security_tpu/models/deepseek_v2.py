@@ -352,7 +352,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             layer=li,
             sm_scale=self._sm_scale(),
             block_q=min(block_q, MLA_PREFILL_BLOCK_Q) if block_q > 1 else 1,
-            pages_per_block=pages_per_block,
+            pages_per_block=max(1, min(pages_per_block,
+                                       256 // self.kv_page_size)),
             interpret=interpret,
         )  # [T, Hq, hd_pad]
         attn_c = attn[..., :c]  # latent-space output

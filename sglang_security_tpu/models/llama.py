@@ -304,6 +304,27 @@ class LlamaForCausalLM:
 
         li0 = 0
         for group in self._param_groups(params):
+            if isinstance(group, list):
+                # Unrolled layers (serving fast path): per-layer param
+                # buffers referenced directly — lax.scan's per-iteration
+                # xs dynamic-slice would materialize each layer's weights
+                # before every Pallas matmul, burning HBM bandwidth equal
+                # to a full extra weight read per step.
+                for j, lp in enumerate(group):
+                    li = li0 + j
+                    if lora is not None:
+                        lora_lp = jax.tree.map(
+                            lambda a: a[li],
+                            {t: lora[t] for t in ("qkv", "o", "gate_up", "down")},
+                        )
+                        xs_j = (lp, li, lora_lp)
+                    else:
+                        xs_j = (lp, li)
+                    (x, k_pages, v_pages), _ = body(
+                        (x, k_pages, v_pages), xs_j
+                    )
+                li0 += len(group)
+                continue
             n_layers = jax.tree.leaves(group)[0].shape[0]
             if lora is not None:
                 lora_layers = {
@@ -319,6 +340,20 @@ class LlamaForCausalLM:
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
         return sel, k_pages, v_pages
+
+    def unroll_params(self, params):
+        """Convert stacked layer groups to per-layer buffer lists (the
+        serving fast path; see forward()). One-time device copy at load."""
+        out = dict(params)
+        for key in ("layers", "dense_layers"):
+            if key in params and not isinstance(params[key], list):
+                stacked = params[key]
+                L = jax.tree.leaves(stacked)[0].shape[0]
+                out[key] = [
+                    jax.tree.map(lambda a, i=i: a[i], stacked)
+                    for i in range(L)
+                ]
+        return out
 
     def _param_groups(self, params):
         """Stacked layer groups scanned in order (heterogeneous models —
@@ -373,7 +408,8 @@ class LlamaForCausalLM:
             sliding_window=cfg.sliding_window,
             soft_cap=cfg.attn_softcap,
             block_q=block_q,
-            pages_per_block=pages_per_block,
+            pages_per_block=max(1, min(pages_per_block,
+                                       256 // self.kv_page_size)),
             interpret=interpret,
         )
         attn2 = attn.reshape(T, Hq * hd)

@@ -137,6 +137,10 @@ class ServerArgs:
     kv_events_config: Optional[str] = None
     decode_log_interval: int = 40
 
+    # unrolled per-layer weight buffers (vs lax.scan over stacked): avoids
+    # re-materializing each layer's quantized weights every step
+    unroll_layers: bool = True
+
     # ---- warmup / compile cache ----
     enable_warmup: bool = True  # precompile standard buckets at startup
     warmup_decode_bs: List[int] = field(default_factory=lambda: [8])
