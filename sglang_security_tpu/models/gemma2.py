@@ -1,0 +1,144 @@
+"""Gemma2 / Gemma3-text decoder.
+
+Capability parity with the reference's ``srt/models/gemma2.py``:
+sandwich norms (pre/post around both attention and FFN), (1+w) RMSNorm
+(folded into stored weights so the shared body's standard RMSNorm applies
+verbatim), sqrt(hidden) embedding scale, tied embeddings, attention and
+final-logit soft-capping, query_pre_attn_scalar softmax scaling, and
+alternating sliding-window/global attention layers (requires the
+unrolled-layers mode: the window is a static kernel parameter per layer).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sglang_security_tpu.layers.linear import apply_linear
+from sglang_security_tpu.layers.norms import rms_norm
+from sglang_security_tpu.models.llama import LlamaForCausalLM, _act
+from sglang_security_tpu.ops.ragged_paged_attention import (
+    ragged_paged_attention,
+)
+
+
+class Gemma2ForCausalLM(LlamaForCausalLM):
+    def _embed_scale(self) -> float:
+        return math.sqrt(self.config.hidden_size)
+
+    def _sm_scale(self) -> float:
+        q = self.config.raw.get("query_pre_attn_scalar")
+        return (q or self.config.head_dim) ** -0.5
+
+    def _layer_sliding(self, li: int) -> Optional[int]:
+        # gemma2: even layers sliding-window, odd layers global
+        sw = self.config.sliding_window
+        if sw is None:
+            return None
+        pattern = self.config.raw.get("sliding_window_pattern", 2)
+        return sw if (li % pattern) != (pattern - 1) else None
+
+    # ------------------------------------------------------------- params
+    def _ffn_params_dummy(self, i, rand, lin, lin_merged, dtype):
+        p = super()._ffn_params_dummy(i, rand, lin, lin_merged, dtype)
+        H = self.config.hidden_size
+        p["post_attn_norm"] = jnp.ones((H,), dtype)
+        p["post_ffn_norm"] = jnp.ones((H,), dtype)
+        return p
+
+    def _ffn_params_load(self, i, t, lin_merged, dtype):
+        p = super()._ffn_params_load(i, t, lin_merged, dtype)
+        b = f"model.layers.{i}."
+        # (1+w) gemma norm folded into the stored weight; use the RAW
+        # getter — `t` goes through the name-remapping wrapper below.
+        raw = self._raw_get
+        p["post_attn_norm"] = (
+            jnp.asarray(raw(b + "post_attention_layernorm.weight")).astype(
+                jnp.float32
+            )
+            + 1.0
+        ).astype(dtype)
+        p["post_ffn_norm"] = (
+            jnp.asarray(raw(b + "post_feedforward_layernorm.weight")).astype(
+                jnp.float32
+            )
+            + 1.0
+        ).astype(dtype)
+        return p
+
+    def load_weights(self, get_tensor, dtype=jnp.bfloat16):
+        # remap for the shared llama body: its input_norm slot keeps
+        # input_layernorm (+1 folded); its pre-FFN "post_norm" slot gets
+        # gemma's pre_feedforward_layernorm (+1 folded).
+        self._raw_get = get_tensor
+
+        def wrapped(name):
+            if name.endswith("input_layernorm.weight") or name.endswith(
+                "model.norm.weight"
+            ):
+                return get_tensor(name) + 1.0
+            if "post_attention_layernorm" in name:
+                alt = name.replace(
+                    "post_attention_layernorm", "pre_feedforward_layernorm"
+                )
+                return get_tensor(alt) + 1.0
+            return get_tensor(name)
+
+        return super().load_weights(wrapped, dtype=dtype)
+
+    # ------------------------------------------------------------ forward
+    def _attn_apply(self, lp, h, fb, k_pages, v_pages, li, safe_slots, *,
+                    block_q, pages_per_block, interpret, tp_size, tp_axis,
+                    lora_lp=None, lora_ids=None, lora_scale=None):
+        cfg = self.config
+        assert isinstance(li, int), (
+            "Gemma2 needs unroll_layers (per-layer static sliding window)"
+        )
+        from sglang_security_tpu.layers.rotary import apply_rope
+
+        T = h.shape[0]
+        hd = cfg.head_dim
+        Hq, Hkv = cfg.num_q_heads // tp_size, cfg.num_kv_heads // tp_size
+        qkv = apply_linear(h, lp["qkv"])
+        q, k, v = jnp.split(qkv, [Hq * hd, (Hq + Hkv) * hd], axis=-1)
+        q = q.reshape(T, Hq, hd)
+        k = k.reshape(T, Hkv, hd)
+        v = v.reshape(T, Hkv, hd)
+        q, k = apply_rope(q, k, fb.positions, self.inv_freq)
+        k_pages = k_pages.at[li, safe_slots].set(
+            k.astype(k_pages.dtype), mode="drop"
+        )
+        v_pages = v_pages.at[li, safe_slots].set(
+            v.astype(v_pages.dtype), mode="drop"
+        )
+        attn = ragged_paged_attention(
+            q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
+            fb.q_starts, fb.q_lens,
+            page_size=self.kv_page_size,
+            layer=li,
+            sm_scale=self._sm_scale(),
+            sliding_window=self._layer_sliding(li),
+            soft_cap=cfg.attn_softcap,
+            block_q=block_q,
+            pages_per_block=max(1, min(pages_per_block,
+                                       256 // self.kv_page_size)),
+            interpret=interpret,
+        )
+        o = apply_linear(attn.reshape(T, Hq * hd), lp["o"])
+        if tp_axis is not None:
+            o = lax.psum(o, tp_axis)
+        # sandwich: post-attention norm before the residual add
+        return rms_norm(o, lp["post_attn_norm"], cfg.rms_eps), k_pages, v_pages
+
+    def _ffn_apply(self, lp, h, tp_size, tp_axis, lora_lp=None,
+                   lora_ids=None, lora_scale=None):
+        out = super()._ffn_apply(lp, h, tp_size, tp_axis)
+        return rms_norm(out, lp["post_ffn_norm"], self.config.rms_eps)
+
+
+class Gemma3ForCausalLM(Gemma2ForCausalLM):
+    pass

@@ -273,6 +273,8 @@ class LlamaForCausalLM:
         num_tokens = k_pages.shape[1]  # flat pool [L, tokens, Hkv, hd]
 
         x = params["embed"][fb.token_ids]  # [T, H]
+        if self._embed_scale() != 1.0:
+            x = x * jnp.asarray(self._embed_scale(), x.dtype)
         safe_slots = jnp.where(fb.slots < 0, num_tokens, fb.slots)
 
         lora_scale = lora["scale"] if lora is not None else None
@@ -354,6 +356,9 @@ class LlamaForCausalLM:
                     for i in range(L)
                 ]
         return out
+
+    def _embed_scale(self) -> float:
+        return 1.0  # gemma scales embeddings by sqrt(hidden)
 
     def _param_groups(self, params):
         """Stacked layer groups scanned in order (heterogeneous models —

@@ -11,6 +11,10 @@ from typing import Dict, Type
 
 from sglang_security_tpu.models.config import ModelConfig
 from sglang_security_tpu.models.llama import LlamaForCausalLM
+from sglang_security_tpu.models.gemma2 import (
+    Gemma2ForCausalLM,
+    Gemma3ForCausalLM,
+)
 from sglang_security_tpu.models.deepseek_v2 import (
     DeepseekV2ForCausalLM,
     DeepseekV3ForCausalLM,
@@ -32,6 +36,8 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
     "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
     "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
+    "Gemma2ForCausalLM": Gemma2ForCausalLM,
+    "Gemma3ForCausalLM": Gemma3ForCausalLM,
 }
 
 
