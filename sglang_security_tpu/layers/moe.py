@@ -1,24 +1,32 @@
-"""Mixture-of-Experts FFN (capacity-based dispatch, EP-ready).
+"""Mixture-of-Experts FFN: dropless grouped-matmul dispatch, EP-ready.
 
 TPU-native re-design of the reference's MoE stack
-(``srt/layers/moe/ep_moe/layer.py``, fused_moe triton kernels,
-``sgl-kernel/csrc/moe``): instead of CUDA align/sort kernels, tokens are
-routed with a GShard-style capacity dispatch — one-hot [T, E, C] einsum
-into per-expert batches, a batched expert matmul over stacked expert
-weights [E, H, I] (MXU-friendly: every expert's matmul is dense), and a
-weighted combine.  Dropped tokens (over capacity) fall back to zero
-contribution, standard for inference-time capacity 1.25-2x.
+(``srt/layers/moe/ep_moe/layer.py:141`` grouped GEMM, fused_moe triton
+kernels, ``sgl-kernel/csrc/moe``): tokens are *never dropped*.  The
+(token, k) pairs are sorted by expert id (the XLA analog of the
+reference's ``moe_align_kernel.cu``), the expert FFN runs as a ragged
+grouped matmul over stacked expert weights via ``lax.ragged_dot`` —
+which Mosaic lowers to dense MXU tiles per expert group — and a
+scatter-add combines weighted contributions.  Compute scales with
+T*top_k rows regardless of routing skew, exactly like the reference's
+grouped GEMM (and unlike capacity-based dispatch, which either drops
+tokens or wastes E*C rows).
+
+Routing supports softmax and sigmoid scoring, DeepSeek-V3 noaux_tc
+selection (e_score_correction_bias added for *selection* only; combine
+weights use the un-biased scores) and group-limited top-k
+(n_group/topk_group), matching HF modeling_deepseek semantics.
 
 Expert parallelism: shard the leading E dim of the stacked expert
-weights over the ``ep`` mesh axis inside shard_map; each shard computes
-its local experts' capacity batches from the full token set and a psum
-combines contributions — the all-to-all variant (token shuffling over
-ICI) is the planned optimization for large T.
+weights over the ``ep`` mesh axis inside shard_map; each shard sorts
+the full token set by its *local* experts (remote pairs sort to the
+end and are masked), computes its groups, and a psum combines
+contributions over the axis.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,18 +38,65 @@ def topk_routing(
     top_k: int,
     renormalize: bool = True,
     scoring: str = "softmax",  # softmax | sigmoid (deepseek-v3 style)
-):
-    """Returns (weights [T, k], expert_ids [T, k])."""
+    correction_bias: Optional[jax.Array] = None,  # [E] noaux_tc selection bias
+    n_group: Optional[int] = None,
+    topk_group: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (weights [T, k] f32, expert_ids [T, k] i32).
+
+    With ``correction_bias`` (DeepSeek-V3 ``e_score_correction_bias``),
+    experts are *selected* by biased scores but *weighted* by un-biased
+    scores (reference ``srt/layers/moe/topk.py`` biased_grouped_topk).
+    ``n_group``/``topk_group`` restrict selection to the best groups,
+    each group scored by the sum of its top-2 biased scores.
+    """
+    T, E = logits.shape
     if scoring == "sigmoid":
         scores = jax.nn.sigmoid(logits.astype(jnp.float32))
     else:
         scores = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    weights, ids = lax.top_k(scores, top_k)
+    select = scores
+    if correction_bias is not None:
+        select = select + correction_bias.astype(jnp.float32)[None, :]
+    if n_group and n_group > 1 and topk_group and topk_group < n_group:
+        grouped = select.reshape(T, n_group, E // n_group)
+        top2 = lax.top_k(grouped, min(2, E // n_group))[0]
+        group_scores = top2.sum(axis=-1)  # [T, n_group]
+        _, gidx = lax.top_k(group_scores, topk_group)
+        gmask = jnp.zeros((T, n_group), bool).at[
+            jnp.arange(T)[:, None], gidx
+        ].set(True)
+        select = jnp.where(
+            jnp.repeat(gmask, E // n_group, axis=1), select, -jnp.inf
+        )
+    _, ids = lax.top_k(select, top_k)
+    weights = jnp.take_along_axis(scores, ids, axis=-1)
     if renormalize:
         weights = weights / jnp.maximum(
             weights.sum(axis=-1, keepdims=True), 1e-9
         )
     return weights, ids
+
+
+def grouped_ffn(
+    x_sorted: jax.Array,  # [N, H] rows grouped by expert
+    group_sizes: jax.Array,  # [E_local] i32
+    w_gate_up: jax.Array,  # [E_local, H, 2I]
+    w_down: jax.Array,  # [E_local, I, H]
+    act,
+) -> jax.Array:
+    """Ragged grouped expert FFN: rows [sum(sizes[:e]), sum(sizes[:e+1]))
+    go through expert e.  Rows past sum(sizes) produce garbage the caller
+    masks out."""
+    gu = lax.ragged_dot(
+        x_sorted, w_gate_up, group_sizes,
+        preferred_element_type=jnp.float32,
+    )  # [N, 2I]
+    gate, up = jnp.split(gu, 2, axis=-1)
+    inter = (act(gate) * up).astype(x_sorted.dtype)
+    return lax.ragged_dot(
+        inter, w_down, group_sizes, preferred_element_type=jnp.float32
+    )  # [N, H] f32
 
 
 def moe_ffn(
@@ -52,66 +107,57 @@ def moe_ffn(
     top_k: int,
     *,
     act=jax.nn.silu,
-    capacity_factor: float = 1.5,
     renormalize: bool = True,
     scoring: str = "softmax",
+    correction_bias: Optional[jax.Array] = None,
+    n_group: Optional[int] = None,
+    topk_group: Optional[int] = None,
     ep_axis: Optional[str] = None,
     ep_size: int = 1,
     routed_scaling: float = 1.0,
+    capacity_factor: Optional[float] = None,  # accepted for API compat; unused (dropless)
 ) -> jax.Array:
+    del capacity_factor  # dispatch is always dropless now
     T, H = x.shape
     E_local = w_gate_up.shape[0]
     E = E_local * ep_size
     logits = jnp.dot(
         x.astype(jnp.float32), router_w.astype(jnp.float32)
     )  # [T, E] (router always full-precision and replicated)
-    weights, ids = topk_routing(logits, top_k, renormalize, scoring)
-
-    # capacity per expert
-    C = max(int(T * top_k / E * capacity_factor), 1)
-    C = min(C, T)
-
-    # position of each (token, k) pair within its expert's capacity batch
-    onehot = jax.nn.one_hot(ids, E, dtype=jnp.int32)  # [T, k, E]
-    flat = onehot.reshape(T * top_k, E)
-    pos = jnp.cumsum(flat, axis=0) * flat - 1  # [T*k, E], -1 where not routed
-    pos = pos.reshape(T, top_k, E)
+    weights, ids = topk_routing(
+        logits, top_k, renormalize, scoring,
+        correction_bias=correction_bias,
+        n_group=n_group, topk_group=topk_group,
+    )
 
     if ep_axis is not None:
         e0 = lax.axis_index(ep_axis) * E_local
         local_ids = ids - e0
         local_sel = (local_ids >= 0) & (local_ids < E_local)
     else:
-        e0 = 0
         local_ids = ids
         local_sel = jnp.ones_like(ids, dtype=bool)
 
-    # dispatch: [E_local, C, H]
-    dispatch = jnp.zeros((E_local, C, H), x.dtype)
-    # each pair's capacity position: pos[t, k, ids[t, k]]
-    c_idx = jnp.take_along_axis(pos, ids[..., None], axis=2)[..., 0]
-    sel = (c_idx >= 0) & (c_idx < C) & local_sel
-    e_idx = jnp.where(sel, local_ids, E_local)  # OOB drops
-    c_idx = jnp.where(sel, c_idx, C)
-    dispatch = dispatch.at[e_idx, c_idx].add(
-        jnp.where(sel[..., None], x[:, None, :], 0), mode="drop"
-    )
+    # sort (token, k) pairs by local expert; remote/invalid pairs get the
+    # sentinel E_local so they land past every real group.
+    flat_ids = jnp.where(local_sel, local_ids, E_local).reshape(T * top_k)
+    order = jnp.argsort(flat_ids)  # stable
+    token_of = order // top_k  # [T*k] source token per sorted row
+    x_sorted = x[token_of]
+    group_sizes = jnp.bincount(
+        flat_ids, length=E_local + 1
+    )[:E_local].astype(jnp.int32)
 
-    # expert compute: batched over E_local
-    gu = jnp.einsum(
-        "ech,ehi->eci", dispatch, w_gate_up,
-        preferred_element_type=jnp.float32,
-    )
-    gate, up = jnp.split(gu, 2, axis=-1)
-    inter = (act(gate) * up).astype(x.dtype)
-    out_e = jnp.einsum(
-        "eci,eih->ech", inter, w_down, preferred_element_type=jnp.float32
-    )  # [E_local, C, H] f32
+    out_sorted = grouped_ffn(
+        x_sorted, group_sizes, w_gate_up, w_down, act
+    )  # [T*k, H] f32 (rows past sum(group_sizes) = garbage)
 
-    # combine: out[t] += w[t,k] * out_e[e(t,k), c(t,k)]
-    gathered = out_e[e_idx.clip(0, E_local - 1), c_idx.clip(0, C - 1)]
-    gathered = jnp.where(sel[..., None], gathered, 0.0)  # [T, k, H]
-    out = jnp.sum(gathered * weights[..., None], axis=1) * routed_scaling
+    w_flat = jnp.where(local_sel, weights, 0.0).reshape(T * top_k)
+    contrib = out_sorted * w_flat[order][:, None]
+    out = (
+        jnp.zeros((T, H), jnp.float32).at[token_of].add(contrib)
+        * routed_scaling
+    )
     if ep_axis is not None:
         out = lax.psum(out, ep_axis)
     return out.astype(x.dtype)

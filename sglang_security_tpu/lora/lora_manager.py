@@ -49,6 +49,9 @@ class LoRAManager:
         self._path_to_slot: Dict[str, int] = {}
         self._slot_paths: List[Optional[str]] = [None] * self.max_slots
         self._lru: List[str] = []
+        # running requests pinning each slot; only ref==0 slots may be
+        # evicted (reference scheduler.py:1465-1480 max_loras_per_batch)
+        self.slot_refs: List[int] = [0] * self.max_slots
         self.pool = None  # lazy: {target: {"A": [S,L,K,r], "B": [S,L,r,N]}}
         self.scales = np.zeros(self.max_slots, np.float32)
 
@@ -77,28 +80,42 @@ class LoRAManager:
 
     # ------------------------------------------------------------- load
     def acquire_slot(self, lora_path: str) -> Optional[int]:
-        """Returns the adapter's slot, loading it if needed; None when all
-        slots are pinned by the current batch (caller defers the req)."""
+        """Returns the adapter's slot (refcount incremented), loading it if
+        needed; None when every slot is pinned by a running request
+        (caller defers the req).  Callers MUST pair each successful
+        acquire with release_slot when the request finishes/retracts."""
         if lora_path in self._path_to_slot:
             self._touch(lora_path)
-            return self._path_to_slot[lora_path]
+            slot = self._path_to_slot[lora_path]
+            self.slot_refs[slot] += 1
+            return slot
         if self.pool is None:
             self._init_pool()
-        # find a free or LRU slot
+        # find a free slot, else the least-recently-used *unpinned* one
         slot = None
         for s, p in enumerate(self._slot_paths):
             if p is None:
                 slot = s
                 break
         if slot is None:
-            victim = self._lru[0]
-            slot = self._path_to_slot.pop(victim)
-            self._lru.remove(victim)
+            for victim in self._lru:
+                vs = self._path_to_slot[victim]
+                if self.slot_refs[vs] == 0:
+                    slot = self._path_to_slot.pop(victim)
+                    self._lru.remove(victim)
+                    break
+            if slot is None:
+                return None  # all slots referenced by running requests
         self._load_into_slot(lora_path, slot)
         self._path_to_slot[lora_path] = slot
         self._slot_paths[slot] = lora_path
         self._touch(lora_path)
+        self.slot_refs[slot] += 1
         return slot
+
+    def release_slot(self, slot: int) -> None:
+        if 0 <= slot < self.max_slots and self.slot_refs[slot] > 0:
+            self.slot_refs[slot] -= 1
 
     def _touch(self, path: str) -> None:
         if path in self._lru:

@@ -250,6 +250,10 @@ class Scheduler:
                 self.tree_cache.inc_lock_ref(m.last_node)
                 self.waiting.remove(req)
                 admitted.append(req)
+            else:
+                # not admitted this wave: drop the slot pin so other
+                # adapters aren't starved while this req waits
+                self._release_lora_slot(req)
             if not ok:
                 break
         self.chunked_req = adder.chunked_req
@@ -582,6 +586,12 @@ class Scheduler:
         if req.penalty_slot >= 0:
             self._penalty_free.append(req.penalty_slot)
             req.penalty_slot = -1
+        self._release_lora_slot(req)
+
+    def _release_lora_slot(self, req: Req) -> None:
+        if req.lora_slot >= 0 and self.runner.lora_manager is not None:
+            self.runner.lora_manager.release_slot(req.lora_slot)
+            req.lora_slot = -1
 
     # ---------------------------------------------------------- bookkeeping
     def _make_plan(self, is_decode, token_ids, positions, slots, q_starts,

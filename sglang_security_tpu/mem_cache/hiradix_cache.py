@@ -107,11 +107,13 @@ class HiCacheController:
             return None
         pool = self.runner.kv_pool
         rows = jnp.asarray(self._rows(device_pages))
-        # [L, n*ps, Hkv, hd] -> host [n, L, ps, Hkv, hd]
-        kd, vd = jax.device_get((pool.k_pages[:, rows], pool.v_pages[:, rows]))
-        L, _, Hkv, hd = kd.shape
-        kd = kd.reshape(L, n, self.page_size, Hkv, hd).transpose(1, 0, 2, 3, 4)
-        vd = vd.reshape(L, n, self.page_size, Hkv, hd).transpose(1, 0, 2, 3, 4)
+        # head-major [L, Hkv, n*ps, hd] -> host [n, L, ps, Hkv, hd]
+        kd, vd = jax.device_get(
+            (pool.k_pages[:, :, rows], pool.v_pages[:, :, rows])
+        )
+        L, Hkv, _, hd = kd.shape
+        kd = kd.reshape(L, Hkv, n, self.page_size, hd).transpose(2, 0, 3, 1, 4)
+        vd = vd.reshape(L, Hkv, n, self.page_size, hd).transpose(2, 0, 3, 1, 4)
         self.host.k[host_ids] = kd
         self.host.v[host_ids] = vd
         self.bytes_to_host += kd.nbytes * 2
@@ -128,12 +130,12 @@ class HiCacheController:
         kd = self.host.k[host_ids]  # [n, L, ps, Hkv, hd]
         vd = self.host.v[host_ids]
         L, Hkv, hd = kd.shape[1], kd.shape[3], kd.shape[4]
-        kd = kd.transpose(1, 0, 2, 3, 4).reshape(L, n * ps, Hkv, hd)
-        vd = vd.transpose(1, 0, 2, 3, 4).reshape(L, n * ps, Hkv, hd)
+        kd = kd.transpose(1, 3, 0, 2, 4).reshape(L, Hkv, n * ps, hd)
+        vd = vd.transpose(1, 3, 0, 2, 4).reshape(L, Hkv, n * ps, hd)
         rows = jnp.asarray(self._rows(device_pages))
         pool = self.runner.kv_pool
-        pool.k_pages = pool.k_pages.at[:, rows].set(jnp.asarray(kd))
-        pool.v_pages = pool.v_pages.at[:, rows].set(jnp.asarray(vd))
+        pool.k_pages = pool.k_pages.at[:, :, rows].set(jnp.asarray(kd))
+        pool.v_pages = pool.v_pages.at[:, :, rows].set(jnp.asarray(vd))
         self.bytes_to_device += kd.nbytes * 2
 
 

@@ -51,8 +51,9 @@ class KVCachePool:
             store_dtype = dtype
         self.store_dtype = store_dtype
         self.compute_dtype = dtype
-        # flat token dim: pages are row ranges (see ops/ragged_paged_attention)
-        shape = (num_layers, num_pages * page_size, num_kv_heads, head_dim)
+        # head-major flat token dim: pages are row ranges of dim 2
+        # (see ops/ragged_paged_attention layout note)
+        shape = (num_layers, num_kv_heads, num_pages * page_size, head_dim)
 
         def _zeros():
             z = jnp.zeros(shape, store_dtype)

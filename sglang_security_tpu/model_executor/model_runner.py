@@ -149,6 +149,8 @@ class ModelRunner:
     # ------------------------------------------------------------------
     @staticmethod
     def _sampling_mode(plan: BatchPlan) -> str:
+        from sglang_security_tpu.layers.sampler import APPROX_TOPK
+
         if (np.asarray(plan.temperature) == 0).all():
             return "greedy"
         unfiltered = (
@@ -156,7 +158,13 @@ class ModelRunner:
             and (np.asarray(plan.top_k) <= 0).all()
             and (np.asarray(plan.min_p) <= 0.0).all()
         )
-        return "categorical" if unfiltered else "topk"
+        if unfiltered:
+            return "categorical"
+        # a requested top_k beyond the approximate window must take the
+        # exact full-vocab-sort path or the user's k would silently clamp
+        if (np.asarray(plan.top_k) > APPROX_TOPK).any():
+            return "full"
+        return "topk"
 
     def get_lora_manager(self):
         if self.lora_manager is None:
@@ -205,7 +213,8 @@ class ModelRunner:
                 counts = counts.at[drop, tokens].add(1, mode="drop")
             return tokens, logprobs, k_pages, v_pages, counts
 
-        fn = jax.jit(step, donate_argnums=(1, 2, 8))
+        # donate the KV pool (1, 2) and the penalty-counts table (7)
+        fn = jax.jit(step, donate_argnums=(1, 2, 7))
         self._step_cache[key] = fn
         logger.info(
             "compiling step T=%d S=%d PPS=%d block_q=%d", T, S, PPS, block_q
@@ -529,15 +538,15 @@ class ModelRunner:
         """Fetch whole pages (all layers) to host: PD prefill-side handoff."""
         rows = jnp.asarray(self._page_rows(pages))
         return jax.device_get(
-            (self.kv_pool.k_pages[:, rows], self.kv_pool.v_pages[:, rows])
+            (self.kv_pool.k_pages[:, :, rows], self.kv_pool.v_pages[:, :, rows])
         )
 
     def import_kv(self, pages: np.ndarray, k_np, v_np) -> None:
         """Inject received pages into the pool: PD decode-side handoff."""
         rows = jnp.asarray(self._page_rows(pages))
         pool = self.kv_pool
-        pool.k_pages = pool.k_pages.at[:, rows].set(jnp.asarray(k_np))
-        pool.v_pages = pool.v_pages.at[:, rows].set(jnp.asarray(v_np))
+        pool.k_pages = pool.k_pages.at[:, :, rows].set(jnp.asarray(k_np))
+        pool.v_pages = pool.v_pages.at[:, :, rows].set(jnp.asarray(v_np))
 
     def flush_cache(self) -> None:
         self.kv_pool.clear()

@@ -32,6 +32,7 @@ class ModelConfig:
     o_bias: bool = False
     mlp_bias: bool = False
     act_fn: str = "silu"
+    qk_norm: bool = False  # per-head q/k RMSNorm (Qwen3, Gemma3)
     sliding_window: Optional[int] = None
     logit_softcap: Optional[float] = None
     attn_softcap: Optional[float] = None
@@ -80,6 +81,7 @@ class ModelConfig:
             or arch.startswith("Qwen2"),
             mlp_bias=d.get("mlp_bias", False),
             act_fn=d.get("hidden_act", "silu"),
+            qk_norm=arch.startswith("Qwen3") or arch.startswith("Gemma3"),
             sliding_window=d.get("sliding_window"),
             logit_softcap=d.get("final_logit_softcapping"),
             attn_softcap=d.get("attn_logit_softcapping"),

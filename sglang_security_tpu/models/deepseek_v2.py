@@ -32,7 +32,7 @@ from sglang_security_tpu.layers.linear import apply_linear
 from sglang_security_tpu.layers.moe import moe_ffn
 from sglang_security_tpu.layers.norms import rms_norm
 from sglang_security_tpu.layers.rotary import compute_inv_freq
-from sglang_security_tpu.models.llama import LlamaForCausalLM, _act
+from sglang_security_tpu.models.llama import LlamaForCausalLM, _act, _scatter_kv
 from sglang_security_tpu.ops.ragged_paged_attention import (
     ragged_paged_attention,
 )
@@ -48,9 +48,15 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 config.qk_rope_head_dim, config.rope_theta, config.rope_scaling
             )
         )
-        self.capacity_factor = 2.0
 
     # ------------------------------------------------------------- helpers
+    @property
+    def _noaux_tc(self) -> bool:
+        """DeepSeek-V3/R1 aux-loss-free routing: e_score_correction_bias
+        added to sigmoid scores for expert *selection* (combine weights
+        stay un-biased), plus group-limited top-k (HF topk_method)."""
+        return self.config.raw.get("topk_method") == "noaux_tc"
+
     @property
     def _dims(self):
         cfg = self.config
@@ -116,6 +122,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 [rand(I, H) for _ in range(E)]
             ).astype(dtype),
         }
+        if self._noaux_tc:
+            p["router_bias"] = jnp.zeros((E,), jnp.float32)
         if cfg.num_shared_experts:
             Is = I * cfg.num_shared_experts
             p["shared_gate_up"] = lin_merged(H, [Is, Is], False)
@@ -230,6 +238,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 p["down"] = {"w": t(m + "down_proj.weight").T.astype(dtype)}
             else:
                 p["router"] = t(m + "gate.weight").T.astype(jnp.float32)
+                if self._noaux_tc:
+                    p["router_bias"] = t(
+                        m + "gate.e_score_correction_bias"
+                    ).astype(jnp.float32)
                 gus, downs = [], []
                 for e in range(cfg.num_experts):
                     ep = m + f"experts.{e}."
@@ -333,27 +345,17 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         v_vec = jnp.concatenate(
             [c_kv, jnp.zeros((T, hd_pad - c), h.dtype)], axis=-1
         )[:, None, :]
-        k_pages = k_pages.at[li, safe_slots].set(
-            k_vec.astype(k_pages.dtype), mode="drop"
-        )
-        v_pages = v_pages.at[li, safe_slots].set(
-            v_vec.astype(v_pages.dtype), mode="drop"
+        k_pages, v_pages = _scatter_kv(
+            k_pages, v_pages, k_vec, v_vec, li, safe_slots
         )
 
-        attn = ragged_paged_attention(
-            q_full,
-            k_pages,
-            v_pages,
-            fb.kv_lens,
-            fb.page_indices,
-            fb.q_starts,
-            fb.q_lens,
-            page_size=self.kv_page_size,
-            layer=li,
+        attn = self._paged_attention(
+            q_full, k_pages, v_pages, fb, li,
             sm_scale=self._sm_scale(),
+            sliding_window=None,
+            soft_cap=None,
             block_q=min(block_q, MLA_PREFILL_BLOCK_Q) if block_q > 1 else 1,
-            pages_per_block=max(1, min(pages_per_block,
-                                       256 // self.kv_page_size)),
+            pages_per_block=pages_per_block,
             interpret=interpret,
         )  # [T, Hq, hd_pad]
         attn_c = attn[..., :c]  # latent-space output
@@ -409,9 +411,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             lp["experts_down"],
             top_k=cfg.num_experts_per_tok,
             act=_act(cfg.act_fn),
-            capacity_factor=self.capacity_factor,
             renormalize=bool(cfg.raw.get("norm_topk_prob", False)),
             scoring=cfg.raw.get("scoring_func", "softmax"),
+            correction_bias=lp.get("router_bias"),
+            n_group=cfg.raw.get("n_group"),
+            topk_group=cfg.raw.get("topk_group"),
             ep_axis=tp_axis,
             ep_size=tp_size,
             routed_scaling=rs,

@@ -20,7 +20,7 @@ from jax import lax
 
 from sglang_security_tpu.layers.linear import apply_linear
 from sglang_security_tpu.layers.norms import rms_norm
-from sglang_security_tpu.models.llama import LlamaForCausalLM, _act
+from sglang_security_tpu.models.llama import LlamaForCausalLM, _act, _scatter_kv
 from sglang_security_tpu.ops.ragged_paged_attention import (
     ragged_paged_attention,
 )
@@ -39,8 +39,15 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         sw = self.config.sliding_window
         if sw is None:
             return None
+        lt = self.config.raw.get("layer_types")
+        if lt:  # newer HF configs list each layer's attention type
+            return sw if lt[li] == "sliding_attention" else None
         pattern = self.config.raw.get("sliding_window_pattern", 2)
         return sw if (li % pattern) != (pattern - 1) else None
+
+    def _layer_inv_freq(self, li: int):
+        """RoPE frequencies for layer li (Gemma3 overrides: local vs global)."""
+        return self.inv_freq
 
     # ------------------------------------------------------------- params
     def _ffn_params_dummy(self, i, rand, lin, lin_merged, dtype):
@@ -77,8 +84,11 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         self._raw_get = get_tensor
 
         def wrapped(name):
-            if name.endswith("input_layernorm.weight") or name.endswith(
-                "model.norm.weight"
+            if (
+                name.endswith("input_layernorm.weight")
+                or name.endswith("model.norm.weight")
+                or name.endswith("q_norm.weight")
+                or name.endswith("k_norm.weight")
             ):
                 return get_tensor(name) + 1.0
             if "post_attention_layernorm" in name:
@@ -108,24 +118,18 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         q = q.reshape(T, Hq, hd)
         k = k.reshape(T, Hkv, hd)
         v = v.reshape(T, Hkv, hd)
-        q, k = apply_rope(q, k, fb.positions, self.inv_freq)
-        k_pages = k_pages.at[li, safe_slots].set(
-            k.astype(k_pages.dtype), mode="drop"
-        )
-        v_pages = v_pages.at[li, safe_slots].set(
-            v.astype(v_pages.dtype), mode="drop"
-        )
-        attn = ragged_paged_attention(
-            q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
-            fb.q_starts, fb.q_lens,
-            page_size=self.kv_page_size,
-            layer=li,
+        if "q_norm" in lp:  # gemma3: per-head QK RMSNorm ((1+w) folded at load)
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        q, k = apply_rope(q, k, fb.positions, self._layer_inv_freq(li))
+        k_pages, v_pages = _scatter_kv(k_pages, v_pages, k, v, li, safe_slots)
+        attn = self._paged_attention(
+            q, k_pages, v_pages, fb, li,
             sm_scale=self._sm_scale(),
             sliding_window=self._layer_sliding(li),
             soft_cap=cfg.attn_softcap,
             block_q=block_q,
-            pages_per_block=max(1, min(pages_per_block,
-                                       256 // self.kv_page_size)),
+            pages_per_block=pages_per_block,
             interpret=interpret,
         )
         o = apply_linear(attn.reshape(T, Hq * hd), lp["o"])
@@ -141,4 +145,31 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
 
 
 class Gemma3ForCausalLM(Gemma2ForCausalLM):
-    pass
+    """Gemma3 text (reference ``srt/models/gemma3_causal.py``): adds
+    per-head QK RMSNorm (handled via cfg.qk_norm in the shared body) and
+    dual RoPE — sliding-window layers use ``rope_local_base_freq`` with
+    no scaling while global layers use ``rope_theta`` with the config's
+    (linear, factor-8) rope_scaling."""
+
+    def __init__(self, config, quantization=None, tp_size: int = 1):
+        super().__init__(config, quantization, tp_size)
+        from sglang_security_tpu.layers.rotary import compute_inv_freq
+
+        local_base = config.raw.get("rope_local_base_freq", 10000.0)
+        self.inv_freq_local = jnp.asarray(
+            compute_inv_freq(config.head_dim, local_base, None)
+        )
+        # default sliding pattern differs from gemma2 (5 local : 1 global)
+        if (
+            config.sliding_window is not None
+            and "sliding_window_pattern" not in config.raw
+            and "layer_types" not in config.raw
+        ):
+            config.raw["sliding_window_pattern"] = 6
+
+    def _layer_inv_freq(self, li: int):
+        return (
+            self.inv_freq_local
+            if self._layer_sliding(li) is not None
+            else self.inv_freq
+        )

@@ -40,6 +40,7 @@ from sglang_security_tpu.layers.rotary import apply_rope, compute_inv_freq
 from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
 from sglang_security_tpu.models.config import ModelConfig
 from sglang_security_tpu.ops.ragged_paged_attention import (
+    paged_decode_attention,
     ragged_paged_attention,
 )
 
@@ -47,6 +48,28 @@ from sglang_security_tpu.ops.ragged_paged_attention import (
 def _act(name: str):
     return {"silu": jax.nn.silu, "gelu": jax.nn.gelu,
             "gelu_pytorch_tanh": functools.partial(jax.nn.gelu, approximate=True)}[name]
+
+
+def _scatter_kv(k_pages, v_pages, k, v, li, safe_slots):
+    """Scatter new-token K/V into layer ``li`` of the head-major pool
+    [L, Hkv, tokens, hd].
+
+    Uses explicit (head, slot) index arrays so every scatter update window
+    is a single [hd] row: with [T, Hkv, hd]-window updates XLA prefers a
+    token-major physical layout for the pool and inserts a full-pool copy
+    to satisfy the attention kernel's row-major operand (3 GB per step —
+    the round-2 bench OOM), whereas row-window updates are layout-neutral
+    and leave the pool row-major end to end."""
+    Hkv = k_pages.shape[1]
+    head_idx = jnp.arange(Hkv, dtype=jnp.int32)[:, None]  # [Hkv, 1]
+    slot_idx = safe_slots[None, :]  # [1, T]
+    k_pages = k_pages.at[li, head_idx, slot_idx].set(
+        k.astype(k_pages.dtype).transpose(1, 0, 2), mode="drop"
+    )
+    v_pages = v_pages.at[li, head_idx, slot_idx].set(
+        v.astype(v_pages.dtype).transpose(1, 0, 2), mode="drop"
+    )
+    return k_pages, v_pages
 
 
 class LlamaForCausalLM:
@@ -155,7 +178,7 @@ class LlamaForCausalLM:
             )
 
         def one_layer(i):
-            return {
+            p = {
                 "input_norm": jnp.ones((H,), dtype),
                 "post_norm": jnp.ones((H,), dtype),
                 "qkv": lin_merged(
@@ -164,6 +187,10 @@ class LlamaForCausalLM:
                 "o": lin(Hq * hd, H, cfg.o_bias),
                 **self._ffn_params_dummy(i, rand, lin, lin_merged, dtype),
             }
+            if cfg.qk_norm:
+                p["q_norm"] = jnp.ones((hd,), dtype)
+                p["k_norm"] = jnp.ones((hd,), dtype)
+            return p
 
         if unique_layers:
             layers = [one_layer(i) for i in range(cfg.num_layers)]
@@ -220,20 +247,22 @@ class LlamaForCausalLM:
             p = f"model.layers.{i}."
             a = p + "self_attn."
             m = p + "mlp."
-            layers.append(
-                {
-                    "input_norm": t(p + "input_layernorm.weight").astype(dtype),
-                    "post_norm": t(p + "post_attention_layernorm.weight").astype(dtype),
-                    "qkv": lin_merged(
-                        [a + "q_proj.weight", a + "k_proj.weight", a + "v_proj.weight"],
-                        [a + "q_proj.bias", a + "k_proj.bias", a + "v_proj.bias"]
-                        if cfg.qkv_bias
-                        else None,
-                    ),
-                    "o": lin_merged([a + "o_proj.weight"], None),
-                    **self._ffn_params_load(i, t, lin_merged, dtype),
-                }
-            )
+            lp = {
+                "input_norm": t(p + "input_layernorm.weight").astype(dtype),
+                "post_norm": t(p + "post_attention_layernorm.weight").astype(dtype),
+                "qkv": lin_merged(
+                    [a + "q_proj.weight", a + "k_proj.weight", a + "v_proj.weight"],
+                    [a + "q_proj.bias", a + "k_proj.bias", a + "v_proj.bias"]
+                    if cfg.qkv_bias
+                    else None,
+                ),
+                "o": lin_merged([a + "o_proj.weight"], None),
+                **self._ffn_params_load(i, t, lin_merged, dtype),
+            }
+            if cfg.qk_norm:
+                lp["q_norm"] = t(a + "q_norm.weight").astype(dtype)
+                lp["k_norm"] = t(a + "k_norm.weight").astype(dtype)
+            layers.append(lp)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
         params = {
             "embed": t("model.embed_tokens.weight").astype(dtype),
@@ -270,7 +299,7 @@ class LlamaForCausalLM:
         """
         cfg = self.config
         T = fb.token_ids.shape[0]
-        num_tokens = k_pages.shape[1]  # flat pool [L, tokens, Hkv, hd]
+        num_tokens = k_pages.shape[2]  # flat pool [L, Hkv, tokens, hd]
 
         x = params["embed"][fb.token_ids]  # [T, H]
         if self._embed_scale() != 1.0:
@@ -387,34 +416,20 @@ class LlamaForCausalLM:
         q = q.reshape(T, Hq, hd)
         k = k.reshape(T, Hkv, hd)
         v = v.reshape(T, Hkv, hd)
+        if "q_norm" in lp:  # per-head QK RMSNorm (Qwen3-family)
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = apply_rope(q, k, fb.positions, self.inv_freq)
 
-        # scatter new K/V into layer li of the flat [L, tokens, Hkv, hd]
-        # pool: leading index dims + contiguous trailing window, so XLA
-        # scatters into the donated scan carry in place (no layout copies).
-        k_pages = k_pages.at[li, safe_slots].set(
-            k.astype(k_pages.dtype), mode="drop"
-        )
-        v_pages = v_pages.at[li, safe_slots].set(
-            v.astype(v_pages.dtype), mode="drop"
-        )
+        k_pages, v_pages = _scatter_kv(k_pages, v_pages, k, v, li, safe_slots)
 
-        attn = ragged_paged_attention(
-            q,
-            k_pages,
-            v_pages,
-            fb.kv_lens,
-            fb.page_indices,
-            fb.q_starts,
-            fb.q_lens,
-            page_size=self.kv_page_size,
-            layer=li,
+        attn = self._paged_attention(
+            q, k_pages, v_pages, fb, li,
             sm_scale=hd**-0.5,
             sliding_window=cfg.sliding_window,
             soft_cap=cfg.attn_softcap,
             block_q=block_q,
-            pages_per_block=max(1, min(pages_per_block,
-                                       256 // self.kv_page_size)),
+            pages_per_block=pages_per_block,
             interpret=interpret,
         )
         attn2 = attn.reshape(T, Hq * hd)
@@ -428,6 +443,36 @@ class LlamaForCausalLM:
         if tp_axis is not None:
             o = lax.psum(o, tp_axis)
         return o, k_pages, v_pages
+
+    def _paged_attention(
+        self, q, k_pages, v_pages, fb, li, *, sm_scale, sliding_window,
+        soft_cap, block_q, pages_per_block, interpret,
+    ):
+        """Dispatch decode (block_q==1) to the specialized multi-seq-per-cell
+        kernel; prefill/extend/verify to the generic ragged kernel."""
+        if block_q == 1:
+            return paged_decode_attention(
+                q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
+                page_size=self.kv_page_size,
+                layer=li,
+                sm_scale=sm_scale,
+                sliding_window=sliding_window,
+                soft_cap=soft_cap,
+                interpret=interpret,
+            )
+        return ragged_paged_attention(
+            q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
+            fb.q_starts, fb.q_lens,
+            page_size=self.kv_page_size,
+            layer=li,
+            sm_scale=sm_scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+            block_q=block_q,
+            pages_per_block=max(1, min(pages_per_block,
+                                       256 // self.kv_page_size)),
+            interpret=interpret,
+        )
 
     def compute_logits(
         self, params, hidden: jax.Array, tp_axis: Optional[str] = None

@@ -26,7 +26,6 @@ from sglang_security_tpu.models.llama import LlamaForCausalLM, _act
 class MixtralForCausalLM(LlamaForCausalLM):
     renormalize = True
     has_shared_expert = False
-    capacity_factor = 1.5  # raise to num_experts/top_k for drop-free routing
 
     def _moe_dims(self):
         cfg = self.config
@@ -116,7 +115,6 @@ class MixtralForCausalLM(LlamaForCausalLM):
             lp["experts_down"],
             top_k=cfg.num_experts_per_tok,
             act=_act(cfg.act_fn),
-            capacity_factor=self.capacity_factor,
             renormalize=self.renormalize,
             ep_axis=tp_axis,  # experts sharded over the tp axis (EP=TP mesh)
             ep_size=tp_size,

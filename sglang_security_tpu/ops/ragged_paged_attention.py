@@ -11,16 +11,18 @@ and ``sgl-kernel/csrc/attention/``):
     separate "merge attention states" cascade kernel for chunked prefix
     (``merge_attn_states.cu``); here it falls out of the unified layout.
 
-  * Layout: ``{k,v}_pages: [num_layers, num_tokens, num_kv_heads, head_dim]``
-    with the token dim *flat* (a page is rows [pg*page_size, (pg+1)*page_size)).
-    This single layout serves three masters with zero copies:
-      - the model's KV-write scatter (`at[layer, slots]`, trailing window
-        dims contiguous, so XLA updates the donated scan carry in place),
-      - this kernel's page DMAs (one contiguous [page_size, Hkv*hd] block
-        per page, every page byte moved exactly once), and
-      - TP sharding (head dim shards over the mesh's ``tp`` axis).
-    KV heads are an **in-kernel loop**, not a grid dimension, so GQA pages
-    are never re-fetched per head.
+  * Layout: ``{k,v}_pages: [num_layers, num_kv_heads, num_tokens, head_dim]``
+    — *head-major*, with the token dim flat (a page is rows
+    [pg*page_size, (pg+1)*page_size) of dim 2).  This serves three masters:
+      - the model's KV-write scatter (`at[layer, :, slots]`; XLA scatters
+        into the donated scan carry in place),
+      - both kernels' page DMAs: a page fetch is one 3-D copy
+        [Hkv, page_size, head_dim] whose per-head K/V slabs land
+        *contiguous* in VMEM, so the per-head (and whole-head-folded)
+        matmuls read [tokens, head_dim] blocks with no strided relayout,
+      - TP sharding (the head dim shards over the mesh's ``tp`` axis).
+    KV heads are an **in-kernel loop / folded matmul**, not a grid
+    dimension, so GQA pages are never re-fetched per head.
 
   * "Aligned-ragged" query layout: each sequence's new tokens start at a
     ``block_q``-aligned row of the flattened token axis (the scheduler packs
@@ -201,15 +203,15 @@ def _kernel(
             row0 = pg * page_size
             copies.append(
                 pltpu.make_async_copy(
-                    k_pages_ref.at[layer, pl.ds(row0, page_size)],
-                    k_buf.at[slot, pl.ds(p * page_size, page_size)],
+                    k_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                    k_buf.at[slot, :, pl.ds(p * page_size, page_size)],
                     k_sems.at[slot],
                 )
             )
             copies.append(
                 pltpu.make_async_copy(
-                    v_pages_ref.at[layer, pl.ds(row0, page_size)],
-                    v_buf.at[slot, pl.ds(p * page_size, page_size)],
+                    v_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                    v_buf.at[slot, :, pl.ds(p * page_size, page_size)],
                     v_sems.at[slot],
                 )
             )
@@ -271,7 +273,7 @@ def _kernel(
             q_h = q_ref[:, h * q_per_kv : (h + 1) * q_per_kv, :].reshape(
                 rows, head_dim
             )
-            k_h = k_buf[slot, :, h, :]  # [block_kv, d]
+            k_h = k_buf[slot, h]  # [block_kv, d] (contiguous per head)
             qk = lax.dot_general(
                 q_h,
                 k_h,
@@ -293,7 +295,7 @@ def _kernel(
             m_scr[h] = m_next
             l_scr[h] = l_next
 
-            v_h = v_buf[slot, :, h, :]
+            v_h = v_buf[slot, h]
             pv = lax.dot_general(
                 p.astype(v_h.dtype),
                 v_h,
@@ -328,7 +330,7 @@ def _kernel(
 )
 def ragged_paged_attention(
     q,  # [T, num_q_heads, head_dim] (aligned-ragged)
-    k_pages,  # [L, num_tokens, num_kv_heads, head_dim] (flat)
+    k_pages,  # [L, num_kv_heads, num_tokens, head_dim] (flat, head-major)
     v_pages,
     kv_lens,  # [S] i32
     page_indices,  # [S, pages_per_seq] i32
@@ -346,15 +348,14 @@ def ragged_paged_attention(
 ):
     """Unified prefill/decode attention over the paged KV pool.
 
-    Decode is expressed by the `paged_decode_attention` wrapper below
-    (block_q=1, one row per sequence).  The pool layout
-    [L, tokens, Hkv, hd] is shared verbatim with the model's KV-write
-    scatter, so lax.scan over layers threads one donated carry with zero
-    reshape/layout copies; q and the output stay [T, Hq, hd] (no
-    transposes on the hot path).
+    Decode uses the specialized `paged_decode_attention` kernel below
+    (many sequences per grid cell, in-cell kv loop).  The head-major
+    pool layout [L, Hkv, tokens, hd] is shared verbatim with the model's
+    KV-write scatter, so lax.scan over layers threads one donated carry;
+    q and the output stay [T, Hq, hd] (no transposes on the hot path).
     """
     T, num_q_heads, head_dim = q.shape
-    _, _, num_kv_heads, _ = k_pages.shape
+    _, num_kv_heads, _, _ = k_pages.shape
     S, pages_per_seq = page_indices.shape
     q_per_kv = num_q_heads // num_kv_heads
     assert num_q_heads % num_kv_heads == 0
@@ -419,11 +420,11 @@ def ragged_paged_attention(
             ),
             scratch_shapes=[
                 pltpu.VMEM(
-                    (2, pages_per_block * page_size, num_kv_heads, head_dim),
+                    (2, num_kv_heads, pages_per_block * page_size, head_dim),
                     k_pages.dtype,
                 ),
                 pltpu.VMEM(
-                    (2, pages_per_block * page_size, num_kv_heads, head_dim),
+                    (2, num_kv_heads, pages_per_block * page_size, head_dim),
                     v_pages.dtype,
                 ),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -454,9 +455,204 @@ def ragged_paged_attention(
     return out.astype(orig_dtype)
 
 
+# ======================================================================
+# Decode-specialized kernel: many sequences per grid cell
+# ======================================================================
+#
+# Decode attention is HBM-bandwidth bound (each KV byte read once) but the
+# generic kernel's cost at block_q=1 was per-grid-cell *overhead*: one cell
+# per (sequence, kv-block) ~= B cells/layer at ~5us each (PERF_NOTES r1).
+# This kernel amortizes that overhead: each grid cell owns `block_s`
+# sequences and walks their kv blocks with an *in-cell* fori_loop,
+# double-buffering the page DMAs across loop steps.  Per-sequence compute
+# folds ALL query heads into one MXU matmul against the sequence's
+# head-major KV block ([Hq, hd] x [hd, Hkv*blk] -> [Hq, Hkv*blk]); the
+# block-diagonal (head-matched) entries are then selected with lane-block
+# masks.  The Hkv-fold wastes MXU flops, but decode attention is >100x
+# from compute-bound, and it turns Hkv tiny M=q_per_kv matmuls into one
+# issue (MXU time is noise; issue overhead was the bottleneck).
+
+
+def _decode_kernel(
+    # --- scalar prefetch ---
+    kv_lens_ref,  # [B] i32
+    page_indices_ref,  # [B * pages_per_seq] i32 (flat)
+    layer_ref,  # [1] i32
+    # --- tensor inputs ---
+    q_ref,  # [block_s, num_q_heads, head_dim] VMEM block
+    k_pages_ref,  # ANY/HBM [L, Hkv, tokens, hd]
+    v_pages_ref,
+    # --- outputs ---
+    o_ref,  # [block_s, num_q_heads, head_dim]
+    # --- scratch ---
+    k_buf,  # [2, block_s, Hkv, blk, hd] VMEM
+    v_buf,
+    k_sems,  # DMA (2,)
+    v_sems,
+    m_scr,  # [block_s, Hq, 128] f32
+    l_scr,
+    acc_scr,  # [block_s, Hq, hd] f32
+    *,
+    block_s: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    num_kv_heads: int,
+    sm_scale: float,
+    sliding_window: Optional[int],
+    soft_cap: Optional[float],
+):
+    sb = pl.program_id(0)
+    blk = pages_per_block * page_size
+    num_q_heads = q_ref.shape[1]
+    g = num_q_heads // num_kv_heads
+    head_dim = q_ref.shape[-1]
+    layer = layer_ref[0]
+
+    def kvlen(s):
+        return kv_lens_ref[sb * block_s + s]
+
+    def nblocks(s):
+        return lax.div(kvlen(s) + blk - 1, blk)
+
+    nmax = nblocks(0)
+    for s in range(1, block_s):
+        nmax = jnp.maximum(nmax, nblocks(s))
+
+    def page_copies(s, j, slot):
+        base = (sb * block_s + s) * pages_per_seq + j * pages_per_block
+        copies = []
+        for p in range(pages_per_block):
+            pg = page_indices_ref[base + p]
+            row0 = pg * page_size
+            copies.append(
+                pltpu.make_async_copy(
+                    k_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                    k_buf.at[slot, s, :, pl.ds(p * page_size, page_size)],
+                    k_sems.at[slot],
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    v_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                    v_buf.at[slot, s, :, pl.ds(p * page_size, page_size)],
+                    v_sems.at[slot],
+                )
+            )
+        return copies
+
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    for s in range(block_s):
+
+        @pl.when(nblocks(s) > 0)
+        def _prefetch_first():
+            for c in page_copies(s, 0, 0):
+                c.start()
+
+    # which kv head each query-head row belongs to: [Hq, 1]
+    row_group = lax.broadcasted_iota(jnp.int32, (num_q_heads, 1), 0) // g
+
+    def body(j, carry):
+        slot = lax.rem(j, 2)
+        nslot = lax.rem(j + 1, 2)
+        for s in range(block_s):
+
+            @pl.when(j + 1 < nblocks(s))
+            def _prefetch_next():
+                for c in page_copies(s, j + 1, nslot):
+                    c.start()
+
+        for s in range(block_s):
+
+            @pl.when(j < nblocks(s))
+            def _compute():
+                for c in page_copies(s, j, slot):
+                    c.wait()
+                q_s = q_ref[s]  # [Hq, hd]
+                k_all = k_buf[slot, s].reshape(num_kv_heads * blk, head_dim)
+                qk_full = lax.dot_general(
+                    q_s,
+                    k_all,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Hq, Hkv*blk] — all (q-head, kv-head) pairs
+                qk_full *= sm_scale
+                if soft_cap is not None:
+                    qk_full = soft_cap * jnp.tanh(qk_full / soft_cap)
+                # select each row's own kv head block -> [Hq, blk]
+                qk = jnp.zeros((num_q_heads, blk), jnp.float32)
+                for h in range(num_kv_heads):
+                    qk += jnp.where(
+                        row_group == h,
+                        qk_full[:, h * blk : (h + 1) * blk],
+                        0.0,
+                    )
+                q_pos = kvlen(s) - 1
+                kv_pos = j * blk + lax.broadcasted_iota(
+                    jnp.int32, (num_q_heads, blk), 1
+                )
+                allow = kv_pos <= q_pos
+                if sliding_window is not None:
+                    allow = jnp.logical_and(
+                        allow, kv_pos > q_pos - sliding_window
+                    )
+                qk = jnp.where(allow, qk, MASK_VALUE)
+
+                m_prev = m_scr[s]
+                l_prev = l_scr[s]
+                m_curr = jnp.max(qk, axis=-1, keepdims=True)  # [Hq, 1]
+                m_next = jnp.maximum(m_prev, m_curr)  # [Hq, 128]
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(qk - m_next[:, 0:1])
+                l_scr[s] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[s] = m_next
+
+                v_all = v_buf[slot, s].reshape(num_kv_heads * blk, head_dim)
+                # block-diagonal p so one matmul handles every head group
+                p_cast = p.astype(v_all.dtype)
+                p_full = jnp.concatenate(
+                    [
+                        jnp.where(row_group == h, p_cast, 0)
+                        for h in range(num_kv_heads)
+                    ],
+                    axis=1,
+                )  # [Hq, Hkv*blk]
+                pv = lax.dot_general(
+                    p_full,
+                    v_all,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[s] = acc_scr[s] * alpha[:, 0:1] + pv
+
+        return carry
+
+    lax.fori_loop(0, nmax, body, 0, unroll=False)
+
+    for s in range(block_s):
+        l = l_scr[s][:, 0:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[s] = (acc_scr[s] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size",
+        "sm_scale",
+        "sliding_window",
+        "soft_cap",
+        "pages_per_block",
+        "block_s",
+        "interpret",
+    ),
+)
 def paged_decode_attention(
     q,  # [B, num_q_heads, head_dim]
-    k_pages,
+    k_pages,  # [L, Hkv, tokens, hd]
     v_pages,
     kv_lens,  # [B] i32 (0 = padded slot)
     page_indices,  # [B, pages_per_seq]
@@ -466,25 +662,103 @@ def paged_decode_attention(
     sm_scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
-    pages_per_block: int = 8,
+    pages_per_block: Optional[int] = None,
+    block_s: int = 16,
     interpret: Optional[bool] = None,
 ):
-    """Batched decode: one query token per sequence (block_q = 1)."""
-    B = q.shape[0]
-    return ragged_paged_attention(
-        q,
-        k_pages,
-        v_pages,
-        kv_lens,
-        page_indices,
-        q_starts=jnp.arange(B, dtype=jnp.int32),
-        q_lens=jnp.where(kv_lens > 0, 1, 0).astype(jnp.int32),
+    """Batched decode: one query token per sequence, `block_s` sequences
+    per grid cell (replaces the reference's decode attention backends,
+    e.g. ``srt/layers/attention/flashinfer_backend.py`` decode wrappers).
+
+    Defaults tuned on v5e (scratch/decode_v2_sweep, B=128, kv~185):
+    block_s=16 with 64-token DMA waves hits ~470 GB/s effective — ~4.4x
+    the round-1 per-(seq, kv-block)-cell decode path."""
+    B, num_q_heads, head_dim = q.shape
+    _, num_kv_heads, _, _ = k_pages.shape
+    S, pages_per_seq = page_indices.shape
+    assert S == B
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    if interpret is None:
+        interpret = use_interpret_mode()
+    if pages_per_block is None:
+        # target ~64-token kv blocks per DMA wave
+        pages_per_block = max(1, 64 // page_size)
+    if B < block_s:
+        block_s = 8
+
+    if B % block_s:
+        pad = block_s - B % block_s
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, (0, pad))
+        page_indices = jnp.pad(page_indices, ((0, pad), (0, 0)))
+    Bp = q.shape[0]
+    if pages_per_seq % pages_per_block:
+        pad = pages_per_block - pages_per_seq % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
+        pages_per_seq += pad
+
+    orig_dtype = q.dtype
+    if num_q_heads < 8:
+        q = q.astype(jnp.float32)  # avoid sub-sublane bf16 tiles
+
+    blk = pages_per_block * page_size
+    kernel = functools.partial(
+        _decode_kernel,
+        block_s=block_s,
+        pages_per_block=pages_per_block,
+        pages_per_seq=pages_per_seq,
         page_size=page_size,
-        layer=layer,
+        num_kv_heads=num_kv_heads,
         sm_scale=sm_scale,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
-        block_q=1,
-        pages_per_block=pages_per_block,
-        interpret=interpret,
     )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(Bp // block_s,),
+            in_specs=[
+                pl.BlockSpec(
+                    (block_s, num_q_heads, head_dim),
+                    lambda sb, *_: (sb, 0, 0),
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_s, num_q_heads, head_dim),
+                lambda sb, *_: (sb, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, block_s, num_kv_heads, blk, head_dim), k_pages.dtype
+                ),
+                pltpu.VMEM(
+                    (2, block_s, num_kv_heads, blk, head_dim), v_pages.dtype
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
+                pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
+                pltpu.VMEM((block_s, num_q_heads, head_dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, num_q_heads, head_dim), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # KV double buffers alone can exceed the 16MB default scoped
+            # limit; v5e has 128MB physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        kv_lens.astype(jnp.int32),
+        page_indices.reshape(-1).astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        q,
+        k_pages,
+        v_pages,
+    )
+    return out[:B].astype(orig_dtype)

@@ -78,6 +78,9 @@ def llama_param_pspecs(params: dict) -> dict:
         "qkv": add_layer_dim(_linear_pspec(lp["qkv"], True)),
         "o": add_layer_dim(_linear_pspec(lp["o"], False)),
     }
+    if "q_norm" in lp:  # per-head QK norm (replicated [L, hd])
+        layers["q_norm"] = P(None, None)
+        layers["k_norm"] = P(None, None)
     if "gate_up" in lp:  # dense FFN
         layers["gate_up"] = add_layer_dim(_linear_pspec(lp["gate_up"], True))
         layers["down"] = add_layer_dim(_linear_pspec(lp["down"], False))
@@ -85,6 +88,8 @@ def llama_param_pspecs(params: dict) -> dict:
         layers["router"] = P(None, None, None)
         layers["experts_gate_up"] = P(None, "tp", None, None)
         layers["experts_down"] = P(None, "tp", None, None)
+        if "router_bias" in lp:
+            layers["router_bias"] = P(None, None)
     if "shared_gate_up" in lp:
         layers["shared_gate_up"] = add_layer_dim(
             _linear_pspec(lp["shared_gate_up"], True)
@@ -107,8 +112,8 @@ def llama_param_pspecs(params: dict) -> dict:
 
 
 def kv_pspec() -> P:
-    """KV pool [L, tokens, Hkv, hd] (flat): shard the head dim over tp."""
-    return P(None, None, "tp", None)
+    """KV pool [L, Hkv, tokens, hd] (flat, head-major): shard heads over tp."""
+    return P(None, "tp", None, None)
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

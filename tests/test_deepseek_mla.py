@@ -28,7 +28,6 @@ def test_config_maps_mla(tiny_ds):
 
 def test_prefill_logits_match_hf(tiny_ds):
     model, params, cfg = load_model(tiny_ds, dtype="float32")
-    model.capacity_factor = float(cfg.num_experts) / cfg.num_experts_per_tok
     token_ids = [1, 17, 93, 203, 44, 150, 7, 77, 31]
     ref = hf_logits(tiny_ds, token_ids)
     ours, *_ = run_prefill(model, params, token_ids, page_size=8, block_q=16)
@@ -42,7 +41,6 @@ def test_decode_matches_hf(tiny_ds):
     from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
 
     model, params, cfg = load_model(tiny_ds, dtype="float32")
-    model.capacity_factor = float(cfg.num_experts) / cfg.num_experts_per_tok
     token_ids = [1, 5, 99, 183, 42, 310, 6]
     next_tok = 77
     ref = hf_logits(tiny_ds, token_ids + [next_tok])

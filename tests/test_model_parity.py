@@ -37,8 +37,8 @@ def run_prefill(model, params, token_ids, page_size=8, block_q=16, dtype=jnp.flo
     pps = 16
     kshape = (
         cfg.num_layers,
-        n_pages * page_size,
         cfg.kv_cache_num_heads,
+        n_pages * page_size,
         cfg.kv_cache_head_dim,
     )
     k_pages = jnp.zeros(kshape, dtype)

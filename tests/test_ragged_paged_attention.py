@@ -13,9 +13,9 @@ from sglang_security_tpu.ops.ragged_paged_attention import (
 
 
 def flat(pages):
-    """[Hkv, P, ps, hd] view -> kernel's flat [1, P*ps, Hkv, hd] layout."""
+    """[Hkv, P, ps, hd] view -> kernel's head-major [1, Hkv, P*ps, hd]."""
     Hkv, P, ps, hd = pages.shape
-    return pages.transpose(1, 2, 0, 3).reshape(1, P * ps, Hkv, hd)
+    return pages.reshape(1, Hkv, P * ps, hd)
 
 
 def make_pool(rng, num_kv_heads, num_pages, page_size, head_dim, dtype=jnp.float32):

@@ -58,7 +58,7 @@ def test_tp2_matches_single_device():
     T, S, PPS = 16, 2, 8
     n = 5
     fb = make_fb(T, S, PPS, n, Pn * ps)
-    kv = jnp.zeros((L, Pn * ps, Hkv, hd), jnp.float32)
+    kv = jnp.zeros((L, Hkv, Pn * ps, hd), jnp.float32)
 
     # single-device reference
     model.kv_page_size = ps
