@@ -35,34 +35,72 @@ class Engine:
         set_random_seed(server_args.random_seed)
 
         self.tokenizer_manager = TokenizerManager(server_args)
-        self.model_runner = ModelRunner(server_args)
 
-        privacy_client = None
-        if server_args.enable_safekv:
-            from sglang_security_tpu.managers.private_service.private_client import (
-                PrivateJudgeClient,
+        # dp_size > 1: in-process data parallelism as engine-level model
+        # replicas, each with its own scheduler thread, KV pool, and radix
+        # cache — the one-process analog of the reference's
+        # DataParallelController (``data_parallel_controller.py:57``),
+        # dispatching by shortest queue (``:258``).  Each replica's
+        # ModelRunner owns a (1, tp) mesh over its tp_size devices.
+        dp = max(server_args.dp_size, 1)
+        tp = max(server_args.tp_size, 1)
+        if dp > 1:
+            import jax
+
+            devs = jax.devices()
+            assert len(devs) >= dp * tp, (
+                f"dp_size={dp} x tp_size={tp} needs {dp * tp} devices; "
+                f"found {len(devs)}"
             )
+            from sglang_security_tpu.parallel.shardings import build_mesh
 
-            privacy_client = PrivateJudgeClient(server_args)
-        self.privacy_client = privacy_client
+            self.model_runners = [
+                ModelRunner(
+                    server_args,
+                    mesh=build_mesh(
+                        tp_size=tp, dp_size=1,
+                        devices=devs[i * tp : (i + 1) * tp],
+                    ),
+                )
+                for i in range(dp)
+            ]
+        else:
+            self.model_runners = [ModelRunner(server_args)]
+        self.model_runner = self.model_runners[0]
 
-        grammar_backend = None
-        if self.tokenizer_manager.tokenizer is not None:
-            from sglang_security_tpu.constrained import GrammarBackend
+        self.privacy_clients = []
+        self.schedulers = []
+        for runner in self.model_runners:
+            privacy_client = None
+            if server_args.enable_safekv:
+                from sglang_security_tpu.managers.private_service.private_client import (
+                    PrivateJudgeClient,
+                )
 
-            grammar_backend = GrammarBackend(
-                self.tokenizer_manager.tokenizer,
-                self.model_runner.config.eos_token_ids,
-                whitespace_pattern=server_args.constrained_json_whitespace_pattern,
+                privacy_client = PrivateJudgeClient(server_args)
+            self.privacy_clients.append(privacy_client)
+
+            grammar_backend = None
+            if self.tokenizer_manager.tokenizer is not None:
+                from sglang_security_tpu.constrained import GrammarBackend
+
+                grammar_backend = GrammarBackend(
+                    self.tokenizer_manager.tokenizer,
+                    runner.config.eos_token_ids,
+                    whitespace_pattern=server_args.constrained_json_whitespace_pattern,
+                )
+            self.schedulers.append(
+                Scheduler(
+                    server_args,
+                    runner,
+                    output_cb=self._on_output,
+                    tokenizer=self.tokenizer_manager.tokenizer,
+                    privacy_client=privacy_client,
+                    grammar_backend=grammar_backend,
+                )
             )
-        self.scheduler = Scheduler(
-            server_args,
-            self.model_runner,
-            output_cb=self._on_output,
-            tokenizer=self.tokenizer_manager.tokenizer,
-            privacy_client=privacy_client,
-            grammar_backend=grammar_backend,
-        )
+        self.scheduler = self.schedulers[0]
+        self.privacy_client = self.privacy_clients[0]
         from sglang_security_tpu.managers.session_controller import (
             SessionController,
         )
@@ -70,17 +108,27 @@ class Engine:
         self.session_controller = (
             SessionController() if server_args.enable_session else None
         )
-        self._in_queue: "queue.Queue" = queue.Queue()
+        self._in_queues = [queue.Queue() for _ in self.schedulers]
+        self._in_queue = self._in_queues[0]
         self._rid_queues: Dict[str, queue.Queue] = {}
         self._rid_lock = threading.Lock()
         self._shutdown = threading.Event()
-        self._work_event = threading.Event()
-        self._loop_thread = threading.Thread(
-            target=self._event_loop, name="scheduler-loop", daemon=True
-        )
-        self._loop_thread.start()
+        self._work_events = [threading.Event() for _ in self.schedulers]
+        self._work_event = self._work_events[0]
+        self._loop_threads = [
+            threading.Thread(
+                target=self._event_loop, args=(i,),
+                name=f"scheduler-loop-{i}", daemon=True,
+            )
+            for i in range(len(self.schedulers))
+        ]
+        for t in self._loop_threads:
+            t.start()
         self._warmup()
-        logger.info("Engine ready (model=%s)", server_args.model_path)
+        logger.info(
+            "Engine ready (model=%s, dp=%d, tp=%d)",
+            server_args.model_path, dp, tp,
+        )
 
     def _warmup(self) -> None:
         """Precompile the standard step buckets so first requests don't
@@ -111,37 +159,43 @@ class Engine:
         logger.info("warmup compiles done in %.1fs", time.time() - t0)
 
     # ------------------------------------------------------------ the loop
-    def _event_loop(self) -> None:
+    def _event_loop(self, idx: int = 0) -> None:
+        scheduler = self.schedulers[idx]
+        in_queue = self._in_queues[idx]
+        work_event = self._work_events[idx]
         while not self._shutdown.is_set():
             drained = False
             while True:
                 try:
-                    item = self._in_queue.get_nowait()
+                    item = in_queue.get_nowait()
                 except queue.Empty:
                     break
                 kind, payload = item
                 if kind == "req":
-                    self.scheduler.add_request(payload)
+                    scheduler.add_request(payload)
                 elif kind == "abort":
-                    self.scheduler.abort_request(payload)
+                    scheduler.abort_request(payload)
                 elif kind == "flush":
-                    payload.put(self.scheduler.flush_cache())
+                    payload.put(scheduler.flush_cache())
                 drained = True
-            if self.scheduler.has_work():
+            if scheduler.has_work():
                 try:
-                    self.scheduler.step()
+                    scheduler.step()
                 except Exception:
                     logger.exception("scheduler step failed; aborting batch")
-                    for r in (
-                        self.scheduler.running + self.scheduler.waiting
-                    ):
-                        self.scheduler.abort_request(r.rid)
+                    doomed = (
+                        scheduler.running + scheduler.waiting
+                        + getattr(scheduler, "inflight", [])
+                    )
+                    for r in doomed:
+                        scheduler.abort_request(r.rid)
                         self._fail_rid(r.rid)
-                    self.scheduler.running.clear()
-                    self.scheduler.waiting.clear()
+                    scheduler.running.clear()
+                    scheduler.waiting.clear()
+                    scheduler.inflight = []
             elif not drained:
-                self._work_event.wait(timeout=0.005)
-                self._work_event.clear()
+                work_event.wait(timeout=0.005)
+                work_event.clear()
 
     def _fail_rid(self, rid: str) -> None:
         q = self._rid_queues.get(rid)
@@ -221,8 +275,18 @@ class Engine:
         q: queue.Queue = queue.Queue()
         with self._rid_lock:
             self._rid_queues[treq.rid] = q
-        self._in_queue.put(("req", req))
-        self._work_event.set()
+        # shortest-queue dispatch across dp replicas (reference
+        # shortest_queue_scheduler, data_parallel_controller.py:258)
+        idx = 0
+        if len(self.schedulers) > 1:
+            idx = min(
+                range(len(self.schedulers)),
+                key=lambda i: len(self.schedulers[i].waiting)
+                + len(self.schedulers[i].running)
+                + self._in_queues[i].qsize(),
+            )
+        self._in_queues[idx].put(("req", req))
+        self._work_events[idx].set()
         return q
 
     def _collect(self, rid: str, q: queue.Queue) -> Dict[str, Any]:
@@ -305,20 +369,27 @@ class Engine:
 
     # ------------------------------------------------------------- control
     def abort_request(self, rid: str) -> None:
-        self._in_queue.put(("abort", rid))
-        self._work_event.set()
+        for q, ev in zip(self._in_queues, self._work_events):
+            q.put(("abort", rid))
+            ev.set()
 
     def flush_cache(self) -> bool:
-        q: queue.Queue = queue.Queue()
-        self._in_queue.put(("flush", q))
-        self._work_event.set()
-        return q.get(timeout=10)
+        ok = True
+        for q, ev in zip(self._in_queues, self._work_events):
+            reply: queue.Queue = queue.Queue()
+            q.put(("flush", reply))
+            ev.set()
+            # generous: the scheduler thread may be mid-compile on a cold
+            # bucket (minutes through the axon tunnel)
+            ok = reply.get(timeout=600) and ok
+        return ok
 
     def update_weights_from_disk(self, model_path: str) -> bool:
         # pause between batches, swap params, resume
-        while self.scheduler.has_work():
+        while any(s.has_work() for s in self.schedulers):
             time.sleep(0.05)
-        self.model_runner.update_weights_from_disk(model_path)
+        for runner in self.model_runners:
+            runner.update_weights_from_disk(model_path)
         return True
 
     def start_profile(self, output_dir: str = "/tmp/sgl_tpu_profile") -> bool:
@@ -365,10 +436,13 @@ class Engine:
 
     def shutdown(self) -> None:
         self._shutdown.set()
-        self._work_event.set()
-        self._loop_thread.join(timeout=5)
-        if self.privacy_client is not None:
-            self.privacy_client.shutdown()
+        for ev in self._work_events:
+            ev.set()
+        for t in self._loop_threads:
+            t.join(timeout=5)
+        for pc in self.privacy_clients:
+            if pc is not None:
+                pc.shutdown()
 
     def __enter__(self):
         return self

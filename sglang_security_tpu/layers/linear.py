@@ -77,7 +77,75 @@ def make_linear_params(
     return p
 
 
-def apply_linear(x: jax.Array, p: dict, group_size: int = 128) -> jax.Array:
+def load_merged_linear(
+    get_tensor,
+    names,  # ['...weight', ...] HF tensor names to merge along N
+    bias_names,
+    quantization: Optional[str],
+    tp_size: int,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Build merged linear params from an HF checkpoint accessor, ingesting
+    real AWQ/GPTQ packed tensors or FP8 weights exactly when present
+    (model_loader/quant_ingest.py); falls back to quantize-at-load of
+    full-precision weights otherwise."""
+    from sglang_security_tpu.model_loader.quant_ingest import (
+        read_awq_linear,
+        read_fp8_linear,
+        read_gptq_linear,
+    )
+
+    prefixes = [n[: -len(".weight")] for n in names]
+
+    def has(name):
+        try:
+            get_tensor(name)
+            return True
+        except KeyError:
+            return False
+
+    bias = None
+    if bias_names and all(has(n) for n in bias_names):
+        bs = [jnp.asarray(get_tensor(n)).astype(jnp.float32) for n in bias_names]
+        _, bias = merge_for_tp([jnp.zeros((1, b.shape[0])) for b in bs],
+                               tp_size, bs)
+
+    if has(prefixes[0] + ".qweight"):
+        reader = (
+            read_gptq_linear if quantization == "gptq" else read_awq_linear
+        )
+        qls = [reader(get_tensor, p) for p in prefixes]
+        q_m, _ = merge_for_tp([jnp.asarray(ql.q) for ql in qls], tp_size)
+        s_m, _ = merge_for_tp([jnp.asarray(ql.scale) for ql in qls], tp_size)
+        z_m, _ = merge_for_tp([jnp.asarray(ql.zero) for ql in qls], tp_size)
+        p = {
+            "packed": pack_int4(q_m.astype(jnp.uint8)),
+            "scale": s_m.astype(jnp.float32),
+            "zero": z_m.astype(jnp.float32),
+        }
+        if bias is not None:
+            p["b"] = bias.astype(dtype)
+        return p
+
+    if has(prefixes[0] + ".weight_scale") or has(
+        prefixes[0] + ".weight_scale_inv"
+    ):
+        ws = [
+            jnp.asarray(read_fp8_linear(get_tensor, p)).T for p in prefixes
+        ]
+        w, b = merge_for_tp(ws, tp_size, None)
+        return make_linear_params(
+            w, bias=bias, quantization=quantization or "fp8", dtype=dtype
+        )
+
+    ws = [jnp.asarray(get_tensor(n)).astype(jnp.float32).T for n in names]
+    w, _ = merge_for_tp(ws, tp_size, None)
+    return make_linear_params(
+        w, bias=bias, quantization=quantization, dtype=dtype
+    )
+
+
+def apply_linear(x: jax.Array, p: dict, group_size: int = 0) -> jax.Array:
     """x: [..., K] -> [..., N]; dispatch on param-dict structure."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
@@ -86,9 +154,11 @@ def apply_linear(x: jax.Array, p: dict, group_size: int = 128) -> jax.Array:
             x2.astype(p["w"].dtype), p["w"], preferred_element_type=jnp.float32
         ).astype(x.dtype)
     elif "packed" in p:
+        # group size is implied by the scale rows: K / (K/G)
+        g = group_size or 2 * p["packed"].shape[0] // p["scale"].shape[0]
         out = int4_matmul(
             x2, p["packed"], p["scale"], p["zero"],
-            group_size=group_size, out_dtype=x.dtype,
+            group_size=g, out_dtype=x.dtype,
         )
     elif "w_q" in p:
         out = w8a8_matmul(x2, p["w_q"], p["w_scale"], out_dtype=x.dtype)

@@ -69,6 +69,10 @@ class Req:
         self.bootstrap_room: Optional[int] = None
         self.lora_path: Optional[str] = None
         self.lora_slot = -1
+        # EAGLE speculative state: feature-table slot + committed (token,
+        # feature) pairs pending draft-extend (speculative/eagle_worker.py)
+        self.spec_slot = -1
+        self.spec_pending: List[int] = []
         self.stream = False
         self.time_stats = TimeStats()
         self.return_logprob = sampling_params.return_logprob

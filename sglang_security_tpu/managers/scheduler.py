@@ -76,6 +76,10 @@ class Scheduler:
                 ),
             )
             if server_args.enable_hierarchical_cache:
+                if server_args.kv_cache_dtype in ("int8", "fp8"):
+                    raise NotImplementedError(
+                        "hierarchical cache with quantized KV not wired yet"
+                    )
                 from sglang_security_tpu.mem_cache.hiradix_cache import (
                     HiCacheController,
                     HiRadixCache,
@@ -100,6 +104,7 @@ class Scheduler:
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
         self.waiting: List[Req] = []
         self.running: List[Req] = []
+        self.inflight: List[Req] = []
         self.chunked_req: Optional[Req] = None
         self.max_running = server_args.max_running_requests or 256
         cfg = self.runner.config
@@ -119,6 +124,14 @@ class Scheduler:
             if self.spec_algorithm == SpeculativeAlgorithm.NGRAM
             else None
         )
+        self.eagle = None
+        if self.spec_algorithm == SpeculativeAlgorithm.EAGLE:
+            from sglang_security_tpu.speculative.eagle_worker import (
+                EagleWorker,
+            )
+
+            self.eagle = EagleWorker(self.runner, server_args)
+            self.runner.eagle = self.eagle
         self.spec_accept_sum = 0
         self.spec_verify_count = 0
         # ---- PD disaggregation ----
@@ -180,10 +193,14 @@ class Scheduler:
         if self.disagg_waiting:
             self._poll_disagg_kv()
         prefill = self._get_prefill_batch()
+        # track the in-flight batch so a crashed step can fail these
+        # requests even though they're in neither waiting nor running
+        self.inflight = prefill or list(self.running)
         if prefill:
             self._run_prefill(prefill)
         elif self.running:
             self._run_decode()
+        self.inflight = []
         self._steps += 1
 
     # ------------------------------------------------------------- prefill
@@ -315,13 +332,45 @@ class Scheduler:
             page_lists=page_lists,
             reqs=reqs,
         )
-        tokens, logprobs = self.runner.execute(plan)
+        if self.eagle is not None:
+            for req in reqs:
+                if req.spec_slot < 0:
+                    req.spec_slot = self.eagle.acquire_slot()
+                    assert req.spec_slot is not None
+            plan.ft_rows = np.asarray(
+                [self.eagle.ft_row(r.spec_slot) for r in reqs], np.int32
+            )
+            tokens, logprobs, x_all = self.runner.execute(plan)
+        else:
+            tokens, logprobs = self.runner.execute(plan)
+        if self.eagle is not None:
+            # build draft KV over this chunk's rows: token t_{j+1} paired
+            # with feature f_j; each final row uses the sampled token
+            T_pad = len(plan.token_ids)
+            draft_tok = np.zeros(T_pad, np.int32)
+            for i, req in enumerate(reqs):
+                row0 = int(plan.q_starts[i])
+                take = takes[i]
+                if take == 0:
+                    continue
+                ids = req.all_ids()
+                start = req.computed_len
+                last = (
+                    int(tokens[i]) if req.extend_len == take
+                    else ids[start + take] if start + take < len(ids) else 0
+                )
+                draft_tok[row0 : row0 + take] = (
+                    ids[start + 1 : start + take] + [last]
+                )
+            self.runner.eagle_draft_prefill(draft_tok)
         for i, req in enumerate(reqs):
             req.computed_len += takes[i]
             if req.extend_len > 0:
                 # mid-chunk: no token produced yet; publish shared prefix
                 self._cache_unfinished(req)
                 continue
+            if self.eagle is not None:
+                req.spec_pending = [int(tokens[i])]
             self._append_token(req, int(tokens[i]), float(logprobs[i]))
             if self.disagg_mode == "prefill":
                 self._send_disagg_kv(req)
@@ -407,11 +456,15 @@ class Scheduler:
         return k
 
     def _run_decode(self) -> None:
-        if self.spec_drafter is not None and not any(
+        spec_ok = not any(
             r.grammar is not None or r.needs_penalties()
             or r.lora_slot >= 0
             for r in self.running
-        ):
+        )
+        if self.eagle is not None and spec_ok:
+            if self._run_eagle_decode():
+                return
+        if self.spec_drafter is not None and spec_ok:
             if self._run_spec_decode():
                 return
         K = self._decode_steps()
@@ -461,6 +514,11 @@ class Scheduler:
                 req.computed_len = req.seq_len  # KV of fed token now exists
                 self._append_token(req, int(tokens[k, i]), float(logprobs[k, i]))
                 produced += 1
+            if self.eagle is not None and req.output_ids:
+                # non-spec fallback round: pending reduces to the last
+                # committed token (its feature is stale; drafts recover
+                # gradually — verify keeps the output lossless regardless)
+                req.spec_pending = [req.output_ids[-1]]
             if req.finished():
                 finished.append(req)
         for req in finished:
@@ -469,6 +527,118 @@ class Scheduler:
             self._release_penalty_slot(req)
         self._decode_tokens_since_log += produced
         self._log_decode_stats()
+
+    def _run_eagle_decode(self) -> bool:
+        """One EAGLE round: draft-extend + K-step chain (one draft-model
+        jit), target verify, greedy accept (reference
+        eagle_worker.py:273 forward_batch_speculative_generation)."""
+        from sglang_security_tpu.speculative.spec_algorithm import accept_draft
+
+        worker = self.eagle
+        K = worker.num_steps
+        rows = K + 1
+        self._maybe_retract(rows)
+        if not self.running:
+            return True
+        reqs = self.running
+        B = len(reqs)
+        R = worker.rows_per_slot
+        # allocate page tails for positions up to n+K-1 first (draft chain
+        # and verify both write there)
+        for req in reqs:
+            need = cdiv(req.seq_len + K, self.page_size) - len(req.pages)
+            if need > 0:
+                pages = self._alloc_pages(need)
+                req.pages = np.concatenate([req.pages, pages])
+        pend_counts = np.zeros(B, np.int32)
+        pend_tokens = np.zeros((B, R), np.int32)
+        extend_slots = np.full((B, R), -1, np.int32)
+        positions0 = np.zeros(B, np.int32)
+        chain_slots = np.zeros((K, B), np.int32)
+        page_lists = []
+        for i, req in enumerate(reqs):
+            n = req.seq_len
+            pend = req.spec_pending[-min(len(req.spec_pending), R) :]
+            A = len(pend)
+            pend_counts[i] = A
+            pend_tokens[i, :A] = pend
+            for j in range(A):
+                p = n - A + j  # pair index; stored at slot(p-1)
+                extend_slots[i, j] = req.token_slot(p - 1, self.page_size)
+            positions0[i] = n
+            for s in range(K):
+                chain_slots[s, i] = req.token_slot(
+                    n - 1 + s, self.page_size
+                )
+            page_lists.append(req.pages)
+        ft_slots = np.asarray([r.spec_slot for r in reqs], np.int32)
+        drafts_mat = worker.draft(
+            pend_counts, pend_tokens, ft_slots, positions0,
+            page_lists, chain_slots, extend_slots,
+        )  # [K, B]
+        drafts = [list(map(int, drafts_mat[:, i])) for i in range(B)]
+
+        # ---- target verify (same batch layout as _run_spec_decode) ----
+        bq = self.runner.SPEC_BLOCK_Q
+        token_ids, positions, slots = [], [], []
+        q_starts, q_lens, kv_lens, out_rows, ft_rows = [], [], [], [], []
+        for i, (req, draft) in enumerate(zip(reqs, drafts)):
+            pos = req.seq_len - 1
+            q_len = 1 + len(draft)
+            fed = [req.all_ids()[pos]] + draft
+            row0 = i * bq
+            token_ids.extend(fed + [0] * (bq - q_len))
+            positions.extend(list(range(pos, pos + q_len)) + [0] * (bq - q_len))
+            slots.extend(
+                [req.token_slot(pos + j, self.page_size) for j in range(q_len)]
+                + [-1] * (bq - q_len)
+            )
+            q_starts.append(row0)
+            q_lens.append(q_len)
+            kv_lens.append(pos + q_len)
+            out_rows.extend(row0 + min(j, q_len - 1) for j in range(rows))
+            ft_rows.extend(
+                worker.ft_row(req.spec_slot, j) for j in range(rows)
+            )
+        plan = self._make_plan(
+            is_decode=False,
+            token_ids=token_ids,
+            positions=positions,
+            slots=slots,
+            q_starts=q_starts,
+            q_lens=q_lens,
+            kv_lens=kv_lens,
+            page_lists=page_lists,
+            reqs=reqs,
+        )
+        plan.out_rows = np.asarray(out_rows, np.int32)
+        plan.ft_rows = np.asarray(ft_rows, np.int32)
+        tokens, logprobs = self.runner.execute_spec_verify(plan, rows)
+
+        finished: List[Req] = []
+        produced = 0
+        for i, (req, draft) in enumerate(zip(reqs, drafts)):
+            sampled = tokens[i * rows : (i + 1) * rows]
+            lps = logprobs[i * rows : (i + 1) * rows]
+            committed = accept_draft(draft, sampled)
+            self.spec_accept_sum += len(committed)
+            self.spec_verify_count += 1
+            req.spec_pending = [int(t) for t in committed]
+            for j, tok in enumerate(committed):
+                if req.finished():
+                    break
+                self._append_token(req, int(tok), float(lps[j]))
+                produced += 1
+            req.computed_len = req.seq_len - 1
+            if req.finished():
+                finished.append(req)
+        for req in finished:
+            self.running.remove(req)
+            self._cache_finished(req)
+            self._release_penalty_slot(req)
+        self._decode_tokens_since_log += produced
+        self._log_decode_stats()
+        return True
 
     def _run_spec_decode(self) -> bool:
         """Draft + single-verify speculative decode round (reference
@@ -587,6 +757,10 @@ class Scheduler:
             self._penalty_free.append(req.penalty_slot)
             req.penalty_slot = -1
         self._release_lora_slot(req)
+        if self.eagle is not None and req.spec_slot >= 0:
+            self.eagle.release_slot(req.spec_slot)
+            req.spec_slot = -1
+            req.spec_pending = []
 
     def _release_lora_slot(self, req: Req) -> None:
         if req.lora_slot >= 0 and self.runner.lora_manager is not None:

@@ -55,118 +55,49 @@ class KVCachePool:
         # (see ops/ragged_paged_attention layout note)
         shape = (num_layers, num_kv_heads, num_pages * page_size, head_dim)
 
-        def _zeros():
-            z = jnp.zeros(shape, store_dtype)
+        def _zeros(shp, dt):
+            z = jnp.zeros(shp, dt)
             if sharding is not None:
                 z = jax.device_put(z, sharding)
             return z
 
-        self.k_pages = _zeros()
-        self.v_pages = _zeros()
-        # per-token dequant scales for quantized KV (bf16; 1/head_dim overhead)
         if kv_quant_dtype is not None:
-            sshape = (num_layers, num_kv_heads, num_pages, page_size, 1)
-            self.k_scales = jnp.ones(sshape, jnp.bfloat16)
-            self.v_scales = jnp.ones(sshape, jnp.bfloat16)
+            # quantized KV rides as a (data, per-token-per-head scale)
+            # pytree so model code threads it opaquely through scan
+            # carries (analog of the reference's fused_downcast storage,
+            # memory_pool.py:416 + per-layer scales)
+            sshape = (num_layers, num_kv_heads, num_pages * page_size)
+            self.k_pages = (
+                _zeros(shape, store_dtype),
+                jnp.ones(sshape, jnp.bfloat16),
+            )
+            self.v_pages = (
+                _zeros(shape, store_dtype),
+                jnp.ones(sshape, jnp.bfloat16),
+            )
         else:
-            self.k_scales = self.v_scales = None
+            self.k_pages = _zeros(shape, store_dtype)
+            self.v_pages = _zeros(shape, store_dtype)
 
     # ------------------------------------------------------------------
     def mem_usage_bytes(self) -> int:
-        n = int(np.prod(self.k_pages.shape)) * self.k_pages.dtype.itemsize * 2
-        if self.k_scales is not None:
-            n += int(np.prod(self.k_scales.shape)) * 2 * 2
-        return n
+        return 2 * sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree.leaves(self.k_pages)
+        )
 
     def buffers(self):
         """The pytree threaded through the jitted step (donated)."""
-        if self.k_scales is None:
-            return (self.k_pages, self.v_pages)
-        return (self.k_pages, self.v_pages, self.k_scales, self.v_scales)
+        return (self.k_pages, self.v_pages)
 
     def update(self, buffers) -> None:
-        if self.k_scales is None:
-            self.k_pages, self.v_pages = buffers
-        else:
-            self.k_pages, self.v_pages, self.k_scales, self.v_scales = buffers
+        self.k_pages, self.v_pages = buffers
 
     def clear(self) -> None:
-        self.k_pages = jnp.zeros_like(self.k_pages)
-        self.v_pages = jnp.zeros_like(self.v_pages)
+        self.k_pages = jax.tree.map(jnp.zeros_like, self.k_pages)
+        self.v_pages = jax.tree.map(jnp.zeros_like, self.v_pages)
 
 
-def write_kv(
-    k_pages: jax.Array,  # [Hkv, P, ps, hd] (one layer)
-    v_pages: jax.Array,
-    k_new: jax.Array,  # [T, Hkv, hd]
-    v_new: jax.Array,
-    slots: jax.Array,  # [T] i32 global token slot = page * page_size + offset
-) -> Tuple[jax.Array, jax.Array]:
-    """Scatter new-token K/V into the page pool (one layer), via XLA scatter.
-
-    Rows with slot < 0 (padding) are dropped.  This replaces the
-    reference's set_kv_buffer CUDA path; a plain scatter is
-    bandwidth-optimal here and XLA fuses the dtype conversion.
-    """
-    Hkv, P, ps, hd = k_pages.shape
-    flat_k = k_pages.reshape(Hkv, P * ps, hd)
-    flat_v = v_pages.reshape(Hkv, P * ps, hd)
-    safe = jnp.where(slots < 0, P * ps, slots)  # OOB rows are dropped
-    kn = k_new.astype(k_pages.dtype).transpose(1, 0, 2)  # [Hkv, T, hd]
-    vn = v_new.astype(v_pages.dtype).transpose(1, 0, 2)
-    flat_k = flat_k.at[:, safe].set(kn, mode="drop")
-    flat_v = flat_v.at[:, safe].set(vn, mode="drop")
-    return flat_k.reshape(k_pages.shape), flat_v.reshape(v_pages.shape)
-
-
-def write_kv_quantized(
-    k_pages: jax.Array,  # int8/fp8 [Hkv, P, ps, hd]
-    v_pages: jax.Array,
-    k_scales: jax.Array,  # [Hkv, P, ps, 1] bf16
-    v_scales: jax.Array,
-    k_new: jax.Array,  # [T, Hkv, hd] bf16
-    v_new: jax.Array,
-    slots: jax.Array,
-):
-    """Per-token symmetric quantize + scatter (analog of fused_downcast)."""
-    Hkv, P, ps, hd = k_pages.shape
-    if k_pages.dtype == jnp.int8:
-        qmax = 127.0
-        cast = lambda x: jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
-    else:
-        qmax = 448.0  # e4m3 max
-        cast = lambda x: x.astype(k_pages.dtype)
-
-    def quant(x):  # [T, Hkv, hd] -> (q, scale[T, Hkv, 1])
-        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-        scale = jnp.maximum(amax, 1e-6) / qmax
-        return cast(x.astype(jnp.float32) / scale), scale.astype(jnp.bfloat16)
-
-    kq, ks = quant(k_new)
-    vq, vs = quant(v_new)
-    safe = jnp.where(slots < 0, P * ps, slots)
-    out_k = (
-        k_pages.reshape(Hkv, P * ps, hd)
-        .at[:, safe]
-        .set(kq.transpose(1, 0, 2), mode="drop")
-        .reshape(k_pages.shape)
-    )
-    out_v = (
-        v_pages.reshape(Hkv, P * ps, hd)
-        .at[:, safe]
-        .set(vq.transpose(1, 0, 2), mode="drop")
-        .reshape(v_pages.shape)
-    )
-    out_ks = (
-        k_scales.reshape(Hkv, P * ps, 1)
-        .at[:, safe]
-        .set(ks.transpose(1, 0, 2), mode="drop")
-        .reshape(k_scales.shape)
-    )
-    out_vs = (
-        v_scales.reshape(Hkv, P * ps, 1)
-        .at[:, safe]
-        .set(vs.transpose(1, 0, 2), mode="drop")
-        .reshape(v_scales.shape)
-    )
-    return out_k, out_v, out_ks, out_vs
+def kv_data(pages):
+    """The int8/bf16 data array of a (possibly quantized) KV buffer."""
+    return pages[0] if isinstance(pages, tuple) else pages

@@ -65,11 +65,42 @@ class BatchPlan:
     vocab_mask: Optional[np.ndarray] = None  # [S, V] bool (grammar)
     out_rows: Optional[np.ndarray] = None  # [R] override (spec verify)
     lora_ids: Optional[np.ndarray] = None  # [T] adapter slot per token
+    ft_rows: Optional[np.ndarray] = None  # [R] EAGLE feature-table rows
 
 
 class ModelRunner:
-    def __init__(self, server_args: ServerArgs, mesh=None):
+    def __init__(self, server_args: ServerArgs, mesh=None, devices=None):
+        """``mesh``/``devices``: explicit placement for engine-level DP
+        replicas; by default tp_size > 1 builds a (1, tp) mesh over the
+        first tp_size local devices and the whole step runs under
+        shard_map with TP collectives inside the model (the serving-path
+        analog of the reference's per-rank TP scheduler processes,
+        ``entrypoints/engine.py:537-603`` + ``parallel_state.py:1102``)."""
         self.server_args = server_args
+        sa = server_args
+        if sa.pp_size > 1:
+            raise NotImplementedError(
+                "pp_size > 1 is not implemented yet; use tp_size (mesh TP) "
+                "or dp_size (engine replicas) instead"
+            )
+        if sa.enable_dp_attention:
+            raise NotImplementedError(
+                "enable_dp_attention is not implemented yet"
+            )
+        if sa.sp_size > 1:
+            raise NotImplementedError("sp_size > 1 is not implemented yet")
+        if sa.ep_size not in (1, sa.tp_size):
+            raise ValueError(
+                "experts shard over the tp mesh axis; set ep_size equal to "
+                f"tp_size (got ep_size={sa.ep_size}, tp_size={sa.tp_size})"
+            )
+        self.tp_size = sa.tp_size
+        if mesh is None and sa.tp_size > 1:
+            from sglang_security_tpu.parallel.shardings import build_mesh
+
+            mesh = build_mesh(
+                tp_size=sa.tp_size, dp_size=1, devices=devices
+            )
         self.mesh = mesh
         self.dtype = get_dtype(server_args.dtype)
         self.interpret = use_interpret_mode()
@@ -89,13 +120,46 @@ class ModelRunner:
             quantization=server_args.quantization,
             dtype=server_args.dtype,
             download_dir=server_args.download_dir,
+            tp_size=self.tp_size,
         )
         logger.info("model loaded in %.1fs", time.time() - t0)
+        self._pspecs = None
+        self._kv_pspec = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from sglang_security_tpu.parallel.shardings import (
+                kv_pspec,
+                param_pspecs,
+                shard_params,
+                unroll_pspecs,
+            )
+
+            self._pspecs = param_pspecs(self.params)
+            self.params = shard_params(self.params, self.mesh, self._pspecs)
+            self._kv_pspec = kv_pspec(
+                self.config.kv_cache_num_heads, self.tp_size
+            )
         if server_args.unroll_layers:
             self.params = self.model.unroll_params(self.params)
+            if self._pspecs is not None:
+                from sglang_security_tpu.parallel.shardings import (
+                    unroll_pspecs,
+                )
+
+                self._pspecs = unroll_pspecs(self._pspecs, self.params)
         self.page_size = server_args.page_size
         self.model.kv_page_size = self.page_size
         self.num_pages = self._profile_num_pages()
+        kv_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            kv_sharding = NamedSharding(self.mesh, self._kv_pspec)
+        kv_quant = (
+            server_args.kv_cache_dtype
+            if server_args.kv_cache_dtype in ("int8", "fp8")
+            else None
+        )
         self.kv_pool = KVCachePool(
             num_layers=self.config.num_layers,
             num_kv_heads=self.config.kv_cache_num_heads,
@@ -103,7 +167,13 @@ class ModelRunner:
             page_size=self.page_size,
             head_dim=self.config.kv_cache_head_dim,
             dtype=self.dtype,
+            kv_quant_dtype=kv_quant,
+            sharding=kv_sharding if kv_quant is None else None,
         )
+        if kv_quant is not None and self.mesh is not None:
+            raise NotImplementedError(
+                "quantized KV + mesh TP sharding not wired yet"
+            )
         logger.info(
             "KV pool: %d pages x %d tokens (%.2f GB)",
             self.num_pages,
@@ -111,6 +181,7 @@ class ModelRunner:
             self.kv_pool.mem_usage_bytes() / 1e9,
         )
         self._step_cache: Dict[tuple, callable] = {}
+        self.eagle = None  # EagleWorker when speculative_algorithm == EAGLE
         self._rng_key = jax.random.PRNGKey(server_args.random_seed)
         self.max_penalty_slots = (server_args.max_running_requests or 256) * 2
         self.penalty_counts = None  # lazy [max_slots, V] i32 device array
@@ -123,12 +194,25 @@ class ModelRunner:
     def _profile_num_pages(self) -> int:
         sa = self.server_args
         cfg = self.config
+        if sa.kv_cache_dtype in ("int8", "fp8"):
+            per_elem = 1
+            scale_bytes = 2  # bf16 scale per (token, head)
+        else:
+            per_elem = jnp.dtype(self.dtype).itemsize
+            scale_bytes = 0
         bytes_per_token = (
             cfg.num_layers
             * cfg.kv_cache_num_heads
-            * cfg.kv_cache_head_dim
+            * (cfg.kv_cache_head_dim * per_elem + scale_bytes)
             * 2  # K and V
-            * jnp.dtype(self.dtype).itemsize
+        )
+        # TP shards weights 1/tp per chip; the KV pool shards over heads
+        # when divisible (MLA replicates), so per-chip sizing scales both.
+        kv_div = (
+            self.tp_size
+            if self.tp_size > 1
+            and cfg.kv_cache_num_heads % self.tp_size == 0
+            else 1
         )
         if sa.max_total_tokens is not None:
             tokens = sa.max_total_tokens
@@ -141,9 +225,12 @@ class ModelRunner:
             param_bytes = sum(
                 np.prod(l.shape) * l.dtype.itemsize
                 for l in jax.tree.leaves(self.params)
-            )
+            ) / max(self.tp_size, 1)
             budget = total * sa.mem_fraction_static - param_bytes
-            tokens = max(int(budget // bytes_per_token), 4 * self.page_size)
+            tokens = max(
+                int(budget // (bytes_per_token / kv_div)),
+                4 * self.page_size,
+            )
         return cdiv(tokens, self.page_size) + 1  # +1 for the null page
 
     # ------------------------------------------------------------------
@@ -183,22 +270,60 @@ class ModelRunner:
             return None
         return self.lora_manager.step_params()
 
+    def _shard_step(self, step, n_kv_out: int = 2):
+        """Wrap a step function in shard_map over the runner's mesh: params
+        and KV arrive pre-sharded (TP), everything else is replicated, and
+        the model emits the TP collectives internally."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def wrap(*args):
+            n_in = len(args)
+            in_specs = (self._pspecs, self._kv_pspec, self._kv_pspec) + (
+                P(),
+            ) * (n_in - 3)
+            out_specs = (P(), P()) + (self._kv_pspec,) * n_kv_out + (P(),)
+            return shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )(*args)
+
+        return wrap
+
+    @property
+    def _tp_axis(self):
+        return "tp" if self.mesh is not None else None
+
     def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
-                  penalized: bool = False, mode: str = "topk"):
-        key = (T, S, PPS, block_q, masked, penalized, mode)
+                  penalized: bool = False, mode: str = "topk",
+                  eagle: bool = False):
+        key = (T, S, PPS, block_q, masked, penalized, mode, eagle)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
         model = self.model
         interpret = self.interpret
+        tp_size, tp_axis = self.tp_size, self._tp_axis
 
         def step(params, k_pages, v_pages, fb, st, key, vocab_mask,
-                 counts, slots, lora):
-            hidden, k_pages, v_pages = model.forward(
+                 counts, slots, lora, ft=None, ft_rows=None):
+            out = model.forward(
                 params, k_pages, v_pages, fb, block_q=block_q,
                 interpret=interpret, lora=lora,
+                tp_size=tp_size, tp_axis=tp_axis,
+                return_all=eagle,
             )
-            logits = model.compute_logits(params, hidden)  # [S, V] f32
+            if eagle:
+                hidden, x_all, k_pages, v_pages = out
+            else:
+                hidden, k_pages, v_pages = out
+                x_all = None
+            logits = model.compute_logits(
+                params, hidden, tp_axis=tp_axis
+            )  # [S, V] f32
             row_counts = None
             if penalized:
                 safe = jnp.clip(slots, 0, counts.shape[0] - 1)
@@ -211,13 +336,23 @@ class ModelRunner:
             if penalized:
                 drop = jnp.where(slots < 0, counts.shape[0], slots)
                 counts = counts.at[drop, tokens].add(1, mode="drop")
+            if eagle:
+                # stash this step's features in the flat feature table so
+                # the draft phase reads them without a host round-trip
+                ft = ft.at[ft_rows].set(hidden.astype(ft.dtype), mode="drop")
+                return tokens, logprobs, k_pages, v_pages, counts, ft, x_all
             return tokens, logprobs, k_pages, v_pages, counts
 
-        # donate the KV pool (1, 2) and the penalty-counts table (7)
-        fn = jax.jit(step, donate_argnums=(1, 2, 7))
+        if self.mesh is not None:
+            assert not eagle, "EAGLE + mesh TP not wired yet"
+            step = self._shard_step(step)
+        # donate the KV pool (1, 2), penalty counts (7), feature table (10)
+        donate = (1, 2, 7, 10) if eagle else (1, 2, 7)
+        fn = jax.jit(step, donate_argnums=donate)
         self._step_cache[key] = fn
         logger.info(
-            "compiling step T=%d S=%d PPS=%d block_q=%d", T, S, PPS, block_q
+            "compiling step T=%d S=%d PPS=%d block_q=%d tp=%d",
+            T, S, PPS, block_q, tp_size,
         )
         return fn
 
@@ -232,6 +367,7 @@ class ModelRunner:
             return fn
         model = self.model
         interpret = self.interpret
+        tp_size, tp_axis = self.tp_size, self._tp_axis
 
         def multi(params, k_pages, v_pages, tokens0, positions0, slot_mat,
                   kv_lens0, page_indices, st, key, counts, pslots, lora,
@@ -254,8 +390,9 @@ class ModelRunner:
                 hidden, k_pages, v_pages = model.forward(
                     params, k_pages, v_pages, fb, block_q=1,
                     interpret=interpret, lora=lora,
+                    tp_size=tp_size, tp_axis=tp_axis,
                 )
-                logits = model.compute_logits(params, hidden)
+                logits = model.compute_logits(params, hidden, tp_axis=tp_axis)
                 key, sub = jax.random.split(key)
                 row_counts = None
                 if penalized:
@@ -278,6 +415,8 @@ class ModelRunner:
             )
             return all_toks, all_lps, k_pages, v_pages, counts
 
+        if self.mesh is not None:
+            multi = self._shard_step(multi)
         fn = jax.jit(multi, donate_argnums=(1, 2, 10))
         self._step_cache[key] = fn
         logger.info(
@@ -308,15 +447,23 @@ class ModelRunner:
         )
         self._rng_key, sub = jax.random.split(self._rng_key)
         penalized, counts, pslots = self._get_penalty_state(plan, R)
+        eagle_on = self.eagle is not None and plan.ft_rows is not None
         fn = self._get_step(
             T, R, PPS, bq, plan.vocab_mask is not None, penalized,
-            self._sampling_mode(plan),
+            self._sampling_mode(plan), eagle=eagle_on,
         )
-        tokens, logprobs, k_pages, v_pages, counts = fn(
+        args = [
             self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
             fb, st, sub, vocab_mask, counts, pslots,
             self._lora_step_params() if plan.lora_ids is not None else None,
-        )
+        ]
+        if eagle_on:
+            args += list(self._eagle_ft_args(plan.ft_rows, R))
+            (tokens, logprobs, k_pages, v_pages, counts, ft, _
+             ) = fn(*args)
+            self.eagle.ft = ft
+        else:
+            tokens, logprobs, k_pages, v_pages, counts = fn(*args)
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
         if penalized:
@@ -326,6 +473,21 @@ class ModelRunner:
             np.asarray(jax.device_get(tokens))[:R_real],
             np.asarray(jax.device_get(logprobs))[:R_real],
         )
+
+    def _eagle_ft_args(self, ft_rows: np.ndarray, R: int):
+        ft = self.eagle.ft
+        rows = np.full(R, ft.shape[0], np.int32)  # OOB rows drop
+        rows[: len(ft_rows)] = ft_rows
+        return ft, jnp.asarray(rows)
+
+    def eagle_draft_prefill(self, draft_tok: np.ndarray) -> None:
+        """Run the draft model over the prefill chunk just executed
+        (reference eagle_worker.py forward_draft_extend)."""
+        fb, T, S, PPS, x_all = self._eagle_prefill_ctx
+        dt = np.zeros(T, np.int32)
+        dt[: len(draft_tok)] = draft_tok
+        self.eagle.draft_prefill(fb, x_all, dt, T, S, PPS)
+        self._eagle_prefill_ctx = None
 
     def execute_decode_multi(
         self, plan: BatchPlan, slot_mat: np.ndarray, num_steps: int
@@ -416,11 +578,12 @@ class ModelRunner:
         fb, st, vocab_mask = self._pad_plan(plan, T, S, PPS)
         self._rng_key, sub = jax.random.split(self._rng_key)
         penalized, counts, pslots = self._get_penalty_state(plan, S)
+        eagle_on = self.eagle is not None and plan.ft_rows is not None
         fn = self._get_step(
             T, S, PPS, block_q, plan.vocab_mask is not None, penalized,
-            self._sampling_mode(plan),
+            self._sampling_mode(plan), eagle=eagle_on,
         )
-        tokens, logprobs, k_pages, v_pages, counts = fn(
+        args = [
             self.params,
             self.kv_pool.k_pages,
             self.kv_pool.v_pages,
@@ -431,13 +594,24 @@ class ModelRunner:
             counts,
             pslots,
             self._lora_step_params() if plan.lora_ids is not None else None,
-        )
+        ]
+        x_all = None
+        if eagle_on:
+            args += list(self._eagle_ft_args(plan.ft_rows, S))
+            tokens, logprobs, k_pages, v_pages, counts, ft, x_all = fn(*args)
+            self.eagle.ft = ft
+            if not plan.is_decode:
+                self._eagle_prefill_ctx = (fb, T, S, PPS, x_all)
+        else:
+            tokens, logprobs, k_pages, v_pages, counts = fn(*args)
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
         if penalized:
             self.penalty_counts = counts
         tokens_np = np.asarray(jax.device_get(tokens))[:S_real]
         logprobs_np = np.asarray(jax.device_get(logprobs))[:S_real]
+        if eagle_on:
+            return tokens_np, logprobs_np, x_all
         return tokens_np, logprobs_np
 
     # ------------------------------------------------------------------
@@ -535,18 +709,29 @@ class ModelRunner:
         ).reshape(-1)
 
     def export_kv(self, pages: np.ndarray):
-        """Fetch whole pages (all layers) to host: PD prefill-side handoff."""
+        """Fetch whole pages (all layers) to host: PD prefill-side handoff.
+        (Both plain arrays and quantized (data, scale) pytrees: the token
+        dim is dim 2 in every leaf.)"""
         rows = jnp.asarray(self._page_rows(pages))
         return jax.device_get(
-            (self.kv_pool.k_pages[:, :, rows], self.kv_pool.v_pages[:, :, rows])
+            jax.tree.map(
+                lambda a: a[:, :, rows],
+                (self.kv_pool.k_pages, self.kv_pool.v_pages),
+            )
         )
 
     def import_kv(self, pages: np.ndarray, k_np, v_np) -> None:
         """Inject received pages into the pool: PD decode-side handoff."""
         rows = jnp.asarray(self._page_rows(pages))
         pool = self.kv_pool
-        pool.k_pages = pool.k_pages.at[:, :, rows].set(jnp.asarray(k_np))
-        pool.v_pages = pool.v_pages.at[:, :, rows].set(jnp.asarray(v_np))
+        pool.k_pages = jax.tree.map(
+            lambda a, upd: a.at[:, :, rows].set(jnp.asarray(upd)),
+            pool.k_pages, k_np,
+        )
+        pool.v_pages = jax.tree.map(
+            lambda a, upd: a.at[:, :, rows].set(jnp.asarray(upd)),
+            pool.v_pages, v_np,
+        )
 
     def flush_cache(self) -> None:
         self.kv_pool.clear()
@@ -557,5 +742,15 @@ class ModelRunner:
             model_path,
             quantization=self.server_args.quantization,
             dtype=self.server_args.dtype,
+            tp_size=self.tp_size,
         )
+        if self.mesh is not None:
+            from sglang_security_tpu.parallel.shardings import (
+                param_pspecs,
+                shard_params,
+            )
+
+            params = shard_params(params, self.mesh, param_pspecs(params))
+        if self.server_args.unroll_layers:
+            params = self.model.unroll_params(params)
         self.params = params

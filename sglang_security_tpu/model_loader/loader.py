@@ -69,7 +69,22 @@ class SafetensorsAccessor:
         path = self._index[name]
         if path not in self._files:
             self._files[path] = self._safe_open(path, framework="flax")
-        return self._files[path].get_tensor(name)
+        try:
+            return self._files[path].get_tensor(name)
+        except Exception:
+            # fp8 (e4m3) tensors: the flax/numpy frameworks can't map the
+            # dtype — read through torch and re-view via ml_dtypes
+            import ml_dtypes
+            import numpy as np
+            import torch
+
+            f = self._safe_open(path, framework="pt")
+            t = f.get_tensor(name)
+            if t.dtype == torch.float8_e4m3fn:
+                return t.view(torch.uint8).numpy().view(ml_dtypes.float8_e4m3fn)
+            if t.dtype == torch.float8_e5m2:
+                return t.view(torch.uint8).numpy().view(ml_dtypes.float8_e5m2)
+            return t.numpy()
 
     def keys(self):
         return self._index.keys()
@@ -82,12 +97,21 @@ def load_model(
     dtype: str = "bfloat16",
     download_dir: Optional[str] = None,
     seed: int = 0,
+    tp_size: int = 1,
 ) -> Tuple[object, dict, ModelConfig]:
     """Returns (model, params, config)."""
     model_dir = _resolve_model_path(model_path, download_dir)
     config = ModelConfig.from_pretrained(model_dir)
+    from sglang_security_tpu.model_loader.quant_ingest import (
+        detect_checkpoint_quant,
+    )
+
+    ckpt_quant = detect_checkpoint_quant(config.raw)
+    if ckpt_quant is not None and quantization is None:
+        logger.info("checkpoint carries %s quantization", ckpt_quant)
+        quantization = ckpt_quant
     model_cls = get_model_class(config)
-    model = model_cls(config, quantization=quantization)
+    model = model_cls(config, quantization=quantization, tp_size=tp_size)
     jdtype = get_dtype(dtype)
     if load_format == "dummy":
         logger.info("loading dummy (random) weights for %s", config.architecture)

@@ -59,17 +59,45 @@ def _scatter_kv(k_pages, v_pages, k, v, li, safe_slots):
     token-major physical layout for the pool and inserts a full-pool copy
     to satisfy the attention kernel's row-major operand (3 GB per step —
     the round-2 bench OOM), whereas row-window updates are layout-neutral
-    and leave the pool row-major end to end."""
-    Hkv = k_pages.shape[1]
-    head_idx = jnp.arange(Hkv, dtype=jnp.int32)[:, None]  # [Hkv, 1]
-    slot_idx = safe_slots[None, :]  # [1, T]
-    k_pages = k_pages.at[li, head_idx, slot_idx].set(
-        k.astype(k_pages.dtype).transpose(1, 0, 2), mode="drop"
-    )
-    v_pages = v_pages.at[li, head_idx, slot_idx].set(
-        v.astype(v_pages.dtype).transpose(1, 0, 2), mode="drop"
-    )
-    return k_pages, v_pages
+    and leave the pool row-major end to end.
+
+    Quantized pools arrive as (data, scale) tuples: values are quantized
+    per (token, head) symmetrically and the scales scattered alongside
+    (reference fused_downcast, memory_pool.py:416)."""
+
+    def one(pages, x):
+        if isinstance(pages, tuple):
+            data, scales = pages
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1)  # [T, Hkv]
+            if data.dtype == jnp.int8:
+                qmax = 127.0
+                cast = lambda y: jnp.clip(jnp.round(y), -127, 127).astype(
+                    jnp.int8
+                )
+            else:  # fp8 e4m3
+                qmax = 448.0
+                cast = lambda y: y.astype(data.dtype)
+            scale = jnp.maximum(amax, 1e-6) / qmax
+            xq = cast(xf / scale[:, :, None])
+            Hkv = data.shape[1]
+            head_idx = jnp.arange(Hkv, dtype=jnp.int32)[:, None]
+            slot_idx = safe_slots[None, :]
+            data = data.at[li, head_idx, slot_idx].set(
+                xq.transpose(1, 0, 2), mode="drop"
+            )
+            scales = scales.at[li, head_idx, slot_idx].set(
+                scale.astype(scales.dtype).T, mode="drop"
+            )
+            return data, scales
+        Hkv = pages.shape[1]
+        head_idx = jnp.arange(Hkv, dtype=jnp.int32)[:, None]  # [Hkv, 1]
+        slot_idx = safe_slots[None, :]  # [1, T]
+        return pages.at[li, head_idx, slot_idx].set(
+            x.astype(pages.dtype).transpose(1, 0, 2), mode="drop"
+        )
+
+    return one(k_pages, k), one(v_pages, v)
 
 
 class LlamaForCausalLM:
@@ -226,21 +254,13 @@ class LlamaForCausalLM:
             return jnp.asarray(get_tensor(name)).astype(jnp.float32)
 
         def lin_merged(names, bias_names):
-            ws = [t(n).T for n in names]
-            bs = None
-            if bias_names and all(has(n) for n in bias_names):
-                bs = [t(n) for n in bias_names]
-            w, b = merge_for_tp(ws, self.tp_size, bs)
-            return make_linear_params(
-                w, bias=b, quantization=self.quantization, dtype=dtype
-            )
+            from sglang_security_tpu.layers.linear import load_merged_linear
 
-        def has(name):
-            try:
-                get_tensor(name)
-                return True
-            except KeyError:
-                return False
+            return load_merged_linear(
+                get_tensor, names, bias_names,
+                quantization=self.quantization,
+                tp_size=self.tp_size, dtype=dtype,
+            )
 
         layers = []
         for i in range(cfg.num_layers):
@@ -289,17 +309,23 @@ class LlamaForCausalLM:
         tp_size: int = 1,
         tp_axis: Optional[str] = None,
         lora=None,  # LoRAManager.step_params() pytree, or None
+        return_all: bool = False,  # also return every row's hidden (EAGLE)
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Returns (selected_hidden [S, H], k_pages, v_pages).
+        """Returns (selected_hidden [S, H], k_pages, v_pages); with
+        ``return_all``, (selected, all_hidden [T, H], k_pages, v_pages) —
+        the per-token features EAGLE's draft prefill consumes
+        (reference eagle_worker.py:320 capture_hidden_mode).
 
         With ``tp_axis`` set (inside shard_map over a mesh), params and KV
         arrive pre-sharded: column-parallel projections produce local
         heads; row-parallel outputs are psum'd over the axis — the same
         collective points where the reference issues NCCL all-reduce.
         """
+        from sglang_security_tpu.mem_cache.kv_pool import kv_data
+
         cfg = self.config
         T = fb.token_ids.shape[0]
-        num_tokens = k_pages.shape[2]  # flat pool [L, Hkv, tokens, hd]
+        num_tokens = kv_data(k_pages).shape[2]  # [L, Hkv, tokens, hd]
 
         x = params["embed"][fb.token_ids]  # [T, H]
         if self._embed_scale() != 1.0:
@@ -370,6 +396,8 @@ class LlamaForCausalLM:
             li0 += n_layers
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
+        if return_all:
+            return sel, x, k_pages, v_pages
         return sel, k_pages, v_pages
 
     def unroll_params(self, params):
@@ -449,7 +477,13 @@ class LlamaForCausalLM:
         soft_cap, block_q, pages_per_block, interpret,
     ):
         """Dispatch decode (block_q==1) to the specialized multi-seq-per-cell
-        kernel; prefill/extend/verify to the generic ragged kernel."""
+        kernel; prefill/extend/verify to the generic ragged kernel.
+        Quantized KV (data, scale) tuples unpack into the kernels' in-VMEM
+        dequant path."""
+        k_scales = v_scales = None
+        if isinstance(k_pages, tuple):
+            k_pages, k_scales = k_pages
+            v_pages, v_scales = v_pages
         if block_q == 1:
             return paged_decode_attention(
                 q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
@@ -459,6 +493,8 @@ class LlamaForCausalLM:
                 sliding_window=sliding_window,
                 soft_cap=soft_cap,
                 interpret=interpret,
+                k_scales=k_scales,
+                v_scales=v_scales,
             )
         return ragged_paged_attention(
             q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
@@ -472,6 +508,8 @@ class LlamaForCausalLM:
             pages_per_block=max(1, min(pages_per_block,
                                        256 // self.kv_page_size)),
             interpret=interpret,
+            k_scales=k_scales,
+            v_scales=v_scales,
         )
 
     def compute_logits(
@@ -479,15 +517,17 @@ class LlamaForCausalLM:
     ) -> jax.Array:
         cfg = self.config
         if cfg.tie_word_embeddings:
+            # embed is replicated across tp, so tied logits are full-vocab
+            # locally — no gather
             logits = jnp.dot(
                 hidden.astype(jnp.float32),
                 params["embed"].T.astype(jnp.float32),
             )
         else:
             logits = apply_linear(hidden, params["lm_head"]).astype(jnp.float32)
-        if tp_axis is not None:
-            # vocab-parallel head: gather shards to the full vocab
-            logits = lax.all_gather(logits, tp_axis, axis=1, tiled=True)
+            if tp_axis is not None:
+                # vocab-parallel head: gather shards to the full vocab
+                logits = lax.all_gather(logits, tp_axis, axis=1, tiled=True)
         if cfg.logit_softcap:
             logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
         return logits

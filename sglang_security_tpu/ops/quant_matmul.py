@@ -205,12 +205,16 @@ def int4_matmul(
     zero: jax.Array,  # [K//G, N] f32
     *,
     group_size: int = 128,
-    block_m: int = 256,
+    block_m: int = 2048,
     block_n: int = 256,
     block_k: Optional[int] = None,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
+    """``block_m`` defaults large: the kernel streams (and VPU-dequantizes)
+    the whole weight matrix once per M block, so small blocks multiply
+    both HBM weight traffic and dequant work by M/block_m — ruinous at
+    prefill sizes (M=4096 cost 16x with the old 256 default)."""
     M, K = x.shape
     N = w_packed.shape[1]
     if block_k is None:
@@ -248,6 +252,7 @@ def int4_matmul(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, w_packed, scale, zero)

@@ -127,21 +127,8 @@ def _kernel(
     layer_ref,  # [1] i32: which layer of the stacked KV pool to read
     buffer_index_ref,  # [1] i32 (mutable across grid steps)
     init_flag_ref,  # [1] i32
-    # --- tensor inputs ---
-    q_ref,  # [block_q, num_q_heads, head_dim] (current block, VMEM)
-    k_pages_ref,  # [L, num_tokens, Hkv, d]  (ANY/HBM, flat page view)
-    v_pages_ref,
-    # --- outputs ---
-    o_ref,  # [block_q, num_q_heads, head_dim]
-    # --- scratch ---
-    k_buf,  # [2, ppb * ps, Hkv, d] VMEM
-    v_buf,
-    k_sems,  # DMA (2,)
-    v_sems,
-    m_scr,  # [Hkv, rows, 128] f32
-    l_scr,
-    acc_scr,  # [Hkv, rows, head_dim] f32
-    *,
+    # --- tensor inputs / outputs / scratch (unpacked below) ---
+    *refs,
     block_q: int,
     pages_per_block: int,
     pages_per_seq: int,
@@ -151,7 +138,16 @@ def _kernel(
     sm_scale: float,
     sliding_window: Optional[int],
     soft_cap: Optional[float],
+    quantized: bool = False,
 ):
+    if quantized:
+        (q_ref, k_pages_ref, v_pages_ref, ks_pages_ref, vs_pages_ref,
+         o_ref, k_buf, v_buf, ks_buf, vs_buf, k_sems, v_sems,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_pages_ref, v_pages_ref, o_ref, k_buf, v_buf,
+         k_sems, v_sems, m_scr, l_scr, acc_scr) = refs
+        ks_pages_ref = vs_pages_ref = ks_buf = vs_buf = None
     qb = pl.program_id(0)
     kb = pl.program_id(1)
     block_kv = pages_per_block * page_size
@@ -215,6 +211,21 @@ def _kernel(
                     v_sems.at[slot],
                 )
             )
+            if quantized:
+                copies.append(
+                    pltpu.make_async_copy(
+                        ks_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                        ks_buf.at[slot, :, pl.ds(p * page_size, page_size)],
+                        k_sems.at[slot],
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        vs_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                        vs_buf.at[slot, :, pl.ds(p * page_size, page_size)],
+                        v_sems.at[slot],
+                    )
+                )
         return copies
 
     def start_page_dmas(qb_, kb_, slot):
@@ -273,7 +284,12 @@ def _kernel(
             q_h = q_ref[:, h * q_per_kv : (h + 1) * q_per_kv, :].reshape(
                 rows, head_dim
             )
-            k_h = k_buf[slot, h]  # [block_kv, d] (contiguous per head)
+            if quantized:
+                k_h = k_buf[slot, h].astype(jnp.bfloat16) * ks_buf[
+                    slot, h
+                ].astype(jnp.bfloat16)[:, None]
+            else:
+                k_h = k_buf[slot, h]  # [block_kv, d] (contiguous per head)
             qk = lax.dot_general(
                 q_h,
                 k_h,
@@ -295,7 +311,12 @@ def _kernel(
             m_scr[h] = m_next
             l_scr[h] = l_next
 
-            v_h = v_buf[slot, h]
+            if quantized:
+                v_h = v_buf[slot, h].astype(jnp.bfloat16) * vs_buf[
+                    slot, h
+                ].astype(jnp.bfloat16)[:, None]
+            else:
+                v_h = v_buf[slot, h]
             pv = lax.dot_general(
                 p.astype(v_h.dtype),
                 v_h,
@@ -345,6 +366,8 @@ def ragged_paged_attention(
     block_q: int = 128,
     pages_per_block: int = 8,
     interpret: Optional[bool] = None,
+    k_scales=None,  # [L, Hkv, tokens] bf16 (quantized KV)
+    v_scales=None,
 ):
     """Unified prefill/decode attention over the paged KV pool.
 
@@ -388,6 +411,7 @@ def ragged_paged_attention(
     rows = block_q * q_per_kv
     grid = (num_qblks, num_kvblks)
 
+    quantized = k_scales is not None
     kernel = functools.partial(
         _kernel,
         block_q=block_q,
@@ -399,44 +423,56 @@ def ragged_paged_attention(
         sm_scale=sm_scale,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
+        quantized=quantized,
     )
 
+    in_specs = [
+        pl.BlockSpec(
+            (block_q, num_q_heads, head_dim),
+            lambda qb, kb, *_: (qb, 0, 0),
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [q, k_pages, v_pages]
+    blk_kv = pages_per_block * page_size
+    scratch = [
+        pltpu.VMEM((2, num_kv_heads, blk_kv, head_dim), k_pages.dtype),
+        pltpu.VMEM((2, num_kv_heads, blk_kv, head_dim), v_pages.dtype),
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        inputs += [k_scales, v_scales]
+        scratch += [
+            pltpu.VMEM((2, num_kv_heads, blk_kv), k_scales.dtype),
+            pltpu.VMEM((2, num_kv_heads, blk_kv), v_scales.dtype),
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
+        pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
+        pltpu.VMEM((num_kv_heads, rows, head_dim), jnp.float32),
+    ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (block_q, num_q_heads, head_dim),
-                    lambda qb, kb, *_: (qb, 0, 0),
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (block_q, num_q_heads, head_dim),
                 lambda qb, kb, *_: (qb, 0, 0),
             ),
-            scratch_shapes=[
-                pltpu.VMEM(
-                    (2, num_kv_heads, pages_per_block * page_size, head_dim),
-                    k_pages.dtype,
-                ),
-                pltpu.VMEM(
-                    (2, num_kv_heads, pages_per_block * page_size, head_dim),
-                    v_pages.dtype,
-                ),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
-                pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
-                pltpu.VMEM((num_kv_heads, rows, head_dim), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((T, num_q_heads, head_dim), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -448,9 +484,7 @@ def ragged_paged_attention(
         jnp.asarray(layer, jnp.int32).reshape(1),
         jnp.zeros((1,), jnp.int32),  # buffer index
         jnp.ones((1,), jnp.int32),  # init flag
-        q,
-        k_pages,
-        v_pages,
+        *inputs,
     )
     return out.astype(orig_dtype)
 
@@ -478,21 +512,8 @@ def _decode_kernel(
     kv_lens_ref,  # [B] i32
     page_indices_ref,  # [B * pages_per_seq] i32 (flat)
     layer_ref,  # [1] i32
-    # --- tensor inputs ---
-    q_ref,  # [block_s, num_q_heads, head_dim] VMEM block
-    k_pages_ref,  # ANY/HBM [L, Hkv, tokens, hd]
-    v_pages_ref,
-    # --- outputs ---
-    o_ref,  # [block_s, num_q_heads, head_dim]
-    # --- scratch ---
-    k_buf,  # [2, block_s, Hkv, blk, hd] VMEM
-    v_buf,
-    k_sems,  # DMA (2,)
-    v_sems,
-    m_scr,  # [block_s, Hq, 128] f32
-    l_scr,
-    acc_scr,  # [block_s, Hq, hd] f32
-    *,
+    # --- tensor inputs / outputs / scratch (see unpacking below) ---
+    *refs,
     block_s: int,
     pages_per_block: int,
     pages_per_seq: int,
@@ -501,7 +522,16 @@ def _decode_kernel(
     sm_scale: float,
     sliding_window: Optional[int],
     soft_cap: Optional[float],
+    quantized: bool = False,
 ):
+    if quantized:
+        (q_ref, k_pages_ref, v_pages_ref, ks_pages_ref, vs_pages_ref,
+         o_ref, k_buf, v_buf, ks_buf, vs_buf, k_sems, v_sems,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_pages_ref, v_pages_ref, o_ref, k_buf, v_buf,
+         k_sems, v_sems, m_scr, l_scr, acc_scr) = refs
+        ks_pages_ref = vs_pages_ref = ks_buf = vs_buf = None
     sb = pl.program_id(0)
     blk = pages_per_block * page_size
     num_q_heads = q_ref.shape[1]
@@ -539,6 +569,21 @@ def _decode_kernel(
                     v_sems.at[slot],
                 )
             )
+            if quantized:
+                copies.append(
+                    pltpu.make_async_copy(
+                        ks_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                        ks_buf.at[slot, s, :, pl.ds(p * page_size, page_size)],
+                        k_sems.at[slot],
+                    )
+                )
+                copies.append(
+                    pltpu.make_async_copy(
+                        vs_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                        vs_buf.at[slot, s, :, pl.ds(p * page_size, page_size)],
+                        v_sems.at[slot],
+                    )
+                )
         return copies
 
     m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
@@ -572,7 +617,15 @@ def _decode_kernel(
                 for c in page_copies(s, j, slot):
                     c.wait()
                 q_s = q_ref[s]  # [Hq, hd]
-                k_all = k_buf[slot, s].reshape(num_kv_heads * blk, head_dim)
+                if quantized:
+                    k_all = (
+                        k_buf[slot, s].astype(jnp.bfloat16)
+                        * ks_buf[slot, s].astype(jnp.bfloat16)[..., None]
+                    ).reshape(num_kv_heads * blk, head_dim)
+                else:
+                    k_all = k_buf[slot, s].reshape(
+                        num_kv_heads * blk, head_dim
+                    )
                 qk_full = lax.dot_general(
                     q_s,
                     k_all,
@@ -610,7 +663,15 @@ def _decode_kernel(
                 l_scr[s] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
                 m_scr[s] = m_next
 
-                v_all = v_buf[slot, s].reshape(num_kv_heads * blk, head_dim)
+                if quantized:
+                    v_all = (
+                        v_buf[slot, s].astype(jnp.bfloat16)
+                        * vs_buf[slot, s].astype(jnp.bfloat16)[..., None]
+                    ).reshape(num_kv_heads * blk, head_dim)
+                else:
+                    v_all = v_buf[slot, s].reshape(
+                        num_kv_heads * blk, head_dim
+                    )
                 # block-diagonal p so one matmul handles every head group
                 p_cast = p.astype(v_all.dtype)
                 p_full = jnp.concatenate(
@@ -665,6 +726,8 @@ def paged_decode_attention(
     pages_per_block: Optional[int] = None,
     block_s: int = 16,
     interpret: Optional[bool] = None,
+    k_scales=None,  # [L, Hkv, tokens] bf16 (quantized KV)
+    v_scales=None,
 ):
     """Batched decode: one query token per sequence, `block_s` sequences
     per grid cell (replaces the reference's decode attention backends,
@@ -672,11 +735,16 @@ def paged_decode_attention(
 
     Defaults tuned on v5e (scratch/decode_v2_sweep, B=128, kv~185):
     block_s=16 with 64-token DMA waves hits ~470 GB/s effective — ~4.4x
-    the round-1 per-(seq, kv-block)-cell decode path."""
+    the round-1 per-(seq, kv-block)-cell decode path.
+
+    With ``k_scales``/``v_scales`` the pages hold int8/fp8 values that
+    are dequantized in VMEM right before the matmuls (per-token-per-head
+    scales; the reference's FP8/INT8 KV cache capability)."""
     B, num_q_heads, head_dim = q.shape
     _, num_kv_heads, _, _ = k_pages.shape
     S, pages_per_seq = page_indices.shape
     assert S == B
+    quantized = k_scales is not None
     if sm_scale is None:
         sm_scale = head_dim**-0.5
     if interpret is None:
@@ -713,37 +781,53 @@ def paged_decode_attention(
         sm_scale=sm_scale,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
+        quantized=quantized,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (block_s, num_q_heads, head_dim),
+            lambda sb, *_: (sb, 0, 0),
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM(
+            (2, block_s, num_kv_heads, blk, head_dim), k_pages.dtype
+        ),
+        pltpu.VMEM(
+            (2, block_s, num_kv_heads, blk, head_dim), v_pages.dtype
+        ),
+    ]
+    inputs = [q, k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        inputs += [k_scales, v_scales]
+        scratch += [
+            pltpu.VMEM((2, block_s, num_kv_heads, blk), k_scales.dtype),
+            pltpu.VMEM((2, block_s, num_kv_heads, blk), v_scales.dtype),
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
+        pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
+        pltpu.VMEM((block_s, num_q_heads, head_dim), jnp.float32),
+    ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(Bp // block_s,),
-            in_specs=[
-                pl.BlockSpec(
-                    (block_s, num_q_heads, head_dim),
-                    lambda sb, *_: (sb, 0, 0),
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (block_s, num_q_heads, head_dim),
                 lambda sb, *_: (sb, 0, 0),
             ),
-            scratch_shapes=[
-                pltpu.VMEM(
-                    (2, block_s, num_kv_heads, blk, head_dim), k_pages.dtype
-                ),
-                pltpu.VMEM(
-                    (2, block_s, num_kv_heads, blk, head_dim), v_pages.dtype
-                ),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
-                pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
-                pltpu.VMEM((block_s, num_q_heads, head_dim), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((Bp, num_q_heads, head_dim), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -757,8 +841,6 @@ def paged_decode_attention(
         kv_lens.astype(jnp.int32),
         page_indices.reshape(-1).astype(jnp.int32),
         jnp.asarray(layer, jnp.int32).reshape(1),
-        q,
-        k_pages,
-        v_pages,
+        *inputs,
     )
     return out[:B].astype(orig_dtype)

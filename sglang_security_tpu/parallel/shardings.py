@@ -1,17 +1,21 @@
 """Mesh construction + parameter/KV sharding specs.
 
 The TPU replacement for the reference's rank-process parallel machinery
-(``srt/distributed/parallel_state.py``, TP linear classes): parallelism
-is a ``jax.sharding.Mesh`` with named axes and PartitionSpec trees over
-the param/KV pytrees.  ``shard_map`` wraps the step so the Pallas
-attention kernel runs on local KV heads; collectives (psum after
-row-parallel projections, all-gather of vocab-sharded logits) are
-explicit in the model code — they ride ICI, inserted exactly where the
-reference calls NCCL all-reduce (``srt/models/llama.py`` o_proj/down_proj).
+(``srt/distributed/parallel_state.py:1102-1177``, TP linear classes
+``srt/layers/linear.py:102-1130``): parallelism is a
+``jax.sharding.Mesh`` with named axes and PartitionSpec trees over the
+param/KV pytrees.  ``shard_map`` wraps the step so the Pallas attention
+kernel runs on local KV heads; collectives (psum after row-parallel
+projections, all-gather of vocab-sharded logits) are explicit in the
+model code — they ride ICI, inserted exactly where the reference calls
+NCCL all-reduce (``srt/models/llama.py`` o_proj/down_proj).
 
 Axes:
-  dp — data parallel (batch dim of the step; across pod slices via DCN)
-  tp — tensor parallel (heads / hidden; intra-slice over ICI)
+  dp — data parallel (batch dim of the step; across pod slices via DCN).
+       In-process DP is engine-level (replica per dp rank, reference
+       ``data_parallel_controller.py`` semantics), so runner meshes are
+       (1, tp); the axis exists so specs stay uniform.
+  tp — tensor parallel (heads / hidden / experts; intra-slice over ICI)
 """
 
 from __future__ import annotations
@@ -62,8 +66,18 @@ def _linear_pspec(p: dict, col_parallel: bool) -> dict:
     return spec
 
 
-def llama_param_pspecs(params: dict) -> dict:
-    """PartitionSpec tree for the llama param layout (models/llama.py)."""
+_COL_KEYS = ("qkv", "gate_up", "shared_gate_up")
+_ROW_KEYS = ("o", "down", "shared_down")
+# per-head MLA factors: shard the head dim (dim 1 after the layer stack)
+_HEAD_STACKED = ("w_uk", "w_uv")
+# column-parallel plain arrays (output columns are head-major)
+_COL_PLAIN = ("q_b", "q_proj")
+# expert-stacked weights: shard experts (EP rides the tp axis)
+_EXPERT_KEYS = ("experts_gate_up", "experts_down")
+
+
+def _layer_pspecs(lp: dict) -> dict:
+    """Specs for one stacked layer-group dict (leading dim = layers)."""
 
     def add_layer_dim(spec_dict):
         return jax.tree.map(
@@ -71,56 +85,85 @@ def llama_param_pspecs(params: dict) -> dict:
             is_leaf=lambda x: isinstance(x, P),
         )
 
-    lp = params["layers"]
-    layers = {
-        "input_norm": P(None, None),
-        "post_norm": P(None, None),
-        "qkv": add_layer_dim(_linear_pspec(lp["qkv"], True)),
-        "o": add_layer_dim(_linear_pspec(lp["o"], False)),
-    }
-    if "q_norm" in lp:  # per-head QK norm (replicated [L, hd])
-        layers["q_norm"] = P(None, None)
-        layers["k_norm"] = P(None, None)
-    if "gate_up" in lp:  # dense FFN
-        layers["gate_up"] = add_layer_dim(_linear_pspec(lp["gate_up"], True))
-        layers["down"] = add_layer_dim(_linear_pspec(lp["down"], False))
-    if "router" in lp:  # MoE: experts sharded over tp (expert parallelism)
-        layers["router"] = P(None, None, None)
-        layers["experts_gate_up"] = P(None, "tp", None, None)
-        layers["experts_down"] = P(None, "tp", None, None)
-        if "router_bias" in lp:
-            layers["router_bias"] = P(None, None)
-    if "shared_gate_up" in lp:
-        layers["shared_gate_up"] = add_layer_dim(
-            _linear_pspec(lp["shared_gate_up"], True)
-        )
-        layers["shared_down"] = add_layer_dim(
-            _linear_pspec(lp["shared_down"], False)
-        )
-        layers["shared_gate"] = P(None, None, None)
-    # norms carry the stacked layer dim only
-    layers["input_norm"] = P(None, None)
-    layers["post_norm"] = P(None, None)
-    spec = {
-        "embed": P(None, None),  # replicated (vocab gather stays local)
-        "final_norm": P(None),
-        "layers": layers,
-    }
-    if "lm_head" in params:
-        spec["lm_head"] = _linear_pspec(params["lm_head"], True)
+    def repl(v):
+        ndim = jax.tree.leaves(v)[0].ndim
+        return P(*((None,) * ndim))
+
+    specs = {}
+    for key, val in lp.items():
+        if key in _COL_KEYS:
+            specs[key] = add_layer_dim(_linear_pspec(val, True))
+        elif key in _ROW_KEYS:
+            specs[key] = add_layer_dim(_linear_pspec(val, False))
+        elif key in _COL_PLAIN:
+            specs[key] = P(None, None, "tp")
+        elif key in _HEAD_STACKED:
+            specs[key] = P(None, "tp", None, None)
+        elif key in _EXPERT_KEYS:
+            specs[key] = P(None, "tp", None, None)
+        else:
+            # norms, routers, kv_a, biases ... — replicated
+            specs[key] = jax.tree.map(
+                lambda a: P(*((None,) * a.ndim)), val
+            ) if isinstance(val, dict) else repl(val)
+    return specs
+
+
+def param_pspecs(params: dict) -> dict:
+    """PartitionSpec tree for any model family's param layout (stacked
+    layer groups; call before ``unroll_params``)."""
+    spec = {}
+    for key, val in params.items():
+        if key in ("layers", "dense_layers"):
+            assert not isinstance(val, list), "build pspecs before unrolling"
+            spec[key] = _layer_pspecs(val)
+        elif key == "embed":
+            spec[key] = P(None, None)  # replicated (tied logits stay local)
+        elif key == "final_norm":
+            spec[key] = P(None)
+        elif key == "lm_head":
+            spec[key] = _linear_pspec(val, True)
+        else:
+            spec[key] = jax.tree.map(lambda a: P(*((None,) * a.ndim)), val)
     return spec
 
 
-def kv_pspec() -> P:
-    """KV pool [L, Hkv, tokens, hd] (flat, head-major): shard heads over tp."""
-    return P(None, "tp", None, None)
+# kept for round-1 callers/tests
+llama_param_pspecs = param_pspecs
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
-    specs = llama_param_pspecs(params)
+def unroll_pspecs(pspecs: dict, params_unrolled: dict) -> dict:
+    """Match a pspec tree to ``Model.unroll_params`` output: stacked layer
+    groups become per-layer lists with the leading layer dim dropped."""
+
+    def strip(s):
+        return P(*tuple(s)[1:])
+
+    out = dict(pspecs)
+    for key in ("layers", "dense_layers"):
+        if key in params_unrolled and isinstance(params_unrolled[key], list):
+            per_layer = jax.tree.map(
+                strip, pspecs[key], is_leaf=lambda x: isinstance(x, P)
+            )
+            out[key] = [per_layer for _ in params_unrolled[key]]
+    return out
+
+
+def kv_pspec(num_kv_heads: int, tp_size: int) -> P:
+    """KV pool [L, Hkv, tokens, hd] (flat, head-major): shard heads over
+    tp when divisible; MLA (one latent head) replicates the pool across
+    tp like the reference's MQA TP."""
+    if tp_size > 1 and num_kv_heads % tp_size == 0:
+        return P(None, "tp", None, None)
+    return P(None, None, None, None)
+
+
+def shard_params(params: dict, mesh: Mesh, pspecs: Optional[dict] = None) -> dict:
+    if pspecs is None:
+        pspecs = param_pspecs(params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,
-        specs,
+        pspecs,
         is_leaf=lambda x: not isinstance(x, dict),
     )

@@ -1,0 +1,96 @@
+"""Accuracy-harness plumbing tests (answer extraction, prompt building,
+end-to-end run against a tiny engine with a synthetic dataset)."""
+
+import json
+
+import pytest
+
+from sglang_security_tpu.eval.gsm8k import (
+    build_prompt, extract_answer, gold_answer, run_gsm8k,
+)
+from sglang_security_tpu.eval.mmlu import extract_choice, run_mmlu
+
+
+def test_gsm8k_answer_extraction():
+    assert extract_answer("blah blah The answer is 42.") == 42
+    assert extract_answer("compute... #### 1,234") == 1234
+    assert extract_answer("so we get 17 apples") == 17
+    assert extract_answer("no numbers here") == -9999999
+    assert gold_answer("step 1... step 2... #### 72") == 72
+
+
+def test_mmlu_choice_extraction():
+    assert extract_choice("Answer: C") == "C"
+    assert extract_choice(" B) because ...") == "B"
+    assert extract_choice("nothing") is None
+
+
+class FakeEngine:
+    """Echoes a canned completion per prompt index."""
+
+    def __init__(self, texts):
+        self.texts = texts
+
+    def generate(self, prompt, sampling_params):
+        return [
+            {"text": t, "meta_info": {"completion_tokens": 5}}
+            for t in self.texts[: len(prompt)]
+        ]
+
+
+def test_run_gsm8k_scoring(tmp_path):
+    data = [
+        {"question": f"shot {i}", "answer": f"work. #### {i}"}
+        for i in range(2)
+    ] + [
+        {"question": "2+2?", "answer": "add. #### 4"},
+        {"question": "3*3?", "answer": "mul. #### 9"},
+    ]
+    p = tmp_path / "gsm8k.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in data))
+    eng = FakeEngine(["The answer is 4.", "The answer is 8."])
+    res = run_gsm8k(eng, str(p), num_shots=2)
+    assert res["num_questions"] == 2
+    assert res["accuracy"] == 0.5
+
+
+def test_run_mmlu_scoring(tmp_path):
+    rows = [
+        {"question": "q1", "A": "a", "B": "b", "C": "c", "D": "d",
+         "answer": "A"},
+        {"question": "q2", "A": "a", "B": "b", "C": "c", "D": "d",
+         "answer": "D"},
+    ]
+    p = tmp_path / "mmlu.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    eng = FakeEngine(["Answer: A", "Answer: B"])
+    res = run_mmlu(eng, str(p))
+    assert res["accuracy"] == 0.5
+
+
+def test_gsm8k_against_tiny_engine(tmp_path):
+    """Full plumbing against a real (random-weight) engine: accuracy is
+    meaningless but the run must complete and report all fields."""
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    tiny = make_tiny_llama(str(tmp_path / "m"))
+    data = [
+        {"question": f"what is {i}+{i}?", "answer": f"sum. #### {2*i}"}
+        for i in range(4)
+    ]
+    p = tmp_path / "d.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in data))
+    eng = Engine(ServerArgs(
+        model_path=tiny, dtype="float32", max_total_tokens=2048, page_size=8,
+        prefill_token_buckets=[128, 256], decode_bs_buckets=[1, 4],
+        max_seq_pages_buckets=[8, 32], random_seed=0, enable_warmup=False,
+        log_level="warning",
+    ))
+    try:
+        res = run_gsm8k(eng, str(p), num_shots=2, max_new_tokens=8)
+    finally:
+        eng.shutdown()
+    assert res["num_questions"] == 2
+    assert 0.0 <= res["accuracy"] <= 1.0

@@ -74,13 +74,13 @@ def test_tp2_matches_single_device():
     mesh = build_mesh(tp_size=2, dp_size=1)
     pspecs = llama_param_pspecs(params)
     params_sh = shard_params(params, mesh)
-    kv_sh = jax.device_put(kv, NamedSharding(mesh, kv_pspec()))
+    kv_sh = jax.device_put(kv, NamedSharding(mesh, kv_pspec(Hkv, 2)))
     fb_spec = jax.tree.map(lambda _: P(), fb)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(pspecs, kv_pspec(), kv_pspec(), fb_spec),
+        in_specs=(pspecs, kv_pspec(Hkv, 2), kv_pspec(Hkv, 2), fb_spec),
         out_specs=P(),
         check_rep=False,
     )
