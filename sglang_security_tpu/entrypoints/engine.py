@@ -77,7 +77,23 @@ class Engine:
                     PrivateJudgeClient,
                 )
 
-                privacy_client = PrivateJudgeClient(server_args)
+                def llm_judge_fn(prompt, rid=None):
+                    # tier-3 judge rides the engine's own generate path;
+                    # the scheduler fast-tracks PRIVACY_DETECTION_LLM_*
+                    # rids (reference scheduler.py:2468-2471 priority lane)
+                    return self.generate(
+                        prompt=prompt,
+                        rid=rid,
+                        sampling_params={
+                            "temperature": 0.0,
+                            "max_new_tokens": 4,
+                            "ignore_eos": True,
+                        },
+                    )
+
+                privacy_client = PrivateJudgeClient(
+                    server_args, llm_judge_fn=llm_judge_fn
+                )
             self.privacy_clients.append(privacy_client)
 
             grammar_backend = None
@@ -248,6 +264,39 @@ class Engine:
             assert len(treqs) == 1, "streaming supports a single prompt"
             return self._stream_iter(treqs[0].rid, qs[0])
         results = [self._collect(t.rid, q) for t, q in zip(treqs, qs)]
+        if gri.is_batch():
+            return results
+        return results[0]
+
+    def encode(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        rid: Optional[str] = None,
+    ):
+        """Embedding path (reference Engine.encode, engine.py:139-302):
+        last-token pooled, L2-normalized hidden states."""
+        gri = GenerateReqInput(
+            text=prompt, input_ids=input_ids, rid=rid,
+            sampling_params={"max_new_tokens": 0},
+            is_embedding=True,
+        )
+        treqs = self.tokenizer_manager.make_reqs(gri)
+        qs = [self._submit(t) for t in treqs]
+        results = []
+        for t, q in zip(treqs, qs):
+            out = q.get(timeout=self.server_args.watchdog_timeout)
+            with self._rid_lock:
+                self._rid_queues.pop(t.rid, None)
+            results.append(
+                {
+                    "embedding": out.embedding,
+                    "meta_info": {
+                        "id": t.rid,
+                        "prompt_tokens": out.prompt_tokens,
+                    },
+                }
+            )
         if gri.is_batch():
             return results
         return results[0]

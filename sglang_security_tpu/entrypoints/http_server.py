@@ -49,6 +49,8 @@ class HttpServer:
         r.add_post("/generate", self.generate)
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat)
+        r.add_post("/v1/embeddings", self.v1_embeddings)
+        r.add_post("/encode", self.encode)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights)
@@ -319,6 +321,39 @@ class HttpServer:
         }
 
     # ------------------------------------------------------------- control
+    async def v1_embeddings(self, request):
+        """OpenAI embeddings API (reference openai_api v1_embeddings)."""
+        body = await request.json()
+        inp = body.get("input")
+        if inp is None:
+            raise ValueError("missing 'input'")
+        if isinstance(inp, list) and inp and isinstance(inp[0], int):
+            res = await self._run(self.engine.encode, None, inp)
+            results = [res]
+        else:
+            res = await self._run(self.engine.encode, inp)
+            results = res if isinstance(res, list) else [res]
+        data = [
+            {"object": "embedding", "index": i, "embedding": r["embedding"]}
+            for i, r in enumerate(results)
+        ]
+        total = sum(r["meta_info"]["prompt_tokens"] for r in results)
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "model": body.get("model", self.engine.server_args.served_model_name),
+                "usage": {"prompt_tokens": total, "total_tokens": total},
+            }
+        )
+
+    async def encode(self, request):
+        body = await request.json()
+        res = await self._run(
+            self.engine.encode, body.get("text"), body.get("input_ids")
+        )
+        return web.json_response(res)
+
     async def flush_cache(self, request):
         ok = await self._run(self.engine.flush_cache)
         return web.json_response({"success": ok})

@@ -26,6 +26,7 @@ class GenerateReqInput:
     user_id: Optional[str] = None
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
+    is_embedding: bool = False  # encode path: return pooled hidden state
     # PD disaggregation rendezvous
     bootstrap_host: Optional[str] = None
     bootstrap_port: Optional[int] = None
@@ -47,6 +48,7 @@ class TokenizedGenerateReqInput:
     user_id: Optional[str] = None
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
+    is_embedding: bool = False
     bootstrap_host: Optional[str] = None
     bootstrap_port: Optional[int] = None
     bootstrap_room: Optional[int] = None
@@ -66,6 +68,7 @@ class StepOutput:
     cached_tokens: int = 0
     output_logprobs: Optional[List[float]] = None
     e2e_latency: Optional[float] = None
+    embedding: Optional[List[float]] = None  # encode path result
 
 
 @dataclass

@@ -60,6 +60,7 @@ class PrivateJudgeClient:
         self._detector = PrivacyDetector()
         self._tier2 = None
         self._llm_judge_fn = llm_judge_fn
+        self.tier3_count = 0  # observability: judged-by-LLM tasks
         self._low = server_args.safekv_tier2_low
         self._high = server_args.safekv_tier2_high
         self._stop = threading.Event()
@@ -172,6 +173,7 @@ class PrivateJudgeClient:
     def _tier3(self, task: PrivateNodeTask) -> None:
         """LLM judge routed through the engine (priority request)."""
         try:
+            self.tier3_count += 1
             out = self._llm_judge_fn(
                 self.JUDGE_PROMPT.format(task.text[:2000]),
                 rid=f"PRIVACY_DETECTION_LLM_{task.task_id}",

@@ -73,6 +73,7 @@ class Req:
         # feature) pairs pending draft-extend (speculative/eagle_worker.py)
         self.spec_slot = -1
         self.spec_pending: List[int] = []
+        self.is_embedding = False
         self.stream = False
         self.time_stats = TimeStats()
         self.return_logprob = sampling_params.return_logprob

@@ -26,22 +26,67 @@ class SchedulePolicy:
 
     def calc_priority(self, waiting: List[Req]) -> None:
         """Sort the waiting queue in place; refresh each req's prefix match."""
-        if self.policy == "fcfs":
-            return
         if self.policy == "random":
             random.shuffle(waiting)
-            return
-        # lpm / dfs-weight: longest cached prefix first (peek, no locks)
-        prefix_lens = {}
-        for r in waiting:
-            m = self.tree_cache.match_prefix(
-                np.asarray(r.input_ids, np.int32), user_id=r.user_id
-            )
-            prefix_lens[r.rid] = m.num_tokens
-        if self.policy in ("lpm", "dfs-weight"):
-            waiting.sort(key=lambda r: -prefix_lens[r.rid])
-        elif self.policy == "lof":
-            waiting.sort(key=lambda r: -r.sampling_params.max_new_tokens)
+        elif self.policy != "fcfs":
+            # lpm / dfs-weight: longest cached prefix first (peek, no locks)
+            prefix_lens = {}
+            for r in waiting:
+                m = self.tree_cache.match_prefix(
+                    np.asarray(r.input_ids, np.int32), user_id=r.user_id
+                )
+                prefix_lens[r.rid] = m.num_tokens
+            if self.policy in ("lpm", "dfs-weight"):
+                waiting.sort(key=lambda r: -prefix_lens[r.rid])
+            elif self.policy == "lof":
+                waiting.sort(key=lambda r: -r.sampling_params.max_new_tokens)
+        # SafeKV tier-3 judge requests always go first (stable partition;
+        # reference scheduler.py:1447-1448 privacy-priority sort)
+        waiting.sort(
+            key=lambda r: not r.rid.startswith("PRIVACY_DETECTION_LLM_")
+        )
+
+
+class InBatchPrefixDedup:
+    """Defers requests whose prompt prefix another request *in the same
+    admission wave* is about to compute, so they re-match the radix cache
+    next wave instead of recomputing the prefix (reference in-batch dedup
+    via a throwaway RadixCache, schedule_policy.py:86-150).
+
+    Scope-aware: keys include (user_id, lora scope) so SafeKV privacy
+    gating and adapter-scoped caching stay sound — a deferred request
+    re-walks the real tree, which applies the privacy gate."""
+
+    def __init__(self, page_size: int):
+        self.page_size = page_size
+        self._tree = {}
+
+    def _chunks(self, req: Req):
+        ids = req.input_ids
+        ps = self.page_size
+        scope = (req.user_id, req.lora_path)
+        for i in range(0, len(ids) - 1, ps):
+            chunk = ids[i : i + ps]
+            if len(chunk) < ps:
+                break  # only whole pages are cacheable
+            yield (scope, tuple(chunk))
+
+    def overlap_pages(self, req: Req) -> int:
+        """Pages of req's prompt already being computed this wave."""
+        node = self._tree
+        pages = 0
+        for key in self._chunks(req):
+            nxt = node.get(key)
+            if nxt is None:
+                break
+            node = nxt
+            pages += 1
+        return pages
+
+    def insert(self, req: Req) -> None:
+        node = self._tree
+        for key in self._chunks(req):
+            node = node.setdefault(key, {})
 
 
 @dataclass

@@ -166,6 +166,12 @@ class Scheduler:
         if self.disagg_mode == "decode" and req.bootstrap_room is not None:
             self.disagg_waiting.append(req)  # KV arrives from prefill fleet
             return
+        if req.rid.startswith("PRIVACY_DETECTION_LLM_"):
+            # tier-3 judge request: jump the queue so privacy verdicts
+            # don't lag behind the traffic they are judging (reference
+            # scheduler.py:930-959 priority sort)
+            self.waiting.insert(0, req)
+            return
         self.waiting.append(req)
 
     def abort_request(self, rid: str) -> None:
@@ -231,9 +237,18 @@ class Scheduler:
         self.policy.calc_priority(self.waiting)
         adder = self._make_adder()
         admitted: List[Req] = []
+        from sglang_security_tpu.managers.schedule_policy import (
+            InBatchPrefixDedup,
+        )
+
+        dedup = InBatchPrefixDedup(self.page_size)
         for req in list(self.waiting):
             if len(self.running) + len(admitted) >= self.max_running:
                 break
+            # keep prefill waves homogeneous: embedding requests take the
+            # pooling step, generation ones the sampling step
+            if admitted and req.is_embedding != admitted[0].is_embedding:
+                continue
             # refresh prefix match and pin it
             m = self.tree_cache.match_prefix(
                 np.asarray(req.input_ids, np.int32), user_id=req.user_id,
@@ -255,6 +270,10 @@ class Scheduler:
             req.computed_len = prefix_len
             req.pages = np.array(m.pages[:prefix_pages], np.int32)
             req.last_node = m.last_node
+            # in-batch dedup: another request this wave is computing a
+            # longer shared prefix — wait one wave and hit the radix cache
+            if dedup.overlap_pages(req) > prefix_pages:
+                continue
             if req.lora_path and req.lora_slot < 0:
                 slot = self.runner.get_lora_manager().acquire_slot(
                     req.lora_path
@@ -267,6 +286,7 @@ class Scheduler:
                 self.tree_cache.inc_lock_ref(m.last_node)
                 self.waiting.remove(req)
                 admitted.append(req)
+                dedup.insert(req)
             else:
                 # not admitted this wave: drop the slot pin so other
                 # adapters aren't starved while this req waits
@@ -332,6 +352,17 @@ class Scheduler:
             page_lists=page_lists,
             reqs=reqs,
         )
+        if reqs and reqs[0].is_embedding:
+            embs = self.runner.execute_embedding(plan)
+            for i, req in enumerate(reqs):
+                req.computed_len += takes[i]
+                if req.extend_len > 0:
+                    self._cache_unfinished(req)
+                    continue
+                req.finished_reason = FinishReason.STOP
+                self._emit_embedding(req, embs[i])
+                self._cache_finished(req)
+            return
         if self.eagle is not None:
             for req in reqs:
                 if req.spec_slot < 0:
@@ -927,6 +958,22 @@ class Scheduler:
             ),
         )
         self.output_cb(out)
+
+    def _emit_embedding(self, req: Req, emb) -> None:
+        req.time_stats.finished = time.monotonic()
+        self.output_cb(
+            StepOutput(
+                rid=req.rid,
+                new_token_ids=[],
+                new_text="",
+                finished=True,
+                finish_reason=FinishReason.STOP.value,
+                prompt_tokens=len(req.input_ids),
+                cached_tokens=req.prefix_len,
+                embedding=[float(x) for x in emb],
+                e2e_latency=time.monotonic() - req.time_stats.created,
+            )
+        )
 
     # ----------------------------------------------------------- tree cache
     def _cache_finished(self, req: Req) -> None:

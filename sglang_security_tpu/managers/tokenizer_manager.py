@@ -96,6 +96,7 @@ class TokenizerManager:
             bootstrap_port=gri.bootstrap_port,
             bootstrap_room=gri.bootstrap_room,
             lora_path=gri.lora_path,
+            is_embedding=gri.is_embedding,
         )
 
     def to_req(self, t: TokenizedGenerateReqInput) -> Req:
@@ -112,4 +113,5 @@ class TokenizerManager:
         req.bootstrap_port = t.bootstrap_port
         req.bootstrap_room = t.bootstrap_room
         req.lora_path = t.lora_path
+        req.is_embedding = t.is_embedding
         return req

@@ -270,19 +270,21 @@ class ModelRunner:
             return None
         return self.lora_manager.step_params()
 
-    def _shard_step(self, step, n_kv_out: int = 2):
+    def _shard_step(self, step, out_specs=None):
         """Wrap a step function in shard_map over the runner's mesh: params
         and KV arrive pre-sharded (TP), everything else is replicated, and
         the model emits the TP collectives internally."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        if out_specs is None:  # (tokens, logprobs, k, v, counts)
+            out_specs = (P(), P(), self._kv_pspec, self._kv_pspec, P())
+
         def wrap(*args):
             n_in = len(args)
             in_specs = (self._pspecs, self._kv_pspec, self._kv_pspec) + (
                 P(),
             ) * (n_in - 3)
-            out_specs = (P(), P()) + (self._kv_pspec,) * n_kv_out + (P(),)
             return shard_map(
                 step,
                 mesh=self.mesh,
@@ -355,6 +357,59 @@ class ModelRunner:
             T, S, PPS, block_q, tp_size,
         )
         return fn
+
+    def _get_embed_step(self, T: int, S: int, PPS: int):
+        """Prefill step returning L2-normalized last-token hidden states
+        (Engine.encode / /v1/embeddings; reference Pooler last-token
+        pooling, ``srt/layers/pooler.py``)."""
+        key = ("embed", T, S, PPS)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        interpret = self.interpret
+        tp_size, tp_axis = self.tp_size, self._tp_axis
+
+        def step(params, k_pages, v_pages, fb):
+            hidden, k_pages, v_pages = model.forward(
+                params, k_pages, v_pages, fb, block_q=PREFILL_BLOCK_Q,
+                interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
+            )
+            h = hidden.astype(jnp.float32)
+            emb = h / jnp.maximum(
+                jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9
+            )
+            return emb, k_pages, v_pages
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            step = self._shard_step(
+                step, out_specs=(P(), self._kv_pspec, self._kv_pspec)
+            )
+        fn = jax.jit(step, donate_argnums=(1, 2))
+        self._step_cache[key] = fn
+        return fn
+
+    def execute_embedding(self, plan: BatchPlan) -> np.ndarray:
+        """Run an embedding prefill; returns [S_real, H] f32 pooled
+        (last-token, L2-normalized) embeddings."""
+        sa = self.server_args
+        S_real = len(plan.q_lens)
+        T_real = len(plan.token_ids)
+        T = next_bucket(max(T_real, PREFILL_BLOCK_Q), sa.prefill_token_buckets)
+        T = round_up(T, PREFILL_BLOCK_Q)
+        S = T // PREFILL_BLOCK_Q
+        pps_real = max((len(p) for p in plan.page_indices), default=1)
+        PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
+        fb, _, _ = self._pad_plan(plan, T, S, PPS)
+        fn = self._get_embed_step(T, S, PPS)
+        emb, k_pages, v_pages = fn(
+            self.params, self.kv_pool.k_pages, self.kv_pool.v_pages, fb
+        )
+        self.kv_pool.k_pages = k_pages
+        self.kv_pool.v_pages = v_pages
+        return np.asarray(jax.device_get(emb))[:S_real]
 
     def _get_multi_step(self, B: int, PPS: int, num_steps: int,
                         penalized: bool = False, mode: str = "topk"):

@@ -24,6 +24,10 @@ from sglang_security_tpu.models.mixtral import (
     Qwen2MoeForCausalLM,
     Qwen3MoeForCausalLM,
 )
+from sglang_security_tpu.models.phi3 import (
+    InternLM2ForCausalLM,
+    Phi3ForCausalLM,
+)
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -31,6 +35,9 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "Qwen2ForCausalLM": LlamaForCausalLM,
     "Qwen3ForCausalLM": LlamaForCausalLM,
     "TinyLlamaForCausalLM": LlamaForCausalLM,
+    # same body + config switches (bias/rope/tie all come from config.json)
+    "YiForCausalLM": LlamaForCausalLM,
+    "SmolLMForCausalLM": LlamaForCausalLM,
     "MixtralForCausalLM": MixtralForCausalLM,
     "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
     "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
@@ -38,6 +45,10 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
     "Gemma2ForCausalLM": Gemma2ForCausalLM,
     "Gemma3ForCausalLM": Gemma3ForCausalLM,
+    "Phi3ForCausalLM": Phi3ForCausalLM,
+    "Phi4ForCausalLM": Phi3ForCausalLM,
+    "InternLM2ForCausalLM": InternLM2ForCausalLM,
+    "InternLM3ForCausalLM": LlamaForCausalLM,
 }
 
 
