@@ -49,6 +49,12 @@ class BaseKVReceiver:
     def poll(self, room: int) -> Optional[KVPayload]:
         raise NotImplementedError
 
+    def is_failed(self, room: int) -> bool:
+        """True if a transfer for this room started and died (peer hang,
+        mid-stream disconnect) — the reference's heartbeat-driven room
+        failure (mooncake/conn.py:488-540)."""
+        return False
+
 
 class BaseBootstrapServer:
     def start(self) -> None: ...
@@ -60,7 +66,14 @@ class _FakeRegistry:
     """Process-global room -> payload store (reference fake/conn.py)."""
 
     rooms: Dict[int, KVPayload] = {}
+    failed: set = set()
     lock = threading.Lock()
+
+
+def fake_fail_room(room: int) -> None:
+    """Test hook: simulate a dead prefill peer for this room."""
+    with _FakeRegistry.lock:
+        _FakeRegistry.failed.add(room)
 
 
 class FakeKVSender(BaseKVSender):
@@ -78,6 +91,10 @@ class FakeKVReceiver(BaseKVReceiver):
         with _FakeRegistry.lock:
             return _FakeRegistry.rooms.pop(room, None)
 
+    def is_failed(self, room: int) -> bool:
+        with _FakeRegistry.lock:
+            return room in _FakeRegistry.failed
+
 
 class FakeBootstrapServer(BaseBootstrapServer):
     def __init__(self, port: int = 0):
@@ -86,23 +103,55 @@ class FakeBootstrapServer(BaseBootstrapServer):
 
 # ------------------------------------------------------------------ tcp
 MAGIC = b"SGLT"
+MAGIC_CHUNKED = b"SGLC"
+CHUNK_BYTES = 4 << 20  # per-write granularity (reference's per-layer chunks)
 
 
 class TcpKVSender(BaseKVSender):
-    """Pushes a payload to the decode server's bootstrap endpoint."""
+    """Pushes a payload to the decode server's bootstrap endpoint.
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0):
+    The KV tensors stream in bounded chunks after a small metadata
+    header (the reference sends per-layer slices, mooncake/conn.py:
+    233-288); the receiver tracks per-chunk progress so a dead peer is
+    detected mid-transfer instead of hanging the room forever."""
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0,
+                 retries: int = 2):
         self.host = host
         self.port = port
         self.timeout = timeout
+        self.retries = retries
 
     def send(self, payload: KVPayload) -> bool:
+        for attempt in range(self.retries):
+            if self._send_once(payload):
+                return True
+            logger.warning(
+                "KV send to %s:%d failed (attempt %d/%d)",
+                self.host, self.port, attempt + 1, self.retries,
+            )
+        return False
+
+    def _send_once(self, payload: KVPayload) -> bool:
+        meta = {
+            "room": payload.room,
+            "token_ids": payload.token_ids,
+            "first_token": payload.first_token,
+            "shape": payload.shape,
+            "dtype": payload.dtype,
+            "meta": payload.meta,
+            "k_len": len(payload.k_bytes),
+            "v_len": len(payload.v_bytes),
+        }
         try:
-            blob = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+            blob = pickle.dumps(meta, protocol=pickle.HIGHEST_PROTOCOL)
             with socket.create_connection(
                 (self.host, self.port), timeout=self.timeout
             ) as s:
-                s.sendall(MAGIC + struct.pack("<Q", len(blob)) + blob)
+                s.sendall(MAGIC_CHUNKED + struct.pack("<Q", len(blob)) + blob)
+                for data in (payload.k_bytes, payload.v_bytes):
+                    for off in range(0, len(data), CHUNK_BYTES):
+                        s.sendall(data[off : off + CHUNK_BYTES])
                 ack = s.recv(2)
                 return ack == b"ok"
         except OSError as e:
@@ -113,9 +162,12 @@ class TcpKVSender(BaseKVSender):
 class TcpBootstrapServer(BaseBootstrapServer, BaseKVReceiver):
     """Decode-side rendezvous: accepts pushed payloads, indexed by room."""
 
-    def __init__(self, port: int):
+    def __init__(self, port: int, chunk_timeout: float = 20.0):
         self.port = port
+        self.chunk_timeout = chunk_timeout  # max silence mid-transfer
         self._rooms: Dict[int, KVPayload] = {}
+        self._failed: set = set()
+        self._progress: Dict[int, float] = {}  # room -> last chunk time
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._sock: Optional[socket.socket] = None
@@ -144,21 +196,65 @@ class TcpBootstrapServer(BaseBootstrapServer, BaseKVReceiver):
             ).start()
 
     def _handle(self, conn: socket.socket) -> None:
+        import time as _time
+
+        room = None
         try:
             with conn:
+                conn.settimeout(self.chunk_timeout)
                 head = self._recv_exact(conn, 12)
-                if head is None or head[:4] != MAGIC:
+                if head is None:
                     return
                 (n,) = struct.unpack("<Q", head[4:])
+                if head[:4] == MAGIC:  # legacy single-blob frame
+                    blob = self._recv_exact(conn, n)
+                    if blob is None:
+                        return
+                    payload: KVPayload = pickle.loads(blob)
+                    with self._lock:
+                        self._rooms[payload.room] = payload
+                    conn.sendall(b"ok")
+                    return
+                if head[:4] != MAGIC_CHUNKED:
+                    return
                 blob = self._recv_exact(conn, n)
                 if blob is None:
                     return
-                payload: KVPayload = pickle.loads(blob)
+                meta = pickle.loads(blob)
+                room = meta["room"]
+                bufs = []
+                for total in (meta["k_len"], meta["v_len"]):
+                    buf = bytearray(total)
+                    got = 0
+                    while got < total:
+                        chunk = conn.recv(min(total - got, CHUNK_BYTES))
+                        if not chunk:
+                            raise OSError("peer closed mid-transfer")
+                        buf[got : got + len(chunk)] = chunk
+                        got += len(chunk)
+                        with self._lock:
+                            self._progress[room] = _time.monotonic()
+                    bufs.append(bytes(buf))
+                payload = KVPayload(
+                    room=room,
+                    token_ids=meta["token_ids"],
+                    first_token=meta["first_token"],
+                    k_bytes=bufs[0],
+                    v_bytes=bufs[1],
+                    shape=tuple(meta["shape"]),
+                    dtype=meta["dtype"],
+                    meta=meta.get("meta", {}),
+                )
                 with self._lock:
-                    self._rooms[payload.room] = payload
+                    self._rooms[room] = payload
+                    self._progress.pop(room, None)
                 conn.sendall(b"ok")
-        except OSError:
-            pass
+        except OSError as e:
+            if room is not None:
+                logger.error("KV transfer for room %s died: %s", room, e)
+                with self._lock:
+                    self._failed.add(room)
+                    self._progress.pop(room, None)
 
     @staticmethod
     def _recv_exact(conn, n):
@@ -173,6 +269,14 @@ class TcpBootstrapServer(BaseBootstrapServer, BaseKVReceiver):
     def poll(self, room: int) -> Optional[KVPayload]:
         with self._lock:
             return self._rooms.pop(room, None)
+
+    def is_failed(self, room: int) -> bool:
+        with self._lock:
+            return room in self._failed
+
+    def clear_failed(self, room: int) -> None:
+        with self._lock:
+            self._failed.discard(room)
 
     def close(self) -> None:
         self._stop.set()

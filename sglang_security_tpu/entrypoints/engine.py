@@ -67,6 +67,13 @@ class Engine:
         else:
             self.model_runners = [ModelRunner(server_args)]
         self.model_runner = self.model_runners[0]
+        from sglang_security_tpu.managers.multimodal_processor import (
+            get_mm_processor,
+        )
+
+        self.tokenizer_manager.mm_processor = get_mm_processor(
+            self.model_runner.config
+        )
 
         self.privacy_clients = []
         self.schedulers = []
@@ -243,6 +250,7 @@ class Engine:
         bootstrap_port: Optional[int] = None,
         bootstrap_room: Optional[int] = None,
         lora_path: Optional[str] = None,
+        image_data=None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -257,6 +265,7 @@ class Engine:
             bootstrap_port=bootstrap_port,
             bootstrap_room=bootstrap_room,
             lora_path=lora_path,
+            image_data=image_data,
         )
         treqs = self.tokenizer_manager.make_reqs(gri)
         qs = [self._submit(t) for t in treqs]

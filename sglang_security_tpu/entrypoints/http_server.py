@@ -138,6 +138,7 @@ class HttpServer:
             bootstrap_host=body.get("bootstrap_host"),
             bootstrap_port=body.get("bootstrap_port"),
             bootstrap_room=body.get("bootstrap_room"),
+            image_data=body.get("image_data"),
         )
         if not stream:
             out = await self._run(self.engine.generate, **kwargs)
@@ -423,6 +424,12 @@ class HttpServer:
             )
         except Exception:
             return web.Response(text="")
+
+
+def build_app(engine: Engine) -> web.Application:
+    """aiohttp Application serving an existing Engine (embedding the API
+    server in another process / test harness)."""
+    return HttpServer(engine).app
 
 
 def launch_server(server_args: ServerArgs) -> None:

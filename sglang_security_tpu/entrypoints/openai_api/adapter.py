@@ -59,18 +59,25 @@ def completion_to_gri(req: CompletionRequest) -> GenerateReqInput:
     )
 
 
-def build_chat_prompt(tokenizer, req: ChatCompletionRequest) -> str:
-    messages = [
-        {"role": m.role, "content": m.content if isinstance(m.content, str)
-         else _flatten_content(m.content)}
-        for m in req.messages
-    ]
+def build_chat_prompt(tokenizer, req: ChatCompletionRequest):
+    """Returns (prompt_text, images): image_url content parts become
+    ``<image>`` placeholders in the text (the served VLM's tokenizer maps
+    them to its image token) and the image payloads are collected in
+    order (reference v1_chat_generate_request image handling)."""
+    images = []
+    messages = []
+    for m in req.messages:
+        if isinstance(m.content, str):
+            content = m.content
+        else:
+            content = _flatten_content(m.content, images)
+        messages.append({"role": m.role, "content": content})
     if tokenizer is not None and getattr(tokenizer, "chat_template", None):
         try:
             return tokenizer.apply_chat_template(
                 messages, tokenize=False, add_generation_prompt=True,
                 tools=req.tools,
-            )
+            ), images
         except Exception:
             logger.warning("chat template failed; using fallback", exc_info=True)
     # fallback template
@@ -78,21 +85,27 @@ def build_chat_prompt(tokenizer, req: ChatCompletionRequest) -> str:
     for m in messages:
         parts.append(f"<|{m['role']}|>\n{m['content']}")
     parts.append("<|assistant|>\n")
-    return "\n".join(parts)
+    return "\n".join(parts), images
 
 
-def _flatten_content(content) -> str:
+def _flatten_content(content, images=None) -> str:
     if content is None:
         return ""
     out = []
     for item in content:
-        if isinstance(item, dict) and item.get("type") == "text":
+        if not isinstance(item, dict):
+            continue
+        if item.get("type") == "text":
             out.append(item.get("text", ""))
+        elif item.get("type") == "image_url" and images is not None:
+            url = (item.get("image_url") or {}).get("url", "")
+            images.append(url)
+            out.append("<image>")
     return "\n".join(out)
 
 
 def chat_to_gri(req: ChatCompletionRequest, tokenizer) -> GenerateReqInput:
-    prompt = build_chat_prompt(tokenizer, req)
+    prompt, images = build_chat_prompt(tokenizer, req)
     max_tokens = req.max_completion_tokens or req.max_tokens or 512
     json_schema = None
     if req.response_format and req.response_format.type == "json_schema":
@@ -126,4 +139,5 @@ def chat_to_gri(req: ChatCompletionRequest, tokenizer) -> GenerateReqInput:
         user_id=req.user_id or req.user,
         return_logprob=req.logprobs,
         top_logprobs_num=req.top_logprobs or 0,
+        image_data=images or None,
     )

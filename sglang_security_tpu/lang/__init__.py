@@ -34,8 +34,11 @@ from sglang_security_tpu.lang.api import (
     system,
     user,
 )
+from sglang_security_tpu.lang.backends import AnthropicBackend, OpenAIBackend
+from sglang_security_tpu.lang.ir import ProgramIR, TracerState
 
 __all__ = [
     "function", "gen", "select", "system", "user", "assistant",
     "SglFunction", "EngineBackend", "RuntimeEndpoint",
+    "OpenAIBackend", "AnthropicBackend", "ProgramIR", "TracerState",
 ]

@@ -187,6 +187,27 @@ class SglFunction:
             ]
             return [f.result() for f in futs]
 
+    def trace(self, *args, **kwargs):
+        """Record the program's IR without executing any generation
+        (reference lang/tracer.py).  Unspecified keyword args appear as
+        IRArg placeholders; given args are traced as constants."""
+        import inspect
+
+        from sglang_security_tpu.lang.ir import IRArg, TracerState
+
+        state = TracerState()
+        sig = inspect.signature(self.fn)
+        params = list(sig.parameters)[1:]  # drop the state arg
+        bound = dict(zip(params, args))
+        bound.update(kwargs)
+        call = {
+            p: bound.get(p, IRArg(p))
+            for p in params
+            if p in bound or sig.parameters[p].default is inspect.Parameter.empty
+        }
+        self.fn(state, **call)
+        return state.ir
+
 
 def function(fn) -> SglFunction:
     return SglFunction(fn, name=fn.__name__)

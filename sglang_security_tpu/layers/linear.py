@@ -63,9 +63,10 @@ def make_linear_params(
 ) -> dict:
     if quantization in (None, "none", "bf16"):
         p = {"w": w.astype(dtype)}
-    elif quantization in ("int4", "awq", "gptq"):
+    elif quantization in ("int4", "awq", "gptq", "int4-a8", "w4a8"):
         q, s, z = quantize_int4(w, group_size)
-        p = {"packed": pack_int4(q), "scale": s, "zero": z}
+        key = "packed_a8" if quantization in ("int4-a8", "w4a8") else "packed"
+        p = {key: pack_int4(q), "scale": s, "zero": z}
     elif quantization in ("int8", "w8a8", "fp8"):
         # fp8 maps to the int8 MXU path on TPU (see ops/quant_matmul.py)
         w_q, w_s = quantize_int8_weight(w)
@@ -153,12 +154,15 @@ def apply_linear(x: jax.Array, p: dict, group_size: int = 0) -> jax.Array:
         out = jnp.dot(
             x2.astype(p["w"].dtype), p["w"], preferred_element_type=jnp.float32
         ).astype(x.dtype)
-    elif "packed" in p:
-        # group size is implied by the scale rows: K / (K/G)
-        g = group_size or 2 * p["packed"].shape[0] // p["scale"].shape[0]
+    elif "packed" in p or "packed_a8" in p:
+        # group size is implied by the scale rows: K / (K/G); the
+        # "packed_a8" key selects w4a8 (int8 activations, 2x MXU rate)
+        packed = p.get("packed", p.get("packed_a8"))
+        g = group_size or 2 * packed.shape[0] // p["scale"].shape[0]
         out = int4_matmul(
-            x2, p["packed"], p["scale"], p["zero"],
+            x2, packed, p["scale"], p["zero"],
             group_size=g, out_dtype=x.dtype,
+            act="int8" if "packed_a8" in p else "bf16",
         )
     elif "w_q" in p:
         out = w8a8_matmul(x2, p["w_q"], p["w_scale"], out_dtype=x.dtype)

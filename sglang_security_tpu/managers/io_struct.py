@@ -20,6 +20,10 @@ class GenerateReqInput:
     input_ids: Optional[Union[List[int], List[List[int]]]] = None
     sampling_params: Optional[Union[dict, List[dict]]] = None
     rid: Optional[Union[str, List[str]]] = None
+    # multimodal: one image (path/base64/ndarray) or list of images per
+    # request; for batched requests, a list aligned with text/input_ids
+    # (reference GenerateReqInput.image_data, io_struct.py)
+    image_data: Optional[Any] = None
     stream: bool = False
     return_logprob: bool = False
     top_logprobs_num: int = 0
@@ -49,6 +53,7 @@ class TokenizedGenerateReqInput:
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
     is_embedding: bool = False
+    mm_inputs: Optional[Any] = None  # managers.multimodal_processor.MultimodalInputs
     bootstrap_host: Optional[str] = None
     bootstrap_port: Optional[int] = None
     bootstrap_room: Optional[int] = None

@@ -19,7 +19,9 @@ DEFAULT_PATTERNS: Dict[str, str] = {
     "email": r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "credit_card": r"\b(?:\d[ -]*?){13,16}\b",
-    "phone": r"\b(?:\+?\d{1,3}[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b",
+    # leading \b would fail before "(" (non-word char), so anchor with a
+    # lookbehind instead: "(555) 010-1234" must match
+    "phone": r"(?<![\w(])(?:\+?\d{1,3}[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b",
     "ipv4": r"\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)\b",
     "api_key": r"\b(?:sk|pk|rk|key|token)[-_][A-Za-z0-9_\-]{16,}\b",
     "aws_key": r"\bAKIA[0-9A-Z]{16}\b",

@@ -74,6 +74,9 @@ class Req:
         self.spec_slot = -1
         self.spec_pending: List[int] = []
         self.is_embedding = False
+        # multimodal inputs (managers.multimodal_processor.MultimodalInputs);
+        # image spans in input_ids hold hash-derived pseudo token ids
+        self.mm_inputs = None
         self.stream = False
         self.time_stats = TimeStats()
         self.return_logprob = sampling_params.return_logprob

@@ -164,6 +164,9 @@ class Scheduler:
                 self._emit(req, [], finished=True, reason=FinishReason.ABORT)
                 return
         if self.disagg_mode == "decode" and req.bootstrap_room is not None:
+            req.disagg_deadline = (
+                time.monotonic() + self.server_args.disaggregation_timeout
+            )
             self.disagg_waiting.append(req)  # KV arrives from prefill fleet
             return
         if req.rid.startswith("PRIVACY_DETECTION_LLM_"):
@@ -207,6 +210,10 @@ class Scheduler:
         elif self.running:
             self._run_decode()
         self.inflight = []
+        controller = getattr(self.tree_cache, "controller", None)
+        if controller is not None and controller._pending:
+            # finish write-backs whose D2H copies overlapped this step
+            controller.drain()
         self._steps += 1
 
     # ------------------------------------------------------------- prefill
@@ -312,12 +319,28 @@ class Scheduler:
         token_ids, positions, slots = [], [], []
         q_starts, q_lens, kv_lens, page_lists = [], [], [], []
         takes: List[int] = []
+        mm_items, mm_pairs = [], []  # (flat token row, feature row)
         row = 0
         for req in reqs:
             take = min(req.extend_len, budget)
             budget -= take
             takes.append(take)
             start, end = req.computed_len, req.computed_len + take
+            if req.mm_inputs is not None and take > 0:
+                # images whose token span intersects this prefill chunk:
+                # map their rows to rows of the concatenated feature matrix
+                # (reference MultimodalInputs -> mm embedding routine)
+                for it in req.mm_inputs.items:
+                    lo = max(it.offset, start)
+                    hi = min(it.offset + it.num_tokens, end)
+                    if lo >= hi:
+                        continue
+                    base = sum(x.num_tokens for x in mm_items)
+                    mm_items.append(it)
+                    for pos in range(lo, hi):
+                        mm_pairs.append(
+                            (row + (pos - start), base + (pos - it.offset))
+                        )
             need = cdiv(end, self.page_size) - len(req.pages)
             new_pages = self._alloc_pages(need)
             assert new_pages is not None, "admission guaranteed pages"
@@ -352,6 +375,12 @@ class Scheduler:
             page_lists=page_lists,
             reqs=reqs,
         )
+        if mm_items:
+            mm_rows = np.full(len(token_ids), -1, np.int32)
+            for r, f in mm_pairs:
+                mm_rows[r] = f
+            plan.mm_items = mm_items
+            plan.mm_rows = mm_rows
         if reqs and reqs[0].is_embedding:
             embs = self.runner.execute_embedding(plan)
             for i, req in enumerate(reqs):
@@ -456,6 +485,24 @@ class Scheduler:
         for req in list(self.disagg_waiting):
             payload = self.kv_bootstrap.poll(req.bootstrap_room)
             if payload is None:
+                # failure paths: transfer died mid-stream, or the room's
+                # KV never arrived before the deadline (dead prefill peer)
+                failed = self.kv_bootstrap.is_failed(req.bootstrap_room)
+                timed_out = (
+                    getattr(req, "disagg_deadline", None) is not None
+                    and time.monotonic() > req.disagg_deadline
+                )
+                if failed or timed_out:
+                    logger.error(
+                        "disagg room %s %s; aborting %s",
+                        req.bootstrap_room,
+                        "transfer failed" if failed else "timed out",
+                        req.rid,
+                    )
+                    self.disagg_waiting.remove(req)
+                    req.finished_reason = FinishReason.ABORT
+                    self._emit(req, [], finished=True,
+                               reason=FinishReason.ABORT)
                 continue
             n = len(payload.token_ids)
             n_pages = cdiv(n, self.page_size)

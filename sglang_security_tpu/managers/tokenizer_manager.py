@@ -32,6 +32,25 @@ def get_tokenizer(tokenizer_path: str, trust_remote_code: bool = False):
     )
 
 
+def _as_image_list(image_data):
+    """Normalize one request's image_data to a list of images. A raw
+    nested pixel list counts as ONE image; str/bytes/ndarray elements
+    are each one image."""
+    import numpy as np
+
+    if image_data is None:
+        return None
+    if isinstance(image_data, (str, bytes, np.ndarray)):
+        return [image_data]
+    if isinstance(image_data, (list, tuple)):
+        if not image_data:
+            return []
+        if all(isinstance(x, (str, bytes, np.ndarray)) for x in image_data):
+            return list(image_data)
+        return [image_data]
+    return [image_data]
+
+
 class TokenizerManager:
     def __init__(self, server_args):
         self.server_args = server_args
@@ -42,6 +61,10 @@ class TokenizerManager:
                 server_args.tokenizer_path, server_args.trust_remote_code
             )
         )
+        # set by the Engine once the model config is known (None =
+        # text-only model); reference get_mm_processor dispatch
+        # (srt/managers/multimodal_processor.py)
+        self.mm_processor = None
         self._lock = threading.Lock()
 
     def tokenize(self, text: str) -> List[int]:
@@ -63,23 +86,37 @@ class TokenizerManager:
             if isinstance(sps, dict):
                 sps = [sps] * n
             rids = gri.rid or [None] * n
+            imgs = gri.image_data or [None] * n
             out = []
             for i in range(n):
                 out.append(
                     self._one(
                         texts[i], idss[i], sps[i],
-                        rids[i], gri,
+                        rids[i], gri, imgs[i],
                     )
                 )
             return out
         sp = gri.sampling_params if isinstance(gri.sampling_params, dict) else (
             gri.sampling_params or {}
         )
-        return [self._one(gri.text, gri.input_ids, sp, gri.rid, gri)]
+        return [
+            self._one(gri.text, gri.input_ids, sp, gri.rid, gri, gri.image_data)
+        ]
 
-    def _one(self, text, input_ids, sp_dict, rid, gri) -> TokenizedGenerateReqInput:
+    def _one(self, text, input_ids, sp_dict, rid, gri,
+             image_data=None) -> TokenizedGenerateReqInput:
         if input_ids is None:
             input_ids = self.tokenize(text)
+        mm_inputs = None
+        images = _as_image_list(image_data)
+        if images:
+            if self.mm_processor is None:
+                raise ValueError(
+                    "image_data given but the served model is not multimodal"
+                )
+            input_ids, mm_inputs = self.mm_processor.expand_prompt(
+                list(input_ids), images
+            )
         sp = SamplingParams.from_dict(sp_dict)
         if gri.return_logprob:
             sp.return_logprob = True
@@ -97,6 +134,7 @@ class TokenizerManager:
             bootstrap_room=gri.bootstrap_room,
             lora_path=gri.lora_path,
             is_embedding=gri.is_embedding,
+            mm_inputs=mm_inputs,
         )
 
     def to_req(self, t: TokenizedGenerateReqInput) -> Req:
@@ -114,4 +152,5 @@ class TokenizerManager:
         req.bootstrap_room = t.bootstrap_room
         req.lora_path = t.lora_path
         req.is_embedding = t.is_embedding
+        req.mm_inputs = t.mm_inputs
         return req

@@ -86,6 +86,12 @@ class HiCacheController:
         self.page_size = pool.page_size
         self.bytes_to_host = 0
         self.bytes_to_device = 0
+        # in-flight device->host copies: (host_ids, k_buf, v_buf, n).
+        # write_back gathers the pages into a fresh device buffer and
+        # starts an async D2H copy; the scheduler overlaps the wait with
+        # compute and drains between steps (the role of the reference's
+        # write thread + ack queue, cache_controller.py:30,146)
+        self._pending: list = []
 
     def _rows(self, device_pages: np.ndarray) -> np.ndarray:
         ps = self.page_size
@@ -95,33 +101,58 @@ class HiCacheController:
         ).reshape(-1)
 
     def write_back(self, device_pages: np.ndarray) -> Optional[np.ndarray]:
-        """Copy device pages to host; returns host page ids (or None if
-        the host pool is full)."""
-        import jax
-        import jax.numpy as jnp
-
+        """Start an async device->host copy of the pages; returns host
+        page ids immediately (or None if the host pool is full).  The
+        device pages may be freed/reused right away: the copy reads from
+        a gathered scratch buffer, not the pool."""
         device_pages = np.asarray(device_pages, np.int32)
         n = len(device_pages)
         host_ids = self.host.alloc(n)
         if host_ids is None:
             return None
         pool = self.runner.kv_pool
+        import jax.numpy as jnp
+
         rows = jnp.asarray(self._rows(device_pages))
-        # head-major [L, Hkv, n*ps, hd] -> host [n, L, ps, Hkv, hd]
-        kd, vd = jax.device_get(
-            (pool.k_pages[:, :, rows], pool.v_pages[:, :, rows])
-        )
-        L, Hkv, _, hd = kd.shape
-        kd = kd.reshape(L, Hkv, n, self.page_size, hd).transpose(2, 0, 3, 1, 4)
-        vd = vd.reshape(L, Hkv, n, self.page_size, hd).transpose(2, 0, 3, 1, 4)
-        self.host.k[host_ids] = kd
-        self.host.v[host_ids] = vd
-        self.bytes_to_host += kd.nbytes * 2
+        k_buf = pool.k_pages[:, :, rows]  # fresh [L, Hkv, n*ps, hd]
+        v_buf = pool.v_pages[:, :, rows]
+        for buf in (k_buf, v_buf):
+            try:
+                buf.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copy: drain() just blocks
+        self._pending.append((host_ids, k_buf, v_buf, n))
         return host_ids
 
+    def drain(self) -> int:
+        """Finish in-flight write-backs into the host pool; returns the
+        number of completed transfers."""
+        done = 0
+        for host_ids, k_buf, v_buf, n in self._pending:
+            kd = np.asarray(k_buf)  # [L, Hkv, n*ps, hd]
+            vd = np.asarray(v_buf)
+            L, Hkv, _, hd = kd.shape
+            kd = kd.reshape(L, Hkv, n, self.page_size, hd).transpose(
+                2, 0, 3, 1, 4)
+            vd = vd.reshape(L, Hkv, n, self.page_size, hd).transpose(
+                2, 0, 3, 1, 4)
+            self.host.k[host_ids] = kd
+            self.host.v[host_ids] = vd
+            self.bytes_to_host += kd.nbytes * 2
+            done += 1
+        self._pending.clear()
+        return done
+
     def load_back(self, host_ids: np.ndarray, device_pages: np.ndarray) -> None:
-        """Copy host pages into freshly allocated device pages."""
+        """Copy host pages into freshly allocated device pages.  The
+        H2D transfer and pool update are async JAX dispatches: the next
+        step that consumes the pool orders after them, so the scheduler
+        thread does not block here (reference loading thread +
+        layer-by-layer availability, cache_controller.py:267-357)."""
         import jax.numpy as jnp
+
+        if self._pending:
+            self.drain()  # the pages being restored may still be in flight
 
         host_ids = np.asarray(host_ids, np.int32)
         device_pages = np.asarray(device_pages, np.int32)

@@ -94,8 +94,16 @@ class KVCachePool:
         self.k_pages, self.v_pages = buffers
 
     def clear(self) -> None:
-        self.k_pages = jax.tree.map(jnp.zeros_like, self.k_pages)
-        self.v_pages = jax.tree.map(jnp.zeros_like, self.v_pages)
+        # donate so the zeros reuse the existing buffers — a plain
+        # zeros_like would transiently hold pool + fresh copy in HBM
+        # (19 GB peak on a 12.8 GB pool: the round-2 warmup OOM)
+        self.k_pages = jax.tree.map(_zero_in_place, self.k_pages)
+        self.v_pages = jax.tree.map(_zero_in_place, self.v_pages)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _zero_in_place(a):
+    return jnp.zeros_like(a)
 
 
 def kv_data(pages):

@@ -31,6 +31,11 @@ class ForwardBatch(NamedTuple):
     page_indices: jax.Array  # [S, PPS] i32 (0-padded -> null page)
     out_rows: jax.Array  # [S] i32 row of each seq's last token (0 for pad)
     lora_ids: Optional[jax.Array] = None  # [T] i32 adapter slot (-1 = none)
+    # multimodal: precomputed vision features and the token-row mapping
+    # (-1 = text token). The model replaces the embed-lookup of row t
+    # with mm_embeds[mm_rows[t]] where mm_rows[t] >= 0.
+    mm_embeds: Optional[jax.Array] = None  # [M, H]
+    mm_rows: Optional[jax.Array] = None  # [T] i32
 
     @property
     def num_tokens(self) -> int:

@@ -66,6 +66,10 @@ class BatchPlan:
     out_rows: Optional[np.ndarray] = None  # [R] override (spec verify)
     lora_ids: Optional[np.ndarray] = None  # [T] adapter slot per token
     ft_rows: Optional[np.ndarray] = None  # [R] EAGLE feature-table rows
+    # multimodal: image items feeding this chunk (ordered) + per-token
+    # feature-row mapping (-1 = text token)
+    mm_items: Optional[list] = None
+    mm_rows: Optional[np.ndarray] = None  # [T] i32
 
 
 class ModelRunner:
@@ -186,6 +190,10 @@ class ModelRunner:
         self.max_penalty_slots = (server_args.max_running_requests or 256) * 2
         self.penalty_counts = None  # lazy [max_slots, V] i32 device array
         self.lora_manager = None  # lazy (lora/lora_manager.py)
+        # multimodal: content-hash -> device feature array [n_tok, H]
+        # (reference mem_cache/multimodal_cache.py); LRU-capped
+        self.mm_cache: Dict[int, jax.Array] = {}
+        self.mm_cache_capacity = server_args.mm_feature_cache_size
         self._max_pps = max(
             server_args.max_seq_pages_buckets
         )  # hard cap pages/seq
@@ -357,6 +365,72 @@ class ModelRunner:
             T, S, PPS, block_q, tp_size,
         )
         return fn
+
+    # --------------------------------------------------------- multimodal
+    def _get_mm_encode(self):
+        """Jitted vision encode (retraces per pixel-batch bucket)."""
+        fn = self._step_cache.get("mm_encode")
+        if fn is None:
+            model = self.model
+
+            def enc(params, px):
+                return model.encode_images(params, px)
+
+            fn = jax.jit(enc)
+            self._step_cache["mm_encode"] = fn
+        return fn
+
+    def prepare_mm(self, items) -> List[jax.Array]:
+        """Encode any items missing from the feature cache (one bucketed
+        vision-jit call for all of them) and return each item's device
+        feature array [n_tok, H], in order.  The separate encode pass is
+        the TPU-native form of the reference running the vision tower
+        inside the LM forward (srt/models/llava.py): features become
+        content-addressed and reusable across chunks/requests."""
+        uniq, seen = [], set()
+        for it in items:
+            if it.hash not in self.mm_cache and it.hash not in seen:
+                seen.add(it.hash)
+                uniq.append(it)
+        if uniq:
+            n_real = len(uniq)
+            n = 1 << (n_real - 1).bit_length()  # bucket to power of 2
+            px = np.zeros((n,) + uniq[0].pixel_values.shape, np.float32)
+            for i, it in enumerate(uniq):
+                px[i] = it.pixel_values
+            feats = self._get_mm_encode()(self.params, jnp.asarray(px))
+            feats = feats.astype(self.dtype)
+            for i, it in enumerate(uniq):
+                # slice per image; [n_tok, H] rows stay on device
+                self.mm_cache[it.hash] = feats[i, : it.num_tokens]
+            while len(self.mm_cache) > self.mm_cache_capacity:
+                oldest = next(iter(self.mm_cache))
+                if any(oldest == it.hash for it in items):
+                    break  # everything older is in use this step
+                del self.mm_cache[oldest]
+        out = []
+        for it in items:
+            f = self.mm_cache.pop(it.hash)
+            self.mm_cache[it.hash] = f  # LRU touch (dict keeps order)
+            out.append(f)
+        return out
+
+    def _pad_mm(self, plan: BatchPlan, T: int):
+        """(mm_embeds [M, H] device, mm_rows [T] device) or (None, None).
+        M is bucketed in whole-image units to bound retraces."""
+        if plan.mm_rows is None or not plan.mm_items:
+            return None, None
+        feats = self.prepare_mm(plan.mm_items)
+        cat = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
+        m_real = cat.shape[0]
+        tpi = max(f.shape[0] for f in feats)
+        n_items = 1 << (len(feats) - 1).bit_length()
+        M = max(n_items * tpi, m_real)
+        if M > m_real:
+            cat = jnp.pad(cat, ((0, M - m_real), (0, 0)))
+        rows = np.full(T, -1, np.int32)
+        rows[: len(plan.mm_rows)] = plan.mm_rows
+        return cat, jnp.asarray(rows)
 
     def _get_embed_step(self, T: int, S: int, PPS: int):
         """Prefill step returning L2-normalized last-token hidden states
@@ -706,6 +780,7 @@ class ModelRunner:
             if S_real < S:
                 q_starts[S_real:] = T
 
+        mm_embeds, mm_rows = self._pad_mm(plan, T)
         fb = ForwardBatch(
             token_ids=jnp.asarray(pad1(plan.token_ids, T)),
             positions=jnp.asarray(pad1(plan.positions, T)),
@@ -720,6 +795,8 @@ class ModelRunner:
                 if plan.lora_ids is not None
                 else None
             ),
+            mm_embeds=mm_embeds,
+            mm_rows=mm_rows,
         )
         Rr = R or S
         rep = rows_per_seq

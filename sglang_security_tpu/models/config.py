@@ -56,6 +56,16 @@ class ModelConfig:
     @classmethod
     def from_hf_dict(cls, d: dict) -> "ModelConfig":
         arch = (d.get("architectures") or ["LlamaForCausalLM"])[0]
+        if "text_config" in d and "num_hidden_layers" not in d:
+            # VLM composite config (LLaVA-class): language-model dims live
+            # in text_config; keep the outer arch + full raw dict so the
+            # registry picks the VLM wrapper and it can read vision_config
+            d = {**d["text_config"], "architectures": [arch], "_outer": d}
+            d.setdefault("vision_config", d["_outer"].get("vision_config"))
+            for k in ("image_token_index", "vision_feature_layer",
+                      "projector_hidden_act"):
+                if k in d["_outer"]:
+                    d.setdefault(k, d["_outer"][k])
         nq = d.get("num_attention_heads", 32)
         hidden = d.get("hidden_size", 4096)
         eos = d.get("eos_token_id", [])
@@ -116,11 +126,17 @@ class ModelConfig:
         """Head dim stored in the KV pool.
 
         MLA stores the compressed latent + rope key padded up to a lane
-        multiple (128) instead of per-head K/V."""
+        multiple (128) instead of per-head K/V.  Non-MLA head dims are
+        also padded to the 128-lane tile: Mosaic rejects token-dim pool
+        slices whose trailing dim is unaligned ("Slice shape along
+        dimension 3 must be aligned to tiling (128)"), which broke every
+        hd-64/96 model on real TPU.  The attention wrappers pad q/k/v and
+        slice the output back (ops/ragged_paged_attention.py)."""
         if self.use_mla:
             d = self.kv_lora_rank + self.qk_rope_head_dim
-            return ((d + 127) // 128) * 128
-        return self.head_dim
+        else:
+            d = self.head_dim
+        return ((d + 127) // 128) * 128
 
     @property
     def kv_cache_num_heads(self) -> int:

@@ -345,19 +345,34 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         v_vec = jnp.concatenate(
             [c_kv, jnp.zeros((T, hd_pad - c), h.dtype)], axis=-1
         )[:, None, :]
-        k_pages, v_pages = _scatter_kv(
-            k_pages, v_pages, k_vec, v_vec, li, safe_slots
-        )
+        if block_q == 1 and not isinstance(k_pages, tuple):
+            from sglang_security_tpu.ops.ragged_paged_attention import (
+                paged_decode_attention,
+            )
 
-        attn = self._paged_attention(
-            q_full, k_pages, v_pages, fb, li,
-            sm_scale=self._sm_scale(),
-            sliding_window=None,
-            soft_cap=None,
-            block_q=min(block_q, MLA_PREFILL_BLOCK_Q) if block_q > 1 else 1,
-            pages_per_block=pages_per_block,
-            interpret=interpret,
-        )  # [T, Hq, hd_pad]
+            attn, k_pages, v_pages = paged_decode_attention(
+                q_full, k_pages, v_pages, fb.kv_lens, fb.page_indices,
+                page_size=self.kv_page_size,
+                layer=li,
+                sm_scale=self._sm_scale(),
+                sliding_window=None,
+                soft_cap=None,
+                interpret=interpret,
+                k_new=k_vec, v_new=v_vec, slots=fb.slots,
+            )
+        else:
+            k_pages, v_pages = _scatter_kv(
+                k_pages, v_pages, k_vec, v_vec, li, safe_slots
+            )
+            attn = self._paged_attention(
+                q_full, k_pages, v_pages, fb, li,
+                sm_scale=self._sm_scale(),
+                sliding_window=None,
+                soft_cap=None,
+                block_q=min(block_q, MLA_PREFILL_BLOCK_Q) if block_q > 1 else 1,
+                pages_per_block=pages_per_block,
+                interpret=interpret,
+            )  # [T, Hq, hd_pad]
         attn_c = attn[..., :c]  # latent-space output
         o_h = jnp.einsum(
             "thc,hcv->thv", attn_c, lp["w_uv"],

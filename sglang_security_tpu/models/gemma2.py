@@ -122,16 +122,34 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = apply_rope(q, k, fb.positions, self._layer_inv_freq(li))
-        k_pages, v_pages = _scatter_kv(k_pages, v_pages, k, v, li, safe_slots)
-        attn = self._paged_attention(
-            q, k_pages, v_pages, fb, li,
-            sm_scale=self._sm_scale(),
-            sliding_window=self._layer_sliding(li),
-            soft_cap=cfg.attn_softcap,
-            block_q=block_q,
-            pages_per_block=pages_per_block,
-            interpret=interpret,
-        )
+        if block_q == 1 and not isinstance(k_pages, tuple):
+            from sglang_security_tpu.ops.ragged_paged_attention import (
+                paged_decode_attention,
+            )
+
+            attn, k_pages, v_pages = paged_decode_attention(
+                q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
+                page_size=self.kv_page_size,
+                layer=li,
+                sm_scale=self._sm_scale(),
+                sliding_window=self._layer_sliding(li),
+                soft_cap=cfg.attn_softcap,
+                interpret=interpret,
+                k_new=k, v_new=v, slots=fb.slots,
+            )
+        else:
+            k_pages, v_pages = _scatter_kv(
+                k_pages, v_pages, k, v, li, safe_slots
+            )
+            attn = self._paged_attention(
+                q, k_pages, v_pages, fb, li,
+                sm_scale=self._sm_scale(),
+                sliding_window=self._layer_sliding(li),
+                soft_cap=cfg.attn_softcap,
+                block_q=block_q,
+                pages_per_block=pages_per_block,
+                interpret=interpret,
+            )
         o = apply_linear(attn.reshape(T, Hq * hd), lp["o"])
         if tp_axis is not None:
             o = lax.psum(o, tp_axis)

@@ -66,6 +66,9 @@ def _scatter_kv(k_pages, v_pages, k, v, li, safe_slots):
     (reference fused_downcast, memory_pool.py:416)."""
 
     def one(pages, x):
+        pool_hd = (pages[0] if isinstance(pages, tuple) else pages).shape[-1]
+        if x.shape[-1] != pool_hd:  # lane-padded pool (kv_cache_head_dim)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pool_hd - x.shape[-1])))
         if isinstance(pages, tuple):
             data, scales = pages
             xf = x.astype(jnp.float32)
@@ -330,6 +333,16 @@ class LlamaForCausalLM:
         x = params["embed"][fb.token_ids]  # [T, H]
         if self._embed_scale() != 1.0:
             x = x * jnp.asarray(self._embed_scale(), x.dtype)
+        if fb.mm_embeds is not None and fb.mm_rows is not None:
+            # VLM prefill: image-token rows carry hash-derived pseudo ids
+            # (>= vocab, gather clamps); substitute the projected vision
+            # features (reference general_mm_embed_routine)
+            safe_rows = jnp.clip(fb.mm_rows, 0, fb.mm_embeds.shape[0] - 1)
+            x = jnp.where(
+                (fb.mm_rows >= 0)[:, None],
+                fb.mm_embeds[safe_rows].astype(x.dtype),
+                x,
+            )
         safe_slots = jnp.where(fb.slots < 0, num_tokens, fb.slots)
 
         lora_scale = lora["scale"] if lora is not None else None
@@ -449,17 +462,32 @@ class LlamaForCausalLM:
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = apply_rope(q, k, fb.positions, self.inv_freq)
 
-        k_pages, v_pages = _scatter_kv(k_pages, v_pages, k, v, li, safe_slots)
-
-        attn = self._paged_attention(
-            q, k_pages, v_pages, fb, li,
-            sm_scale=hd**-0.5,
-            sliding_window=cfg.sliding_window,
-            soft_cap=cfg.attn_softcap,
-            block_q=block_q,
-            pages_per_block=pages_per_block,
-            interpret=interpret,
-        )
+        if block_q == 1 and not isinstance(k_pages, tuple):
+            # decode fast path: the kernel writes the new token's K/V into
+            # the (aliased) pool itself — no XLA scatter on the hot loop
+            attn, k_pages, v_pages = paged_decode_attention(
+                q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
+                page_size=self.kv_page_size,
+                layer=li,
+                sm_scale=hd**-0.5,
+                sliding_window=cfg.sliding_window,
+                soft_cap=cfg.attn_softcap,
+                interpret=interpret,
+                k_new=k, v_new=v, slots=fb.slots,
+            )
+        else:
+            k_pages, v_pages = _scatter_kv(
+                k_pages, v_pages, k, v, li, safe_slots
+            )
+            attn = self._paged_attention(
+                q, k_pages, v_pages, fb, li,
+                sm_scale=hd**-0.5,
+                sliding_window=cfg.sliding_window,
+                soft_cap=cfg.attn_softcap,
+                block_q=block_q,
+                pages_per_block=pages_per_block,
+                interpret=interpret,
+            )
         attn2 = attn.reshape(T, Hq * hd)
         o = apply_linear(attn2, lp["o"])
         if lora_lp is not None:

@@ -28,6 +28,7 @@ from sglang_security_tpu.models.phi3 import (
     InternLM2ForCausalLM,
     Phi3ForCausalLM,
 )
+from sglang_security_tpu.models.llava import LlavaForConditionalGeneration
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -49,6 +50,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "Phi4ForCausalLM": Phi3ForCausalLM,
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
     "InternLM3ForCausalLM": LlamaForCausalLM,
+    "LlavaForConditionalGeneration": LlavaForConditionalGeneration,
 }
 
 

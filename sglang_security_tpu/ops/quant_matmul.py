@@ -130,17 +130,30 @@ def quantize_int8_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _int4_kernel(
-    x_ref,  # [BM, BK]
+    x_ref,  # [BM, BK] bf16 (act_int8: int8)
     w_ref,  # [BK//2, BN] uint8 (tile-local packed)
     s_ref,  # [K//G, BN] f32 (full K-strip of scales for this N block)
     z_ref,  # [K//G, BN] f32
-    o_ref,  # [BM, BN]
-    acc_ref,  # [BM, BN] f32 scratch
-    *,
+    *refs,  # (+xs_ref [BM, 1] f32 row act-scales when act_int8,) o_ref, acc_ref
     block_k: int,
     group_size: int,
     out_dtype,
+    act_int8: bool,
 ):
+    """Group-dot formulation: never dequantizes weights element-wise.
+
+    For each quant group g:  x·w|_g = s_g ⊙ (x·q)|_g − (s_g·z_g) ⊙ Σx|_g
+    so the MXU multiplies the *raw* nibble values (exact in bf16 or int8)
+    and the zero/scale handling becomes two rank-1 fixups on the [BM, BN]
+    output tile — O(M·N·K/G) VPU work instead of O(K·N) per-weight dequant
+    (which cost ~5 VPU ops/weight and dominated the decode step).  With
+    ``act_int8`` the dot runs int8×int8 on the MXU at twice bf16 throughput
+    (reference analog: QServe w4a8, ``qserve_w4a8_per_group_gemm.cu``)."""
+    if act_int8:
+        xs_ref, o_ref, acc_ref = refs
+    else:
+        o_ref, acc_ref = refs
+        xs_ref = None
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -150,41 +163,66 @@ def _int4_kernel(
 
     half = block_k // 2
 
-    packed = w_ref[...].astype(jnp.int32)  # int8 bits; mask works on 2's-comp
-    lo = (packed & 0xF).astype(jnp.float32)  # rows [0, half) of this K block
-    hi = ((packed >> 4) & 0xF).astype(jnp.float32)  # rows [half, block_k)
+    if act_int8:
+        # nibble unpack via i32 bitcast: 8 weights per lane-op (Mosaic
+        # cannot shift i8 vectors, and i32 ops on the re-packed view are
+        # 4x denser than per-byte i32 unpack); bitcast back to i8 feeds
+        # the int8 MXU with no further casts
+        p32 = pltpu.bitcast(w_ref[...], jnp.int32)
+        lo = pltpu.bitcast(p32 & 0x0F0F0F0F, jnp.int8)
+        hi = pltpu.bitcast((p32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    else:
+        p32 = w_ref[...].astype(jnp.int32)
+        lo = (p32 & 0xF).astype(jnp.float32)  # rows [0, half), values 0..15
+        hi = ((p32 >> 4) & 0xF).astype(jnp.float32)  # rows [half, block_k)
 
     x = x_ref[...]
+    groups_per_half = max(half // group_size, 1)
+    acc = None
     for part, w_q in ((0, lo), (1, hi)):
-        # dequantize: broadcast each group's scale/zero over its rows
-        if half % group_size == 0:
-            groups_per_half = half // group_size
-            pieces = []
-            for g in range(groups_per_half):
+        for g in range(groups_per_half):
+            if half % group_size == 0:
                 row = k * (block_k // group_size) + part * groups_per_half + g
-                s = s_ref[row, :][None, :]
-                z = z_ref[row, :][None, :]
-                blk = w_q[g * group_size : (g + 1) * group_size, :]
-                pieces.append((blk - z) * s)
-            w_deq = (
-                jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
-            )
-        else:
-            # group >= half-block: each half lies inside one quant group
-            assert group_size % half == 0, (group_size, half)
-            row = (k * block_k + part * half) // group_size
-            w_deq = (w_q - z_ref[row, :][None, :]) * s_ref[row, :][None, :]
-        x_part = x[:, part * half : (part + 1) * half]
-        acc_ref[...] += lax.dot_general(
-            x_part.astype(jnp.bfloat16),
-            w_deq.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+                lo_r, hi_r = g * group_size, (g + 1) * group_size
+            else:
+                # group >= half-block: the half lies inside one quant group
+                assert group_size % half == 0, (group_size, half)
+                row = (k * block_k + part * half) // group_size
+                lo_r, hi_r = 0, half
+            q_g = w_q[lo_r:hi_r, :]
+            x_g = x[:, part * half + lo_r : part * half + hi_r]
+            s = s_ref[row, :][None, :]
+            z = z_ref[row, :][None, :]
+            if act_int8:
+                d = lax.dot_general(
+                    x_g,
+                    q_g,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                xsum = jnp.sum(
+                    x_g.astype(jnp.int32), axis=1, keepdims=True
+                ).astype(jnp.float32)
+            else:
+                d = lax.dot_general(
+                    x_g,
+                    q_g.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                xsum = jnp.sum(
+                    x_g.astype(jnp.float32), axis=1, keepdims=True
+                )
+            term = (d - xsum * z) * s
+            acc = term if acc is None else acc + term
+    acc_ref[...] += acc
 
     @pl.when(k == nk - 1)
     def _store():
-        o_ref[...] = acc_ref[...].astype(out_dtype)
+        out = acc_ref[...]
+        if act_int8:
+            out = out * xs_ref[:, 0:1]
+        o_ref[...] = out.astype(out_dtype)
 
 
 @functools.partial(
@@ -195,6 +233,7 @@ def _int4_kernel(
         "block_n",
         "block_k",
         "out_dtype",
+        "act",
         "interpret",
     ),
 )
@@ -209,12 +248,17 @@ def int4_matmul(
     block_n: int = 256,
     block_k: Optional[int] = None,
     out_dtype=jnp.bfloat16,
+    act: str = "bf16",  # "bf16" (w4a16) | "int8" (w4a8, 2x MXU rate)
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """``block_m`` defaults large: the kernel streams (and VPU-dequantizes)
-    the whole weight matrix once per M block, so small blocks multiply
-    both HBM weight traffic and dequant work by M/block_m — ruinous at
-    prefill sizes (M=4096 cost 16x with the old 256 default)."""
+    """``block_m`` defaults large: the kernel streams the whole weight
+    matrix once per M block, so small blocks multiply HBM weight traffic
+    by M/block_m — ruinous at prefill sizes (M=4096 cost 16x with the old
+    256 default).
+
+    ``act="int8"`` quantizes activations per-row to int8 and runs the
+    group dots on the int8 MXU path (2x bf16 throughput); w4a16 numerics
+    become w4a8 (QServe-style)."""
     M, K = x.shape
     N = w_packed.shape[1]
     if block_k is None:
@@ -225,28 +269,45 @@ def int4_matmul(
     assert half % group_size == 0 or group_size % half == 0
     if interpret is None:
         interpret = use_interpret_mode()
+    act_int8 = act == "int8"
 
-    bm = min(block_m, round_up(M, 8))
+    bm = min(block_m, round_up(M, 32 if act_int8 else 8))
     bn = min(block_n, N)
     Mp = round_up(M, bm)
-    if Mp != M:
-        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+
+    inputs = []
+    if act_int8:
+        x_q, x_s = quantize_int8_rowwise(x)
+        if Mp != M:
+            x_q = jnp.pad(x_q, ((0, Mp - M), (0, 0)))
+            x_s = jnp.pad(x_s, ((0, Mp - M), (0, 0)))
+        inputs = [x_q]
+        tail = [x_s]
+    else:
+        if Mp != M:
+            x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+        inputs = [x.astype(jnp.bfloat16)]
+        tail = []
 
     grid = (Mp // bm, N // bn, K // block_k)
+    in_specs = [
+        pl.BlockSpec((bm, block_k), lambda i, j, k: (i, k)),
+        pl.BlockSpec((block_k // 2, bn), lambda i, j, k: (k, j)),
+        pl.BlockSpec((K // group_size, bn), lambda i, j, k: (0, j)),
+        pl.BlockSpec((K // group_size, bn), lambda i, j, k: (0, j)),
+    ]
+    if act_int8:
+        in_specs.append(pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)))
     out = pl.pallas_call(
         functools.partial(
             _int4_kernel,
             block_k=block_k,
             group_size=group_size,
             out_dtype=out_dtype,
+            act_int8=act_int8,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, block_k), lambda i, j, k: (i, k)),
-            pl.BlockSpec((block_k // 2, bn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((K // group_size, bn), lambda i, j, k: (0, j)),
-            pl.BlockSpec((K // group_size, bn), lambda i, j, k: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -255,7 +316,7 @@ def int4_matmul(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, w_packed, scale, zero)
+    )(inputs[0], w_packed, scale, zero, *tail)
     return out[:M]
 
 

@@ -378,11 +378,24 @@ def ragged_paged_attention(
     q and the output stay [T, Hq, hd] (no transposes on the hot path).
     """
     T, num_q_heads, head_dim = q.shape
-    _, num_kv_heads, _, _ = k_pages.shape
+    _, num_kv_heads, _, pool_hd = k_pages.shape
     S, pages_per_seq = page_indices.shape
     q_per_kv = num_q_heads // num_kv_heads
     assert num_q_heads % num_kv_heads == 0
     assert T % block_q == 0, (T, block_q)
+    if head_dim != pool_hd:
+        # pool head dim is lane-padded (ModelConfig.kv_cache_head_dim)
+        if sm_scale is None:
+            sm_scale = head_dim**-0.5
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pool_hd - head_dim)))
+        out = ragged_paged_attention(
+            q, k_pages, v_pages, kv_lens, page_indices, q_starts, q_lens,
+            page_size=page_size, layer=layer, sm_scale=sm_scale,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            block_q=block_q, pages_per_block=pages_per_block,
+            interpret=interpret, k_scales=k_scales, v_scales=v_scales,
+        )
+        return out[..., :head_dim]
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
         page_indices = jnp.pad(page_indices, ((0, 0), (0, pad)))
@@ -512,6 +525,7 @@ def _decode_kernel(
     kv_lens_ref,  # [B] i32
     page_indices_ref,  # [B * pages_per_seq] i32 (flat)
     layer_ref,  # [1] i32
+    slots_ref,  # [B] i32 (fused mode: new token's pool row; else [1] dummy)
     # --- tensor inputs / outputs / scratch (see unpacking below) ---
     *refs,
     block_s: int,
@@ -523,11 +537,20 @@ def _decode_kernel(
     sliding_window: Optional[int],
     soft_cap: Optional[float],
     quantized: bool = False,
+    fused_write: bool = False,
 ):
+    kn_ref = vn_ref = kp_out = vp_out = w_sems = None
+    kw_scr = vw_scr = r_sems = None
     if quantized:
         (q_ref, k_pages_ref, v_pages_ref, ks_pages_ref, vs_pages_ref,
          o_ref, k_buf, v_buf, ks_buf, vs_buf, k_sems, v_sems,
          m_scr, l_scr, acc_scr) = refs
+    elif fused_write:
+        (q_ref, k_pages_ref, v_pages_ref, kn_ref, vn_ref,
+         o_ref, kp_out, vp_out, k_buf, v_buf,
+         k_sems, v_sems, r_sems, w_sems, kw_scr, vw_scr,
+         m_scr, l_scr, acc_scr) = refs
+        ks_pages_ref = vs_pages_ref = ks_buf = vs_buf = None
     else:
         (q_ref, k_pages_ref, v_pages_ref, o_ref, k_buf, v_buf,
          k_sems, v_sems, m_scr, l_scr, acc_scr) = refs
@@ -542,8 +565,13 @@ def _decode_kernel(
     def kvlen(s):
         return kv_lens_ref[sb * block_s + s]
 
+    def pagelen(s):
+        """Tokens to read from pages (fused mode: the newest token is an
+        in-register input, not yet in the pool)."""
+        return kvlen(s) - 1 if fused_write else kvlen(s)
+
     def nblocks(s):
-        return lax.div(kvlen(s) + blk - 1, blk)
+        return lax.div(pagelen(s) + blk - 1, blk)
 
     nmax = nblocks(0)
     for s in range(1, block_s):
@@ -589,6 +617,56 @@ def _decode_kernel(
     m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Fused pool write is a read-modify-write of the W-row aligned window
+    # containing the slot: Mosaic requires token-dim DMA slices to be
+    # sublane-tile aligned, so a bare 1-row write does not lower.  The
+    # other rows of the window are this sequence's own older tokens (slots
+    # within a page belong to one sequence and fill in order), so writing
+    # them back unchanged is race-free.
+    W = kw_scr.shape[2] if fused_write else 0
+
+    def win_base(s):
+        slot = slots_ref[sb * block_s + s]
+        return (slot // W) * W
+
+    def rmw_reads(s):
+        base = win_base(s)
+        return [
+            pltpu.make_async_copy(
+                k_pages_ref.at[layer, :, pl.ds(base, W)],
+                kw_scr.at[s],
+                r_sems.at[s],
+            ),
+            pltpu.make_async_copy(
+                v_pages_ref.at[layer, :, pl.ds(base, W)],
+                vw_scr.at[s],
+                r_sems.at[s],
+            ),
+        ]
+
+    def rmw_writes(s):
+        base = win_base(s)
+        return [
+            pltpu.make_async_copy(
+                kw_scr.at[s],
+                kp_out.at[layer, :, pl.ds(base, W)],
+                w_sems.at[s],
+            ),
+            pltpu.make_async_copy(
+                vw_scr.at[s],
+                vp_out.at[layer, :, pl.ds(base, W)],
+                w_sems.at[s],
+            ),
+        ]
+
+    if fused_write:
+        for s in range(block_s):
+
+            @pl.when(slots_ref[sb * block_s + s] >= 0)
+            def _start_rmw_reads():
+                for c in rmw_reads(s):
+                    c.start()
 
     for s in range(block_s):
 
@@ -647,7 +725,7 @@ def _decode_kernel(
                 kv_pos = j * blk + lax.broadcasted_iota(
                     jnp.int32, (num_q_heads, blk), 1
                 )
-                allow = kv_pos <= q_pos
+                allow = kv_pos < pagelen(s)
                 if sliding_window is not None:
                     allow = jnp.logical_and(
                         allow, kv_pos > q_pos - sliding_window
@@ -693,10 +771,65 @@ def _decode_kernel(
 
     lax.fori_loop(0, nmax, body, 0, unroll=False)
 
+    if fused_write:
+        # flash-update with the in-register new token (position kvlen-1)
+        for s in range(block_s):
+
+            @pl.when(kvlen(s) > 0)
+            def _new_token():
+                q_s = q_ref[s].astype(jnp.float32)  # [Hq, hd]
+                k_n = kn_ref[s, :, 0, :].astype(jnp.float32)  # [Hkv, hd]
+                v_n = vn_ref[s, :, 0, :].astype(jnp.float32)
+                qg = q_s.reshape(num_kv_heads, g, head_dim)
+                qk_n = jnp.sum(qg * k_n[:, None, :], axis=-1)  # [Hkv, g]
+                qk_n = qk_n.reshape(num_q_heads, 1) * sm_scale
+                if soft_cap is not None:
+                    qk_n = soft_cap * jnp.tanh(qk_n / soft_cap)
+                m_prev = m_scr[s]
+                m_next = jnp.maximum(m_prev, qk_n)
+                alpha = jnp.exp(m_prev - m_next)
+                p_n = jnp.exp(qk_n - m_next[:, 0:1])  # [Hq, 1]
+                l_scr[s] = alpha * l_scr[s] + p_n
+                m_scr[s] = m_next
+                v_rep = jnp.broadcast_to(
+                    v_n[:, None, :], (num_kv_heads, g, head_dim)
+                ).reshape(num_q_heads, head_dim)
+                acc_scr[s] = acc_scr[s] * alpha[:, 0:1] + p_n * v_rep
+
     for s in range(block_s):
         l = l_scr[s][:, 0:1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[s] = (acc_scr[s] * l_inv).astype(o_ref.dtype)
+
+    if fused_write:
+        # merge the new row into each window and write it back; the
+        # write DMAs must land before the kernel (this layer) retires
+        row_iota = lax.broadcasted_iota(
+            jnp.int32, (num_kv_heads, W, head_dim), 1
+        )
+        for s in range(block_s):
+
+            @pl.when(slots_ref[sb * block_s + s] >= 0)
+            def _merge_and_write():
+                for c in rmw_reads(s):
+                    c.wait()
+                idx = slots_ref[sb * block_s + s] - win_base(s)
+                sel = row_iota == idx
+                kw_scr[s] = jnp.where(
+                    sel, kn_ref[s].astype(kw_scr.dtype), kw_scr[s]
+                )
+                vw_scr[s] = jnp.where(
+                    sel, vn_ref[s].astype(vw_scr.dtype), vw_scr[s]
+                )
+                for c in rmw_writes(s):
+                    c.start()
+
+        for s in range(block_s):
+
+            @pl.when(slots_ref[sb * block_s + s] >= 0)
+            def _wait_writes():
+                for c in rmw_writes(s):
+                    c.wait()
 
 
 @functools.partial(
@@ -728,6 +861,9 @@ def paged_decode_attention(
     interpret: Optional[bool] = None,
     k_scales=None,  # [L, Hkv, tokens] bf16 (quantized KV)
     v_scales=None,
+    k_new=None,  # [B, Hkv, hd] fused-write mode: new token K/V + slots
+    v_new=None,
+    slots=None,  # [B] i32 pool row of each seq's new token (-1 = pad)
 ):
     """Batched decode: one query token per sequence, `block_s` sequences
     per grid cell (replaces the reference's decode attention backends,
@@ -739,12 +875,44 @@ def paged_decode_attention(
 
     With ``k_scales``/``v_scales`` the pages hold int8/fp8 values that
     are dequantized in VMEM right before the matmuls (per-token-per-head
-    scales; the reference's FP8/INT8 KV cache capability)."""
+    scales; the reference's FP8/INT8 KV cache capability).
+
+    With ``k_new``/``v_new``/``slots`` the kernel *writes* the new token's
+    K/V into the pool itself (pools aliased in→out, rows DMA'd overlapped
+    with the kv walk) and folds that token into the flash update
+    in-register — replacing the XLA scatter that cost ~5 ms/step at B=128
+    (1024 scattered rows/layer).  Returns ``(out, k_pages, v_pages)``.
+    Incompatible with quantized KV (use the scatter path there)."""
     B, num_q_heads, head_dim = q.shape
-    _, num_kv_heads, _, _ = k_pages.shape
+    _, num_kv_heads, _, pool_hd = k_pages.shape
     S, pages_per_seq = page_indices.shape
     assert S == B
     quantized = k_scales is not None
+    fused_write = k_new is not None
+    assert not (fused_write and quantized)
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    if head_dim != pool_hd:
+        # pool head dim is lane-padded (ModelConfig.kv_cache_head_dim);
+        # pad q/k/v with zeros and slice the output back
+        pad_hd = ((0, 0), (0, 0), (0, pool_hd - head_dim))
+        q = jnp.pad(q, pad_hd)
+        if fused_write:
+            k_new = jnp.pad(k_new, pad_hd)
+            v_new = jnp.pad(v_new, pad_hd)
+        res = paged_decode_attention(
+            q, k_pages, v_pages, kv_lens, page_indices,
+            page_size=page_size, layer=layer, sm_scale=sm_scale,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            pages_per_block=pages_per_block, block_s=block_s,
+            interpret=interpret, k_scales=k_scales, v_scales=v_scales,
+            k_new=k_new, v_new=v_new, slots=slots,
+        )
+        if fused_write:
+            out, k_pages, v_pages = res
+            return out[..., :head_dim], k_pages, v_pages
+        return res[..., :head_dim]
+    head_dim = pool_hd
     if sm_scale is None:
         sm_scale = head_dim**-0.5
     if interpret is None:
@@ -760,6 +928,10 @@ def paged_decode_attention(
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
         kv_lens = jnp.pad(kv_lens, (0, pad))
         page_indices = jnp.pad(page_indices, ((0, pad), (0, 0)))
+        if fused_write:
+            k_new = jnp.pad(k_new, ((0, pad), (0, 0), (0, 0)))
+            v_new = jnp.pad(v_new, ((0, pad), (0, 0), (0, 0)))
+            slots = jnp.pad(slots, (0, pad), constant_values=-1)
     Bp = q.shape[0]
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
@@ -782,12 +954,14 @@ def paged_decode_attention(
         sliding_window=sliding_window,
         soft_cap=soft_cap,
         quantized=quantized,
+        fused_write=fused_write,
+    )
+    q_spec = pl.BlockSpec(
+        (block_s, num_q_heads, head_dim),
+        lambda sb, *_: (sb, 0, 0),
     )
     in_specs = [
-        pl.BlockSpec(
-            (block_s, num_q_heads, head_dim),
-            lambda sb, *_: (sb, 0, 0),
-        ),
+        q_spec,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -810,26 +984,70 @@ def paged_decode_attention(
             pltpu.VMEM((2, block_s, num_kv_heads, blk), k_scales.dtype),
             pltpu.VMEM((2, block_s, num_kv_heads, blk), v_scales.dtype),
         ]
+    out_specs = pl.BlockSpec(
+        (block_s, num_q_heads, head_dim),
+        lambda sb, *_: (sb, 0, 0),
+    )
+    out_shape = jax.ShapeDtypeStruct((Bp, num_q_heads, head_dim), q.dtype)
+    io_aliases = {}
+    if fused_write:
+        nkv_spec = pl.BlockSpec(
+            (block_s, num_kv_heads, 1, head_dim),
+            lambda sb, *_: (sb, 0, 0, 0),
+        )
+        in_specs += [nkv_spec, nkv_spec]
+        inputs += [
+            k_new.astype(k_pages.dtype)[:, :, None, :],
+            v_new.astype(v_pages.dtype)[:, :, None, :],
+        ]
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ]
+        # flattened operand order: 4 scalars, q, k_pages, v_pages, ...
+        io_aliases = {5: 1, 6: 2}
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if fused_write:
+        # RMW window: sublane-tile-aligned rows around each slot
+        W = 16 if k_pages.dtype == jnp.bfloat16 else 8
+        W = min(W, page_size)
+        assert page_size % W == 0, (page_size, W)
+        scratch += [
+            pltpu.SemaphoreType.DMA((block_s,)),
+            pltpu.SemaphoreType.DMA((block_s,)),
+            pltpu.VMEM((block_s, num_kv_heads, W, head_dim), k_pages.dtype),
+            pltpu.VMEM((block_s, num_kv_heads, W, head_dim), v_pages.dtype),
+        ]
+    scratch += [
         pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
         pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
         pltpu.VMEM((block_s, num_q_heads, head_dim), jnp.float32),
     ]
-    out = pl.pallas_call(
+    slots_arr = (
+        slots.astype(jnp.int32)
+        if fused_write
+        else jnp.zeros((1,), jnp.int32)
+    )
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(Bp // block_s,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (block_s, num_q_heads, head_dim),
-                lambda sb, *_: (sb, 0, 0),
-            ),
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((Bp, num_q_heads, head_dim), q.dtype),
+        out_shape=out_shape,
+        input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # KV double buffers alone can exceed the 16MB default scoped
@@ -841,6 +1059,10 @@ def paged_decode_attention(
         kv_lens.astype(jnp.int32),
         page_indices.reshape(-1).astype(jnp.int32),
         jnp.asarray(layer, jnp.int32).reshape(1),
+        slots_arr,
         *inputs,
     )
-    return out[:B].astype(orig_dtype)
+    if fused_write:
+        out, k_pages, v_pages = res
+        return out[:B].astype(orig_dtype), k_pages, v_pages
+    return res[:B].astype(orig_dtype)

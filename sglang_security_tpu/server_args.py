@@ -110,6 +110,11 @@ class ServerArgs:
     max_loras_per_batch: int = 8
     max_lora_rank: Optional[int] = None
 
+    # ---- multimodal ----
+    # device entries in the encoder-output cache (content-hash keyed;
+    # reference mem_cache/multimodal_cache.py)
+    mm_feature_cache_size: int = 32
+
     # ---- SafeKV (privacy-aware KV sharing; fork capability) ----
     enable_safekv: bool = False
     safekv_epoch_seconds: float = 10.0
@@ -131,6 +136,9 @@ class ServerArgs:
     disaggregation_mode: str = "null"  # null | prefill | decode
     disaggregation_bootstrap_port: int = 8998
     disaggregation_transfer_backend: str = "fake"  # fake | grpc
+    # decode-side: abort a room if its KV hasn't fully arrived in time
+    # (reference heartbeat-driven room failure, mooncake/conn.py:488-540)
+    disaggregation_timeout: float = 120.0
 
     # ---- observability ----
     enable_request_time_stats_logging: bool = False

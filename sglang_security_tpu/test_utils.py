@@ -316,6 +316,119 @@ def make_tiny_deepseek(path: str, config: dict | None = None, seed: int = 0) -> 
     return path
 
 
+TINY_LLAVA_CONFIG = {
+    "architectures": ["LlavaForConditionalGeneration"],
+    "model_type": "llava",
+    "image_token_index": 500,
+    "vision_feature_layer": -2,
+    "vision_feature_select_strategy": "default",
+    "projector_hidden_act": "gelu",
+    "image_seq_length": 4,
+    "text_config": {
+        "model_type": "llama",
+        "hidden_size": 128,
+        "intermediate_size": 256,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "head_dim": 32,
+        "vocab_size": 512,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "max_position_embeddings": 2048,
+        "tie_word_embeddings": False,
+        "bos_token_id": 1,
+        "eos_token_id": 2,
+    },
+    "vision_config": {
+        "model_type": "clip_vision_model",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "image_size": 28,
+        "patch_size": 14,
+        "projection_dim": 64,
+        "hidden_act": "quick_gelu",
+        "layer_norm_eps": 1e-5,
+    },
+    "torch_dtype": "float32",
+}
+
+
+def make_tiny_llava(path: str, config: dict | None = None, seed: int = 0) -> str:
+    """Random-weight HF LLaVA checkpoint in the modern (transformers>=4.52)
+    layout: model.language_model.* / model.vision_tower.* /
+    model.multi_modal_projector.* / lm_head.weight."""
+    from safetensors.numpy import save_file
+
+    cfg = json.loads(json.dumps(TINY_LLAVA_CONFIG))
+    if config:
+        cfg.update(config)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+
+    rng = np.random.default_rng(seed)
+    tc, vc = cfg["text_config"], cfg["vision_config"]
+    H, I = tc["hidden_size"], tc["intermediate_size"]
+    hd, Hq, Hkv = tc["head_dim"], tc["num_attention_heads"], tc["num_key_value_heads"]
+    V = tc["vocab_size"]
+    D, Dv = vc["hidden_size"], vc["intermediate_size"]
+    p_sz = vc["patch_size"]
+    n_pos = (vc["image_size"] // p_sz) ** 2 + 1
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    lm = "model.language_model."
+    t = {lm + "embed_tokens.weight": r(V, H),
+         lm + "norm.weight": np.ones(H, np.float32),
+         "lm_head.weight": r(V, H)}
+    for i in range(tc["num_hidden_layers"]):
+        p = f"{lm}layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "self_attn.q_proj.weight"] = r(Hq * hd, H)
+        t[p + "self_attn.k_proj.weight"] = r(Hkv * hd, H)
+        t[p + "self_attn.v_proj.weight"] = r(Hkv * hd, H)
+        t[p + "self_attn.o_proj.weight"] = r(H, Hq * hd)
+        t[p + "mlp.gate_proj.weight"] = r(I, H)
+        t[p + "mlp.up_proj.weight"] = r(I, H)
+        t[p + "mlp.down_proj.weight"] = r(H, I)
+
+    vt = "model.vision_tower.vision_model."
+    t[vt + "embeddings.class_embedding"] = r(D)
+    t[vt + "embeddings.patch_embedding.weight"] = r(D, 3, p_sz, p_sz)
+    t[vt + "embeddings.position_embedding.weight"] = r(n_pos, D)
+    t[vt + "pre_layrnorm.weight"] = np.ones(D, np.float32)
+    t[vt + "pre_layrnorm.bias"] = np.zeros(D, np.float32)
+    t[vt + "post_layernorm.weight"] = np.ones(D, np.float32)
+    t[vt + "post_layernorm.bias"] = np.zeros(D, np.float32)
+    for i in range(vc["num_hidden_layers"]):
+        p = f"{vt}encoder.layers.{i}."
+        for ln in ("layer_norm1", "layer_norm2"):
+            t[p + ln + ".weight"] = np.ones(D, np.float32)
+            t[p + ln + ".bias"] = r(D, scale=0.01)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            t[p + f"self_attn.{proj}.weight"] = r(D, D)
+            t[p + f"self_attn.{proj}.bias"] = r(D, scale=0.01)
+        t[p + "mlp.fc1.weight"] = r(Dv, D)
+        t[p + "mlp.fc1.bias"] = r(Dv, scale=0.01)
+        t[p + "mlp.fc2.weight"] = r(D, Dv)
+        t[p + "mlp.fc2.bias"] = r(D, scale=0.01)
+
+    pj = "model.multi_modal_projector."
+    t[pj + "linear_1.weight"] = r(H, D)
+    t[pj + "linear_1.bias"] = r(H, scale=0.01)
+    t[pj + "linear_2.weight"] = r(H, H)
+    t[pj + "linear_2.bias"] = r(H, scale=0.01)
+
+    save_file(t, os.path.join(path, "model.safetensors"))
+    _write_tiny_tokenizer(path, V)
+    return path
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "make-tiny-llama":
         p = make_tiny_llama(sys.argv[2])

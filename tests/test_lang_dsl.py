@@ -86,3 +86,89 @@ def test_multi_turn_gen_chain(engine):
 
     st = prog.run(backend=sgl.EngineBackend(engine))
     assert st["a1"] in st.text() and st["a2"] in st.text()
+
+
+def test_trace_ir():
+    from sglang_security_tpu.lang.ir import IRArg, IRConst, IRGen, IRSelect
+
+    @sgl.function
+    def prog(s, q):
+        s += "You are a quiz bot. "
+        s += f"Question: {q}\n"
+        s += sgl.gen("answer", max_tokens=8)
+        s += " Verdict: "
+        s += sgl.select("verdict", choices=["right", "wrong"])
+
+    ir = prog.trace()
+    kinds = [type(op).__name__ for op in ir.ops]
+    assert kinds == ["IRConst", "IRConst", "IRArg", "IRConst", "IRGen",
+                     "IRConst", "IRSelect"]
+    assert ir.gen_names == ["answer", "verdict"]
+    # constant text before the first argument is the cacheable prefix
+    assert ir.shared_prefix == "You are a quiz bot. Question: "
+    # tracing with a concrete arg folds it into constants
+    ir2 = prog.trace(q="why?")
+    assert not any(isinstance(op, IRArg) for op in ir2.ops)
+
+
+def test_trace_roles():
+    @sgl.function
+    def prog(s):
+        s += sgl.system("Be terse.")
+        s += sgl.user("hello")
+        s += sgl.assistant(sgl.gen("reply", max_tokens=4))
+
+    ir = prog.trace()
+    assert "Be terse." in ir.shared_prefix
+    assert ir.gen_names == ["reply"]
+
+
+def test_openai_backend_against_own_server(engine, tmp_path):
+    """OpenAIBackend drives our own OpenAI-compatible HTTP server."""
+    import threading
+    import time
+
+    import requests
+
+    from sglang_security_tpu.entrypoints.http_server import build_app
+
+    try:
+        from aiohttp import web
+    except ImportError:
+        pytest.skip("aiohttp not available")
+
+    app = build_app(engine)
+    runner = web.AppRunner(app)
+    loop_holder = {}
+
+    def serve():
+        import asyncio
+
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        loop_holder["loop"] = loop
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", 31123)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        try:
+            requests.get("http://127.0.0.1:31123/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.2)
+
+    @sgl.function
+    def prog(s):
+        s += "say something: "
+        s += sgl.gen("out", max_tokens=4, ignore_eos=True)
+
+    st = prog.run(
+        backend=sgl.OpenAIBackend("http://127.0.0.1:31123", chat=False)
+    )
+    assert isinstance(st["out"], str)
+    loop_holder["loop"].call_soon_threadsafe(loop_holder["loop"].stop)

@@ -67,3 +67,120 @@ def test_pd_split_matches_monolithic(tmp_path_factory, backend, port):
     finally:
         prefill.shutdown()
         decode.shutdown()
+
+
+def test_pd_failed_room_aborts(tmp_path_factory):
+    """A room whose transfer died (dead prefill peer) aborts cleanly
+    instead of hanging the decode request forever."""
+    from sglang_security_tpu.disaggregation.conn import fake_fail_room
+
+    path = str(tmp_path_factory.mktemp("tiny_pd_fail") / "llama")
+    make_tiny_llama(path)
+    decode = make(path, "decode", "fake", 0)
+    try:
+        room = 555001
+        fake_fail_room(room)
+        out = decode.generate(
+            input_ids=list(range(40, 56)), sampling_params=SP,
+            bootstrap_room=room,
+        )
+        assert out["meta_info"]["finish_reason"]["type"] == "abort"
+        assert out["output_ids"] == []
+    finally:
+        decode.shutdown()
+
+
+def test_pd_room_timeout_aborts(tmp_path_factory):
+    """A room whose KV never arrives aborts after disaggregation_timeout."""
+    path = str(tmp_path_factory.mktemp("tiny_pd_to") / "llama")
+    make_tiny_llama(path)
+    eng = Engine(
+        ServerArgs(
+            model_path=path, dtype="float32", max_total_tokens=2048,
+            page_size=8, prefill_token_buckets=[128],
+            decode_bs_buckets=[1, 4], max_seq_pages_buckets=[8, 16],
+            disaggregation_mode="decode",
+            disaggregation_transfer_backend="fake",
+            disaggregation_timeout=1.0,
+            random_seed=0,
+        )
+    )
+    try:
+        t0 = time.monotonic()
+        out = eng.generate(
+            input_ids=list(range(40, 56)), sampling_params=SP,
+            bootstrap_room=555002,
+        )
+        assert out["meta_info"]["finish_reason"]["type"] == "abort"
+        assert time.monotonic() - t0 < 30
+    finally:
+        eng.shutdown()
+
+
+def test_tcp_chunked_transfer_roundtrip():
+    """Chunked-stream sender/receiver: large payload arrives intact."""
+    import numpy as np
+
+    from sglang_security_tpu.disaggregation.conn import (
+        KVPayload,
+        TcpBootstrapServer,
+        TcpKVSender,
+    )
+
+    srv = TcpBootstrapServer(18999)
+    srv.start()
+    try:
+        k = np.arange(6 << 20, dtype=np.uint8).tobytes()  # > CHUNK_BYTES
+        v = bytes(reversed(k))
+        sender = TcpKVSender("127.0.0.1", 18999)
+        ok = sender.send(
+            KVPayload(
+                room=7, token_ids=[1, 2, 3], first_token=9,
+                k_bytes=k, v_bytes=v, shape=(len(k),), dtype="uint8",
+            )
+        )
+        assert ok
+        deadline = time.monotonic() + 10
+        payload = None
+        while payload is None and time.monotonic() < deadline:
+            payload = srv.poll(7)
+            time.sleep(0.01)
+        assert payload is not None
+        assert payload.k_bytes == k and payload.v_bytes == v
+        assert payload.first_token == 9
+        assert not srv.is_failed(7)
+    finally:
+        srv.close()
+
+
+def test_tcp_midstream_death_marks_failed():
+    """A sender that dies mid-stream marks the room failed."""
+    import socket
+    import struct
+    import pickle
+
+    from sglang_security_tpu.disaggregation.conn import (
+        MAGIC_CHUNKED,
+        TcpBootstrapServer,
+    )
+
+    srv = TcpBootstrapServer(19001, chunk_timeout=0.5)
+    srv.start()
+    try:
+        meta = {
+            "room": 11, "token_ids": [1], "first_token": 2,
+            "shape": (16,), "dtype": "uint8", "meta": {},
+            "k_len": 1 << 20, "v_len": 1 << 20,
+        }
+        blob = pickle.dumps(meta)
+        s = socket.create_connection(("127.0.0.1", 19001))
+        s.sendall(MAGIC_CHUNKED + struct.pack("<Q", len(blob)) + blob)
+        s.sendall(b"x" * 1000)  # partial data, then die
+        s.close()
+        deadline = time.monotonic() + 5
+        while not srv.is_failed(11) and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert srv.is_failed(11)
+        assert srv.poll(11) is None
+    finally:
+        srv.close()

@@ -62,3 +62,37 @@ def test_int8_rowwise_quant(rng):
     q, s = quantize_int8_rowwise(x)
     x2 = np.asarray(q, np.float32) * np.asarray(s)
     np.testing.assert_allclose(x2, np.asarray(x), atol=np.asarray(s).max())
+
+
+@pytest.mark.parametrize("M", [1, 64])
+def test_int4_matmul_act_int8(rng, M):
+    """w4a8 mode: int8 activation quantization adds ~1/127 relative noise."""
+    K, N, G, BK = 1024, 256, 128, 512
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    q, s, z = quantize_int4(w, G)
+    packed = pack_int4(q, BK)
+    out = int4_matmul(x, packed, s, z, group_size=G, block_k=BK,
+                      block_m=64, block_n=128, out_dtype=jnp.float32,
+                      act="int8")
+    ref = x @ dequantize_int4(q, s, z, G)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-6
+    )
+    assert rel < 5e-2, rel
+
+
+def test_int4_matmul_group_ge_half(rng):
+    """group_size >= block_k//2 exercises the single-group-per-half path."""
+    K, N, G, BK = 512, 128, 256, 512
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((16, K)), jnp.float32)
+    q, s, z = quantize_int4(w, G)
+    packed = pack_int4(q, BK)
+    out = int4_matmul(x, packed, s, z, group_size=G, block_k=BK,
+                      block_m=16, block_n=128, out_dtype=jnp.float32)
+    ref = x @ dequantize_int4(q, s, z, G)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-6
+    )
+    assert rel < 3e-2, rel

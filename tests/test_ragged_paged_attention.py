@@ -206,3 +206,78 @@ def test_sliding_window_and_softcap(rng):
     np.testing.assert_allclose(
         np.asarray(out[:16]), np.asarray(ref[:16]), rtol=2e-2, atol=2e-2
     )
+
+
+def test_decode_fused_kv_write(rng):
+    """Fused-write mode: output must match scatter-then-attend, and the
+    returned pools must contain the new token rows at `slots`."""
+    num_kv_heads, page_size, head_dim, q_per_kv = 4, 8, 64, 2
+    num_pages, pages_per_seq = 128, 8
+    B = 5
+    # kv_lens INCLUDE the new token; one seq starts a fresh page (17->
+    # slot in page 3), one exactly fills a page boundary case (64)
+    kv_lens = np.array([1, 9, 33, 64, 17], np.int32)
+    k_pages, v_pages = make_pool(rng, num_kv_heads, num_pages, page_size, head_dim)
+    perm = rng.permutation(num_pages - 1) + 1
+    page_indices = np.zeros((B, pages_per_seq), np.int32)
+    n = 0
+    for b, kl in enumerate(kv_lens):
+        used = -(-kl // page_size)
+        page_indices[b, :used] = perm[n : n + used]
+        n += used
+    slots = np.array(
+        [
+            page_indices[b, (kv_lens[b] - 1) // page_size] * page_size
+            + (kv_lens[b] - 1) % page_size
+            for b in range(B)
+        ],
+        np.int32,
+    )
+    q = jnp.asarray(
+        rng.standard_normal((B, num_kv_heads * q_per_kv, head_dim)),
+        dtype=jnp.float32,
+    )
+    k_new = jnp.asarray(
+        rng.standard_normal((B, num_kv_heads, head_dim)), jnp.float32
+    )
+    v_new = jnp.asarray(
+        rng.standard_normal((B, num_kv_heads, head_dim)), jnp.float32
+    )
+
+    # reference: scatter first, then attend over the full pool
+    kf = np.array(flat(k_pages), copy=True)
+    vf = np.array(flat(v_pages), copy=True)
+    kf[0, :, slots] = np.asarray(k_new)
+    vf[0, :, slots] = np.asarray(v_new)
+    ref = ref_ragged_paged_attention(
+        q,
+        jnp.asarray(kf).reshape(num_kv_heads, num_pages, page_size, head_dim),
+        jnp.asarray(vf).reshape(num_kv_heads, num_pages, page_size, head_dim),
+        kv_lens,
+        page_indices,
+        np.arange(B, dtype=np.int32),
+        np.ones(B, np.int32),
+    )
+
+    out, k2, v2 = paged_decode_attention(
+        q,
+        flat(k_pages),
+        flat(v_pages),
+        jnp.asarray(kv_lens),
+        jnp.asarray(page_indices),
+        page_size=page_size,
+        pages_per_block=2,
+        k_new=k_new,
+        v_new=v_new,
+        slots=jnp.asarray(slots),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+    # pools got the new rows
+    np.testing.assert_allclose(np.asarray(k2[0, :, slots]), np.asarray(k_new), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2[0, :, slots]), np.asarray(v_new), rtol=1e-6)
+    # and everything else is untouched
+    mask = np.ones(num_pages * page_size, bool)
+    mask[slots] = False
+    np.testing.assert_array_equal(
+        np.asarray(k2[0][:, mask]), np.asarray(flat(k_pages)[0][:, mask])
+    )
