@@ -240,10 +240,22 @@ class RadixCache:
             off += n
 
     def _enqueue_privacy_check(self, node: TreeNode) -> None:
-        # Inherit a public verdict from the parent chain when the parent
-        # covered the same conversation (reference private_client.py:70-97).
+        # Inherit a public verdict from the parent ONLY when the parent's
+        # verdict was computed on this exact prompt text (sibling chunks of
+        # one insert), so the judged text covered this node's content.  A
+        # public parent from an *earlier* request must not whitelist a new
+        # continuation — its verdict never saw the new text (the reference
+        # inherits only the conservative direction, private_client.py:70-78).
         p = node.parent
-        if p is not None and p is not self.root and not p.private:
+        if (
+            p is not None
+            and p is not self.root
+            and not p.private
+            and not p.need_check_privacy
+            and not p.pending_check
+            and p.prompt_text is not None
+            and p.prompt_text == node.prompt_text
+        ):
             node.private = False
             node.need_check_privacy = False
             self._merge_public_siblings(node)

@@ -82,11 +82,6 @@ class ModelRunner:
         ``entrypoints/engine.py:537-603`` + ``parallel_state.py:1102``)."""
         self.server_args = server_args
         sa = server_args
-        if sa.pp_size > 1:
-            raise NotImplementedError(
-                "pp_size > 1 is not implemented yet; use tp_size (mesh TP) "
-                "or dp_size (engine replicas) instead"
-            )
         if sa.enable_dp_attention:
             raise NotImplementedError(
                 "enable_dp_attention is not implemented yet"
@@ -99,11 +94,20 @@ class ModelRunner:
                 f"tp_size (got ep_size={sa.ep_size}, tp_size={sa.tp_size})"
             )
         self.tp_size = sa.tp_size
-        if mesh is None and sa.tp_size > 1:
+        self.pp_size = sa.pp_size
+        if sa.pp_size > 1:
+            if sa.unroll_layers:
+                sa.unroll_layers = False  # pp scans stacked layer shards
+            assert not sa.lora_paths, "LoRA is not supported with pp yet"
+            assert sa.speculative_algorithm is None, (
+                "speculative decoding is not supported with pp yet"
+            )
+        if mesh is None and (sa.tp_size > 1 or sa.pp_size > 1):
             from sglang_security_tpu.parallel.shardings import build_mesh
 
             mesh = build_mesh(
-                tp_size=sa.tp_size, dp_size=1, devices=devices
+                tp_size=sa.tp_size, dp_size=1, pp_size=sa.pp_size,
+                devices=devices,
             )
         self.mesh = mesh
         self.dtype = get_dtype(server_args.dtype)
@@ -138,10 +142,16 @@ class ModelRunner:
                 unroll_pspecs,
             )
 
-            self._pspecs = param_pspecs(self.params)
+            if self.pp_size > 1:
+                assert self.config.num_layers % self.pp_size == 0, (
+                    f"num_layers={self.config.num_layers} must divide by "
+                    f"pp_size={self.pp_size}"
+                )
+            self._pspecs = param_pspecs(self.params, pp=self.pp_size > 1)
             self.params = shard_params(self.params, self.mesh, self._pspecs)
             self._kv_pspec = kv_pspec(
-                self.config.kv_cache_num_heads, self.tp_size
+                self.config.kv_cache_num_heads, self.tp_size,
+                pp=self.pp_size > 1,
             )
         if server_args.unroll_layers:
             self.params = self.model.unroll_params(self.params)
@@ -307,6 +317,16 @@ class ModelRunner:
     def _tp_axis(self):
         return "tp" if self.mesh is not None else None
 
+    @property
+    def _pp_kwargs(self) -> dict:
+        if self.pp_size <= 1:
+            return {}
+        return dict(
+            pp_axis="pp",
+            pp_size=self.pp_size,
+            pp_microbatches=self.server_args.pp_microbatches or self.pp_size,
+        )
+
     def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
                   penalized: bool = False, mode: str = "topk",
                   eagle: bool = False):
@@ -317,6 +337,7 @@ class ModelRunner:
         model = self.model
         interpret = self.interpret
         tp_size, tp_axis = self.tp_size, self._tp_axis
+        pp_kwargs = self._pp_kwargs
 
         def step(params, k_pages, v_pages, fb, st, key, vocab_mask,
                  counts, slots, lora, ft=None, ft_rows=None):
@@ -324,7 +345,7 @@ class ModelRunner:
                 params, k_pages, v_pages, fb, block_q=block_q,
                 interpret=interpret, lora=lora,
                 tp_size=tp_size, tp_axis=tp_axis,
-                return_all=eagle,
+                return_all=eagle, **pp_kwargs,
             )
             if eagle:
                 hidden, x_all, k_pages, v_pages = out
@@ -443,11 +464,13 @@ class ModelRunner:
         model = self.model
         interpret = self.interpret
         tp_size, tp_axis = self.tp_size, self._tp_axis
+        pp_kwargs = self._pp_kwargs
 
         def step(params, k_pages, v_pages, fb):
             hidden, k_pages, v_pages = model.forward(
                 params, k_pages, v_pages, fb, block_q=PREFILL_BLOCK_Q,
                 interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
+                **pp_kwargs,
             )
             h = hidden.astype(jnp.float32)
             emb = h / jnp.maximum(
@@ -497,6 +520,7 @@ class ModelRunner:
         model = self.model
         interpret = self.interpret
         tp_size, tp_axis = self.tp_size, self._tp_axis
+        pp_kwargs = self._pp_kwargs
 
         def multi(params, k_pages, v_pages, tokens0, positions0, slot_mat,
                   kv_lens0, page_indices, st, key, counts, pslots, lora,
@@ -519,7 +543,7 @@ class ModelRunner:
                 hidden, k_pages, v_pages = model.forward(
                     params, k_pages, v_pages, fb, block_q=1,
                     interpret=interpret, lora=lora,
-                    tp_size=tp_size, tp_axis=tp_axis,
+                    tp_size=tp_size, tp_axis=tp_axis, **pp_kwargs,
                 )
                 logits = model.compute_logits(params, hidden, tp_axis=tp_axis)
                 key, sub = jax.random.split(key)

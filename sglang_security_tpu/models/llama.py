@@ -311,6 +311,9 @@ class LlamaForCausalLM:
         interpret: Optional[bool] = None,
         tp_size: int = 1,
         tp_axis: Optional[str] = None,
+        pp_axis: Optional[str] = None,  # pipeline axis (inside shard_map)
+        pp_size: int = 1,
+        pp_microbatches: int = 1,
         lora=None,  # LoRAManager.step_params() pytree, or None
         return_all: bool = False,  # also return every row's hidden (EAGLE)
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -343,6 +346,18 @@ class LlamaForCausalLM:
                 fb.mm_embeds[safe_rows].astype(x.dtype),
                 x,
             )
+        if pp_axis is not None:
+            assert lora is None and not return_all, (
+                "LoRA/EAGLE are not supported with pipeline parallelism"
+            )
+            return self._forward_pp(
+                params, x, k_pages, v_pages, fb,
+                block_q=block_q, pages_per_block=pages_per_block,
+                interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
+                pp_axis=pp_axis, pp_size=pp_size,
+                pp_microbatches=pp_microbatches,
+            )
+
         safe_slots = jnp.where(fb.slots < 0, num_tokens, fb.slots)
 
         lora_scale = lora["scale"] if lora is not None else None
@@ -411,6 +426,113 @@ class LlamaForCausalLM:
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
         if return_all:
             return sel, x, k_pages, v_pages
+        return sel, k_pages, v_pages
+
+    def _forward_pp(
+        self, params, x, k_pages, v_pages, fb, *, block_q,
+        pages_per_block, interpret, tp_size, tp_axis,
+        pp_axis, pp_size, pp_microbatches,
+    ):
+        """GPipe-style in-jit pipeline over the ``pp`` mesh axis.
+
+        Runs inside shard_map: ``params['layers']`` and the KV pool arrive
+        sharded on the layer dim, so each stage owns L/pp layers and their
+        KV rows.  Decode batches split into microbatches along the
+        sequence dim; activations hop stage→stage via ``lax.ppermute``
+        each tick (n + pp − 1 ticks total), which is the TPU-native form
+        of the reference's PP event loop + P2P sends
+        (``srt/managers/scheduler.py:728`` event_loop_pp,
+        ``distributed/parallel_state.py`` send/recv groups).  Inactive
+        (bubble) ticks run with slots = −1, so they never write KV.
+        Prefill / verify batches run as one microbatch (bubble = pp − 1).
+        """
+        from sglang_security_tpu.mem_cache.kv_pool import kv_data
+
+        cfg = self.config
+        T, H = x.shape
+        S = fb.kv_lens.shape[0]
+        num_tokens = kv_data(k_pages).shape[2]
+        layers = params["layers"]
+        assert not isinstance(layers, list), (
+            "pipeline parallelism needs stacked layers (no unroll_layers)"
+        )
+        n_local = jax.tree.leaves(layers)[0].shape[0]
+        stage = lax.axis_index(pp_axis)
+        Pn = pp_size
+        decode_shaped = block_q == 1 and T == S
+        n = pp_microbatches if (
+            decode_shaped and pp_microbatches > 1 and T % pp_microbatches == 0
+        ) else 1
+        Tm = T // n
+        xm = x.reshape(n, Tm, H)
+
+        def part(a):
+            return a.reshape((n, Tm) + a.shape[1:])
+
+        def fb_at(mbc, active):
+            if n == 1:
+                slots = jnp.where(active, fb.slots, -1)
+                return fb._replace(slots=slots, lora_ids=None,
+                                   mm_embeds=None, mm_rows=None)
+            return ForwardBatch(
+                token_ids=part(fb.token_ids)[mbc],
+                positions=part(fb.positions)[mbc],
+                slots=jnp.where(active, part(fb.slots)[mbc], -1),
+                q_starts=jnp.arange(Tm, dtype=jnp.int32),
+                q_lens=part(fb.q_lens)[mbc],
+                kv_lens=part(fb.kv_lens)[mbc],
+                page_indices=part(fb.page_indices)[mbc],
+                out_rows=jnp.zeros((Tm,), jnp.int32),  # unused per tick
+            )
+
+        def run_stage(h, k_pages, v_pages, fb_t):
+            safe_slots = jnp.where(fb_t.slots < 0, num_tokens, fb_t.slots)
+
+            def body(carry, xs):
+                h, k_pages, v_pages = carry
+                lp, li = xs
+                hn, resid = fused_add_rms_norm(
+                    h, None, lp["input_norm"], cfg.rms_eps
+                )
+                o, k_pages, v_pages = self._attn_apply(
+                    lp, hn, fb_t, k_pages, v_pages, li, safe_slots,
+                    block_q=block_q, pages_per_block=pages_per_block,
+                    interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
+                )
+                h = resid + o
+                hn, resid = fused_add_rms_norm(
+                    h, None, lp["post_norm"], cfg.rms_eps
+                )
+                h = resid + self._ffn_apply(lp, hn, tp_size, tp_axis)
+                return (h, k_pages, v_pages), None
+
+            (h, k_pages, v_pages), _ = lax.scan(
+                body, (h, k_pages, v_pages),
+                (layers, jnp.arange(n_local)),
+            )
+            return h, k_pages, v_pages
+
+        h_recv = jnp.zeros((Tm, H), x.dtype)
+        outs = jnp.zeros((n, Tm, H), x.dtype)
+        is_last = stage == Pn - 1
+        for t in range(n + Pn - 1):
+            mb = t - stage
+            mbc = jnp.clip(mb, 0, n - 1)
+            active = jnp.logical_and(mb >= 0, mb < n)
+            fb_t = fb_at(mbc, active)
+            h_in = jnp.where(stage == 0, xm[mbc], h_recv)
+            h_out, k_pages, v_pages = run_stage(h_in, k_pages, v_pages, fb_t)
+            outs = outs.at[mbc].set(
+                jnp.where(jnp.logical_and(active, is_last), h_out, outs[mbc])
+            )
+            if t < n + Pn - 2:
+                h_recv = lax.ppermute(
+                    h_out, pp_axis, [(i, i + 1) for i in range(Pn - 1)]
+                )
+        # only the last stage holds real outputs; replicate across pp
+        x = lax.psum(outs, pp_axis).reshape(T, H)
+        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        sel = x[jnp.clip(fb.out_rows, 0, T - 1)]
         return sel, k_pages, v_pages
 
     def unroll_params(self, params):

@@ -27,13 +27,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def build_mesh(tp_size: int = 1, dp_size: int = 1, devices=None) -> Mesh:
+def build_mesh(
+    tp_size: int = 1, dp_size: int = 1, pp_size: int = 1, devices=None
+) -> Mesh:
+    """Mesh axes (dp, pp, tp): tp innermost so it rides the closest ICI
+    links; pp stages are adjacent groups of tp blocks."""
     if devices is None:
         devices = jax.devices()
-    n = tp_size * dp_size
+    n = tp_size * dp_size * pp_size
     assert len(devices) >= n, (len(devices), n)
-    arr = np.asarray(devices[:n]).reshape(dp_size, tp_size)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(dp_size, pp_size, tp_size)
+    return Mesh(arr, axis_names=("dp", "pp", "tp"))
 
 
 # ---------------------------------------------------------------- params
@@ -76,18 +80,20 @@ _COL_PLAIN = ("q_b", "q_proj")
 _EXPERT_KEYS = ("experts_gate_up", "experts_down")
 
 
-def _layer_pspecs(lp: dict) -> dict:
-    """Specs for one stacked layer-group dict (leading dim = layers)."""
+def _layer_pspecs(lp: dict, pp: bool = False) -> dict:
+    """Specs for one stacked layer-group dict (leading dim = layers);
+    with ``pp`` the layer dim shards over the pipeline axis."""
+    lead = "pp" if pp else None
 
     def add_layer_dim(spec_dict):
         return jax.tree.map(
-            lambda s: P(*((None,) + tuple(s))), spec_dict,
+            lambda s: P(*((lead,) + tuple(s))), spec_dict,
             is_leaf=lambda x: isinstance(x, P),
         )
 
     def repl(v):
         ndim = jax.tree.leaves(v)[0].ndim
-        return P(*((None,) * ndim))
+        return P(*((lead,) + (None,) * (ndim - 1)))
 
     specs = {}
     for key, val in lp.items():
@@ -96,27 +102,28 @@ def _layer_pspecs(lp: dict) -> dict:
         elif key in _ROW_KEYS:
             specs[key] = add_layer_dim(_linear_pspec(val, False))
         elif key in _COL_PLAIN:
-            specs[key] = P(None, None, "tp")
+            specs[key] = P(lead, None, "tp")
         elif key in _HEAD_STACKED:
-            specs[key] = P(None, "tp", None, None)
+            specs[key] = P(lead, "tp", None, None)
         elif key in _EXPERT_KEYS:
-            specs[key] = P(None, "tp", None, None)
+            specs[key] = P(lead, "tp", None, None)
         else:
-            # norms, routers, kv_a, biases ... — replicated
+            # norms, routers, kv_a, biases ... — replicated within a
+            # stage (still layer-sharded over pp)
             specs[key] = jax.tree.map(
-                lambda a: P(*((None,) * a.ndim)), val
+                lambda a: P(*((lead,) + (None,) * (a.ndim - 1))), val
             ) if isinstance(val, dict) else repl(val)
     return specs
 
 
-def param_pspecs(params: dict) -> dict:
+def param_pspecs(params: dict, pp: bool = False) -> dict:
     """PartitionSpec tree for any model family's param layout (stacked
     layer groups; call before ``unroll_params``)."""
     spec = {}
     for key, val in params.items():
         if key in ("layers", "dense_layers"):
             assert not isinstance(val, list), "build pspecs before unrolling"
-            spec[key] = _layer_pspecs(val)
+            spec[key] = _layer_pspecs(val, pp=pp)
         elif key == "embed":
             spec[key] = P(None, None)  # replicated (tied logits stay local)
         elif key == "final_norm":
@@ -149,13 +156,15 @@ def unroll_pspecs(pspecs: dict, params_unrolled: dict) -> dict:
     return out
 
 
-def kv_pspec(num_kv_heads: int, tp_size: int) -> P:
+def kv_pspec(num_kv_heads: int, tp_size: int, pp: bool = False) -> P:
     """KV pool [L, Hkv, tokens, hd] (flat, head-major): shard heads over
     tp when divisible; MLA (one latent head) replicates the pool across
-    tp like the reference's MQA TP."""
+    tp like the reference's MQA TP.  Under pp the layer dim shards over
+    the pipeline axis — each stage holds KV only for its own layers."""
+    lead = "pp" if pp else None
     if tp_size > 1 and num_kv_heads % tp_size == 0:
-        return P(None, "tp", None, None)
-    return P(None, None, None, None)
+        return P(lead, "tp", None, None)
+    return P(lead, None, None, None)
 
 
 def shard_params(params: dict, mesh: Mesh, pspecs: Optional[dict] = None) -> dict:

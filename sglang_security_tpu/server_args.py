@@ -85,6 +85,7 @@ class ServerArgs:
     # ---- parallelism (mesh axes, not rank processes) ----
     tp_size: int = 1
     pp_size: int = 1
+    pp_microbatches: int = 0  # 0 = pp_size (decode microbatch overlap)
     dp_size: int = 1
     ep_size: int = 1
     sp_size: int = 1

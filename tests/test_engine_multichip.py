@@ -86,8 +86,6 @@ def test_engine_dp2_tp2(tiny):
 
 def test_unimplemented_parallelism_flags_hard_fail(tiny):
     with pytest.raises(NotImplementedError):
-        _engine(tiny, pp_size=2)
-    with pytest.raises(NotImplementedError):
         _engine(tiny, enable_dp_attention=True)
     with pytest.raises(ValueError):
         _engine(tiny, tp_size=1, ep_size=2)

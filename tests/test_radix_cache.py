@@ -158,19 +158,54 @@ class TestSafeKV:
         assert alloc.available_pages == before + 4
         assert c.match_prefix(t, user_id="carol").num_tokens == 16
 
-    def test_verdict_inherited_from_public_parent(self, alloc):
+    def test_extension_under_public_parent_rechecked(self, alloc):
+        """A public parent from an EARLIER request must not whitelist a
+        new continuation: the parent's verdict never saw the new text
+        (e.g. a PII-bearing turn appended to a public system prompt).
+        The extension gets its own check and stays private meanwhile."""
         hooked = []
         cfg = self.cfg(privacy_checker=lambda n, txt: hooked.append(n))
         c = make_cache(alloc, cfg)
         t = toks(16)
-        c.insert(t, alloc.alloc(4), user_id="alice")
+        c.insert(t, alloc.alloc(4), user_id="alice", prompt_text="benign sys")
         assert len(hooked) == 1
         c.apply_privacy_verdict(hooked[0], False)
         t2 = np.concatenate([t, toks(8, seed=9)])
-        c.insert(t2, np.concatenate([c.match_prefix(t, "alice").pages, alloc.alloc(2)]), user_id="alice")
-        # extension under a public parent inherits public without re-check
-        assert c.match_prefix(t2, user_id="bob").num_tokens == 24
+        c.insert(
+            t2,
+            np.concatenate([c.match_prefix(t, "alice").pages, alloc.alloc(2)]),
+            user_id="alice",
+            prompt_text="benign sys + my ssn is 123-45-6789",
+        )
+        # the continuation was re-submitted for its own check ...
+        assert len(hooked) == 2
+        # ... and until its verdict lands, bob only shares the public head
+        assert c.match_prefix(t2, user_id="bob").num_tokens == 16
+        # a private verdict keeps it that way; alice still matches fully
+        c.apply_privacy_verdict(hooked[1], True)
+        assert c.match_prefix(t2, user_id="bob").num_tokens == 16
+        assert c.match_prefix(t2, user_id="alice").num_tokens == 24
+
+    def test_same_prompt_public_verdict_covers_chunks(self, alloc):
+        """Re-inserting under a parent judged public on the SAME prompt
+        text inherits without a duplicate check (sibling-chunk case)."""
+        hooked = []
+        cfg = self.cfg(privacy_checker=lambda n, txt: hooked.append(n))
+        c = make_cache(alloc, cfg)
+        t = toks(16)
+        c.insert(t, alloc.alloc(4), user_id="alice", prompt_text="same text")
         assert len(hooked) == 1
+        c.apply_privacy_verdict(hooked[0], False)
+        t2 = np.concatenate([t, toks(8, seed=9)])
+        c.insert(
+            t2,
+            np.concatenate([c.match_prefix(t, "alice").pages, alloc.alloc(2)]),
+            user_id="alice",
+            prompt_text="same text",
+        )
+        # same judged text -> inherited public, no re-check, bob shares
+        assert len(hooked) == 1
+        assert c.match_prefix(t2, user_id="bob").num_tokens == 24
 
     def test_probe_defense_frees_subtree(self, alloc):
         global_epoch.reset()
