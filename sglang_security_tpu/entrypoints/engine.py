@@ -498,6 +498,8 @@ class Engine:
             ev.set()
         for t in self._loop_threads:
             t.join(timeout=5)
+        for s in self.schedulers:
+            s.shutdown()
         for pc in self.privacy_clients:
             if pc is not None:
                 pc.shutdown()

@@ -60,6 +60,21 @@ class HttpServer:
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_get("/metrics", self.metrics)
+        # OpenAI files + batches (reference adapter.py:204-507)
+        from sglang_security_tpu.entrypoints.openai_api.files_batches import (
+            BatchManager,
+            FileStore,
+        )
+
+        self.files = FileStore()
+        self.batches = BatchManager(self.files, self._batch_run_line)
+        r.add_post("/v1/files", self.v1_files_create)
+        r.add_get("/v1/files/{fid}", self.v1_file_retrieve)
+        r.add_get("/v1/files/{fid}/content", self.v1_file_content)
+        r.add_delete("/v1/files/{fid}", self.v1_file_delete)
+        r.add_post("/v1/batches", self.v1_batches_create)
+        r.add_get("/v1/batches/{bid}", self.v1_batch_retrieve)
+        r.add_post("/v1/batches/{bid}/cancel", self.v1_batch_cancel)
         self.app.middlewares.append(self._auth_middleware)
 
     # ------------------------------------------------------------- helpers
@@ -167,34 +182,36 @@ class HttpServer:
             yield item
 
     # --------------------------------------------------------- OpenAI APIs
+    async def _completion_payload(self, req: CompletionRequest) -> dict:
+        gri = completion_to_gri(req)
+        model = req.model or self.engine.server_args.served_model_name
+        outs = await self._run(self._engine_gri, gri)
+        choices = [
+            {
+                "index": i,
+                "text": (req.prompt if req.echo and isinstance(req.prompt, str) else "")
+                + o["text"],
+                "logprobs": None,
+                "finish_reason": o["meta_info"]["finish_reason"]["type"],
+            }
+            for i, o in enumerate(outs)
+        ]
+        return {
+            "id": f"cmpl-{uuid.uuid4().hex}",
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": model,
+            "choices": choices,
+            "usage": self._usage(outs),
+        }
+
     async def v1_completions(self, request):
         body = await request.json()
         req = CompletionRequest(**body)
+        if not req.stream:
+            return web.json_response(await self._completion_payload(req))
         gri = completion_to_gri(req)
         model = req.model or self.engine.server_args.served_model_name
-        if not req.stream:
-            outs = await self._run(self._engine_gri, gri)
-            choices = [
-                {
-                    "index": i,
-                    "text": (req.prompt if req.echo and isinstance(req.prompt, str) else "")
-                    + o["text"],
-                    "logprobs": None,
-                    "finish_reason": o["meta_info"]["finish_reason"]["type"],
-                }
-                for i, o in enumerate(outs)
-            ]
-            usage = self._usage(outs)
-            return web.json_response(
-                {
-                    "id": f"cmpl-{uuid.uuid4().hex}",
-                    "object": "text_completion",
-                    "created": int(time.time()),
-                    "model": model,
-                    "choices": choices,
-                    "usage": usage,
-                }
-            )
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream"}
         )
@@ -230,56 +247,61 @@ class HttpServer:
         )
         return out if isinstance(out, list) else [out]
 
-    async def v1_chat(self, request):
-        body = await request.json()
-        req = ChatCompletionRequest(**body)
+    async def _chat_payload(self, req: ChatCompletionRequest) -> dict:
         tokenizer = self.engine.tokenizer_manager.tokenizer
         gri = chat_to_gri(req, tokenizer)
         model = req.model or self.engine.server_args.served_model_name
         rid = f"chatcmpl-{uuid.uuid4().hex}"
-        if not req.stream:
-            outs = await self._run(self._engine_gri, gri)
-            o = outs[0]
-            message = {"role": "assistant", "content": o["text"]}
-            finish = o["meta_info"]["finish_reason"]["type"]
-            if req.tools:
-                from sglang_security_tpu.function_call import (
-                    FunctionCallParser,
-                )
-
-                normal, calls = FunctionCallParser().parse(o["text"])
-                if calls:
-                    message = {
-                        "role": "assistant",
-                        "content": normal or None,
-                        "tool_calls": [
-                            {
-                                "id": f"call_{uuid.uuid4().hex[:12]}",
-                                "type": "function",
-                                "function": {
-                                    "name": c.name,
-                                    "arguments": json.dumps(c.arguments),
-                                },
-                            }
-                            for c in calls
-                        ],
-                    }
-                    finish = "tool_calls"
-            return web.json_response(
-                {
-                    "id": rid,
-                    "object": "chat.completion",
-                    "created": int(time.time()),
-                    "model": model,
-                    "choices": [{
-                        "index": 0,
-                        "message": message,
-                        "logprobs": None,
-                        "finish_reason": finish,
-                    }],
-                    "usage": self._usage(outs),
-                }
+        outs = await self._run(self._engine_gri, gri)
+        o = outs[0]
+        message = {"role": "assistant", "content": o["text"]}
+        finish = o["meta_info"]["finish_reason"]["type"]
+        if req.tools:
+            from sglang_security_tpu.function_call import (
+                FunctionCallParser,
             )
+
+            normal, calls = FunctionCallParser().parse(o["text"])
+            if calls:
+                message = {
+                    "role": "assistant",
+                    "content": normal or None,
+                    "tool_calls": [
+                        {
+                            "id": f"call_{uuid.uuid4().hex[:12]}",
+                            "type": "function",
+                            "function": {
+                                "name": c.name,
+                                "arguments": json.dumps(c.arguments),
+                            },
+                        }
+                        for c in calls
+                    ],
+                }
+                finish = "tool_calls"
+        return {
+            "id": rid,
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": model,
+            "choices": [{
+                "index": 0,
+                "message": message,
+                "logprobs": None,
+                "finish_reason": finish,
+            }],
+            "usage": self._usage(outs),
+        }
+
+    async def v1_chat(self, request):
+        body = await request.json()
+        req = ChatCompletionRequest(**body)
+        if not req.stream:
+            return web.json_response(await self._chat_payload(req))
+        tokenizer = self.engine.tokenizer_manager.tokenizer
+        gri = chat_to_gri(req, tokenizer)
+        model = req.model or self.engine.server_args.served_model_name
+        rid = f"chatcmpl-{uuid.uuid4().hex}"
         resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
         await resp.prepare(request)
         first = {
@@ -322,9 +344,7 @@ class HttpServer:
         }
 
     # ------------------------------------------------------------- control
-    async def v1_embeddings(self, request):
-        """OpenAI embeddings API (reference openai_api v1_embeddings)."""
-        body = await request.json()
+    async def _embeddings_payload(self, body: dict) -> dict:
         inp = body.get("input")
         if inp is None:
             raise ValueError("missing 'input'")
@@ -339,14 +359,87 @@ class HttpServer:
             for i, r in enumerate(results)
         ]
         total = sum(r["meta_info"]["prompt_tokens"] for r in results)
+        return {
+            "object": "list",
+            "data": data,
+            "model": body.get("model", self.engine.server_args.served_model_name),
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        }
+
+    async def v1_embeddings(self, request):
+        """OpenAI embeddings API (reference openai_api v1_embeddings)."""
+        body = await request.json()
+        return web.json_response(await self._embeddings_payload(body))
+
+    # ------------------------------------------------- files + batches
+    async def _batch_run_line(self, url: str, body: dict) -> dict:
+        """Execute one batch JSONL line (reference process_batch:291)."""
+        if url == "/v1/completions":
+            return await self._completion_payload(CompletionRequest(**body))
+        if url == "/v1/chat/completions":
+            return await self._chat_payload(ChatCompletionRequest(**body))
+        if url == "/v1/embeddings":
+            return await self._embeddings_payload(body)
+        raise ValueError(f"unsupported batch url {url!r}")
+
+    async def v1_files_create(self, request):
+        reader = await request.multipart()
+        filename, purpose, content = "file", "batch", b""
+        async for part in reader:
+            if part.name == "purpose":
+                purpose = (await part.read()).decode()
+            elif part.name == "file":
+                filename = part.filename or "file"
+                content = await part.read()
+        obj = self.files.save(filename, purpose, content)
+        return web.json_response(obj)
+
+    async def v1_file_retrieve(self, request):
+        obj = self.files.get(request.match_info["fid"])
+        if obj is None:
+            return web.json_response({"error": "file not found"}, status=404)
+        return web.json_response(obj)
+
+    async def v1_file_content(self, request):
+        content = self.files.content(request.match_info["fid"])
+        if content is None:
+            return web.json_response({"error": "file not found"}, status=404)
+        return web.Response(body=content,
+                            content_type="application/octet-stream")
+
+    async def v1_file_delete(self, request):
+        fid = request.match_info["fid"]
+        ok = self.files.delete(fid)
+        if not ok:
+            return web.json_response({"error": "file not found"}, status=404)
         return web.json_response(
-            {
-                "object": "list",
-                "data": data,
-                "model": body.get("model", self.engine.server_args.served_model_name),
-                "usage": {"prompt_tokens": total, "total_tokens": total},
-            }
+            {"id": fid, "object": "file", "deleted": True}
         )
+
+    async def v1_batches_create(self, request):
+        body = await request.json()
+        try:
+            batch = self.batches.create(
+                input_file_id=body["input_file_id"],
+                endpoint=body.get("endpoint", "/v1/chat/completions"),
+                completion_window=body.get("completion_window", "24h"),
+                metadata=body.get("metadata"),
+            )
+        except (KeyError, ValueError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response(batch)
+
+    async def v1_batch_retrieve(self, request):
+        batch = self.batches.retrieve(request.match_info["bid"])
+        if batch is None:
+            return web.json_response({"error": "batch not found"}, status=404)
+        return web.json_response(batch)
+
+    async def v1_batch_cancel(self, request):
+        batch = self.batches.cancel(request.match_info["bid"])
+        if batch is None:
+            return web.json_response({"error": "batch not found"}, status=404)
+        return web.json_response(batch)
 
     async def encode(self, request):
         body = await request.json()

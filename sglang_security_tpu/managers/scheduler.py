@@ -21,7 +21,11 @@ jit in the runner), overlap achieved through JAX async dispatch.
 
 from __future__ import annotations
 
+import faulthandler
 import logging
+import os
+import sys
+import threading
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -148,6 +152,51 @@ class Scheduler:
         self._steps = 0
         self._last_decode_log = time.monotonic()
         self._decode_tokens_since_log = 0
+        # ---- hung-scheduler watchdog (reference scheduler.py:1907) ----
+        # counts completed device batches; if work is pending and no
+        # batch completes within watchdog_timeout, dump all stacks and
+        # kill the process (a hung server is worse than a dead one).
+        self.forward_ct = 0
+        self._watchdog_stop = threading.Event()
+        self.watchdog_hook: Optional[Callable[[], None]] = None  # test hook
+        wt = float(server_args.watchdog_timeout or 0)
+        if wt > 0:
+            threading.Thread(
+                target=self._watchdog_thread,
+                args=(wt,),
+                name="scheduler-watchdog",
+                daemon=True,
+            ).start()
+
+    def _watchdog_thread(self, timeout: float) -> None:
+        last_ct = self.forward_ct
+        last_time = time.monotonic()
+        poll = max(0.05, min(timeout / 4, 5.0))
+        while not self._watchdog_stop.wait(poll):
+            busy = bool(self.running or self.inflight or self.chunked_req)
+            if not busy or self.forward_ct != last_ct:
+                last_ct = self.forward_ct
+                last_time = time.monotonic()
+                continue
+            if time.monotonic() - last_time <= timeout:
+                continue
+            logger.critical(
+                "watchdog: no forward progress for %.0fs with %d running / "
+                "%d inflight requests (forward_ct=%d); dumping stacks",
+                timeout, len(self.running), len(self.inflight),
+                self.forward_ct,
+            )
+            if self.watchdog_hook is not None:
+                self.watchdog_hook()  # tests observe instead of dying
+                last_ct = self.forward_ct
+                last_time = time.monotonic()
+                continue
+            faulthandler.dump_traceback(file=sys.stderr, all_threads=True)
+            sys.stderr.flush()
+            os._exit(1)
+
+    def shutdown(self) -> None:
+        self._watchdog_stop.set()
 
     # ------------------------------------------------------ request intake
     def add_request(self, req: Req) -> None:
@@ -209,6 +258,7 @@ class Scheduler:
             self._run_prefill(prefill)
         elif self.running:
             self._run_decode()
+        self.forward_ct += 1
         self.inflight = []
         controller = getattr(self.tree_cache, "controller", None)
         if controller is not None and controller._pending:
