@@ -116,19 +116,47 @@ def moe_ffn(
     ep_size: int = 1,
     routed_scaling: float = 1.0,
     capacity_factor: Optional[float] = None,  # accepted for API compat; unused (dropless)
+    log2phy: Optional[jax.Array] = None,  # [E_log, R] EPLB replica map
+    logcnt: Optional[jax.Array] = None,  # [E_log] replicas per logical expert
+    stats_cb=None,  # host callback([E_log] i32 counts) for EPLB recording
 ) -> jax.Array:
     del capacity_factor  # dispatch is always dropless now
     T, H = x.shape
     E_local = w_gate_up.shape[0]
-    E = E_local * ep_size
+    E = E_local * ep_size  # physical experts (== logical without EPLB)
+    E_log = router_w.shape[1]
     logits = jnp.dot(
         x.astype(jnp.float32), router_w.astype(jnp.float32)
-    )  # [T, E] (router always full-precision and replicated)
+    )  # [T, E_log] (router always full-precision and replicated)
     weights, ids = topk_routing(
         logits, top_k, renormalize, scoring,
         correction_bias=correction_bias,
         n_group=n_group, topk_group=topk_group,
     )
+
+    if stats_cb is not None:
+        # EPLB expert-distribution recording: logical counts leave the
+        # jitted step via an ordered host callback (the XLA-native form
+        # of the reference's forward hooks, expert_distribution.py:40)
+        from jax.experimental import io_callback
+
+        io_callback(
+            stats_cb, None,
+            jnp.bincount(ids.reshape(-1), length=E_log).astype(jnp.int32),
+            ordered=True,
+        )
+
+    if log2phy is not None:
+        # remap logical -> physical replica; spread tokens over an
+        # expert's replicas round-robin by token index (reference
+        # expert_location_dispatch.py topk_ids_logical_to_physical)
+        assert logcnt is not None
+        rep = (
+            jnp.arange(T * top_k, dtype=jnp.int32).reshape(T, top_k)
+            % jnp.maximum(logcnt[ids], 1)
+        )
+        ids = jnp.take_along_axis(log2phy[ids], rep[..., None], -1)[..., 0]
+        ids = ids.astype(jnp.int32)
 
     if ep_axis is not None:
         e0 = lax.axis_index(ep_axis) * E_local

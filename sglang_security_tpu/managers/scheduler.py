@@ -259,6 +259,9 @@ class Scheduler:
         elif self.running:
             self._run_decode()
         self.forward_ct += 1
+        eplb = getattr(self.runner, "eplb_manager", None)
+        if eplb is not None:
+            eplb.on_forward_end()
         self.inflight = []
         controller = getattr(self.tree_cache, "controller", None)
         if controller is not None and controller._pending:

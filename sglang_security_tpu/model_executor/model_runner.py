@@ -131,6 +131,14 @@ class ModelRunner:
             tp_size=self.tp_size,
         )
         logger.info("model loaded in %.1fs", time.time() - t0)
+        self.eplb_manager = None
+        self.eplb_recorder = None
+        if (
+            sa.enable_eplb
+            or sa.ep_num_redundant_experts
+            or sa.enable_expert_distribution_recorder
+        ):
+            self._init_eplb(sa)
         self._pspecs = None
         self._kv_pspec = None
         if self.mesh is not None:
@@ -209,6 +217,82 @@ class ModelRunner:
         )  # hard cap pages/seq
 
     # ------------------------------------------------------------------
+    def _init_eplb(self, sa) -> None:
+        """EPLB: expand expert stacks with redundant replicas, install
+        the logical->physical routing maps, and (optionally) the
+        expert-distribution recorder + rebalance manager
+        (reference eplb_manager.py:18, expert_location.py init_by_eplb).
+        """
+        import numpy as np
+
+        from sglang_security_tpu.parallel.eplb import (
+            EPLBManager,
+            ExpertDistributionRecorder,
+            rebalance_experts,
+        )
+
+        layers = self.params.get("layers")
+        if not isinstance(layers, dict) or "experts_gate_up" not in layers:
+            raise NotImplementedError(
+                "EPLB/expert-distribution requires a MoE model with "
+                "stacked expert weights (Mixtral/Qwen-MoE families)"
+            )
+        if sa.unroll_layers:
+            sa.unroll_layers = False  # maps/replicas ride the scanned stack
+        L, E = layers["experts_gate_up"].shape[:2]
+        P = E + int(sa.ep_num_redundant_experts)
+        D = max(sa.ep_size, 1)
+        assert P % D == 0, (
+            f"physical experts {P} must divide over ep_size={D}"
+        )
+        # uniform initial placement
+        phy2log, log2phy, logcnt = rebalance_experts(
+            np.ones((L, E)), P, D
+        )
+        self._eplb_shape = (L, E, P, D)
+        self._apply_expert_location(phy2log, log2phy, logcnt, initial=True)
+        if sa.enable_expert_distribution_recorder or sa.enable_eplb:
+            if self.mesh is not None:
+                logger.warning(
+                    "expert-distribution recorder disabled under a device "
+                    "mesh (host callback per shard not supported); EPLB "
+                    "placement stays static"
+                )
+            else:
+                self.eplb_recorder = ExpertDistributionRecorder(L, E)
+                self.model.eplb_stats_cb = self.eplb_recorder.on_layer_counts
+        if sa.enable_eplb and self.eplb_recorder is not None:
+            self.eplb_manager = EPLBManager(
+                self.eplb_recorder, P, D,
+                rebalance_every=sa.eplb_rebalance_num_iterations,
+                apply_fn=self._apply_expert_location,
+            )
+
+    def _apply_expert_location(
+        self, phy2log, log2phy, logcnt, initial: bool = False
+    ) -> None:
+        """Re-gather the stacked expert weights into the new physical
+        placement and refresh the routing maps. Replicas are exact
+        copies, so logical weights are recovered from each expert's
+        first replica of the previous placement (the XLA-gather analog
+        of the reference's update_expert_location weight shuffle)."""
+        import numpy as np
+
+        layers = self.params["layers"]
+        L = phy2log.shape[0]
+        rows = np.arange(L)[:, None]
+        for key in ("experts_gate_up", "experts_down"):
+            w = layers[key]
+            if not initial:
+                first = self._eplb_log2phy_np[:, :, 0]  # [L, E] prev
+                w = w[rows, first]  # recover logical stacks
+            layers[key] = jnp.asarray(np.asarray(w)[rows, phy2log])
+        layers["eplb_log2phy"] = jnp.asarray(log2phy, jnp.int32)
+        layers["eplb_logcnt"] = jnp.asarray(
+            np.maximum(logcnt, 1), jnp.int32
+        )
+        self._eplb_log2phy_np = np.asarray(log2phy)
+
     def _profile_num_pages(self) -> int:
         sa = self.server_args
         cfg = self.config

@@ -434,6 +434,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             ep_axis=tp_axis,
             ep_size=tp_size,
             routed_scaling=rs,
+            log2phy=lp.get("eplb_log2phy"),
+            logcnt=lp.get("eplb_logcnt"),
+            stats_cb=getattr(self, "eplb_stats_cb", None),
         )
         if "shared_gate_up" in lp:
             gate_up = apply_linear(h, lp["shared_gate_up"])

@@ -118,6 +118,11 @@ class MixtralForCausalLM(LlamaForCausalLM):
             renormalize=self.renormalize,
             ep_axis=tp_axis,  # experts sharded over the tp axis (EP=TP mesh)
             ep_size=tp_size,
+            # EPLB physical placement (parallel/eplb.py); keys exist only
+            # when enable_eplb expanded the expert stacks with replicas
+            log2phy=lp.get("eplb_log2phy"),
+            logcnt=lp.get("eplb_logcnt"),
+            stats_cb=getattr(self, "eplb_stats_cb", None),
         )
         if self.has_shared_expert:
             gate_up = apply_linear(h, lp["shared_gate_up"])

@@ -94,6 +94,11 @@ class ServerArgs:
     dist_init_addr: Optional[str] = None
     enable_ep_moe: bool = False
     enable_dp_attention: bool = False
+    # ---- EPLB (reference server_args.py:175-185) ----
+    enable_eplb: bool = False
+    ep_num_redundant_experts: int = 0
+    eplb_rebalance_num_iterations: int = 1000
+    enable_expert_distribution_recorder: bool = False
 
     # ---- sampling / constrained decoding ----
     grammar_backend: str = "native"  # our own regex/json/ebnf engine
