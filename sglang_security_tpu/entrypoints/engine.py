@@ -44,7 +44,12 @@ class Engine:
         # ModelRunner owns a (1, tp) mesh over its tp_size devices.
         dp = max(server_args.dp_size, 1)
         tp = max(server_args.tp_size, 1)
-        if dp > 1:
+        if server_args.enable_dp_attention:
+            # dp attention: ONE runner over a (dp, tp) mesh -- the dp
+            # axis shards the batch + KV inside the step, not engine
+            # replicas (model_runner.py dp_attn_size)
+            self.model_runners = [ModelRunner(server_args)]
+        elif dp > 1:
             import jax
 
             devs = jax.devices()

@@ -63,6 +63,7 @@ class Req:
         self.finished_reason: Optional[FinishReason] = None
         self.grammar = None  # constrained-decoding state machine
         self.penalty_slot = -1  # device penalty-count slot (-1 = unused)
+        self.dp_shard = 0  # DP-attention shard owning this req's KV pages
         # PD disaggregation
         self.bootstrap_host: Optional[str] = None
         self.bootstrap_port: Optional[int] = None

@@ -65,10 +65,38 @@ class Scheduler:
         self.tokenizer = tokenizer
         self.grammar_backend = grammar_backend
         self.page_size = self.runner.page_size
-        self.allocator = PageAllocator(self.runner.num_pages, self.page_size)
+        # DP attention: the KV pool's token dim is sharded over the dp
+        # mesh axis; each shard gets its own page allocator + radix cache
+        # and requests pin to one shard (reference dp_attention.py:33 +
+        # per-rank schedulers; here one scheduler owns all shards)
+        self.dp_attn = getattr(self.runner, "dp_attn_size", 1)
+        n_local = self.runner.num_pages // self.dp_attn
+        self.allocators = [
+            PageAllocator(n_local, self.page_size)
+            for _ in range(self.dp_attn)
+        ]
+        self.allocator = self.allocators[0]
         self.privacy_client = privacy_client
+        self.tree_caches = [
+            self._build_tree_cache(server_args, alloc, privacy_client)
+            for alloc in self.allocators
+        ]
+        self.tree_cache = self.tree_caches[0]
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
+        self.waiting: List[Req] = []
+        self.running: List[Req] = []
+        self.inflight: List[Req] = []
+        self.chunked_req: Optional[Req] = None
+        self.max_running = server_args.max_running_requests or 256
+        cfg = self.runner.config
+        self.eos_token_ids = set(cfg.eos_token_ids)
+        self.vocab_size = cfg.vocab_size
+        self._penalty_free = list(range(self.runner.max_penalty_slots))
+        self._init_rest(server_args)
+
+    def _build_tree_cache(self, server_args, allocator, privacy_client):
         if server_args.disable_radix_cache:
-            self.tree_cache = ChunkCache(self.page_size, self.allocator.free)
+            return ChunkCache(self.page_size, allocator.free)
         else:
             safekv = SafeKVConfig(
                 enabled=server_args.enable_safekv,
@@ -92,29 +120,23 @@ class Scheduler:
                 n_host = int(
                     (self.runner.num_pages - 1) * server_args.hicache_ratio
                 )
+                assert self.dp_attn == 1, (
+                    "hierarchical cache not supported with dp attention"
+                )
                 controller = HiCacheController(self.runner, n_host)
-                self.tree_cache = HiRadixCache(
+                return HiRadixCache(
                     self.page_size,
-                    self.allocator.free,
+                    allocator.free,
                     controller,
                     alloc_pages_fn=lambda n: self._alloc_pages(n),
                     safekv=safekv,
                     write_policy=server_args.hicache_write_policy,
                 )
-            else:
-                self.tree_cache = RadixCache(
-                    self.page_size, self.allocator.free, safekv=safekv
-                )
-        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
-        self.waiting: List[Req] = []
-        self.running: List[Req] = []
-        self.inflight: List[Req] = []
-        self.chunked_req: Optional[Req] = None
-        self.max_running = server_args.max_running_requests or 256
-        cfg = self.runner.config
-        self.eos_token_ids = set(cfg.eos_token_ids)
-        self.vocab_size = cfg.vocab_size
-        self._penalty_free = list(range(self.runner.max_penalty_slots))
+            return RadixCache(
+                self.page_size, allocator.free, safekv=safekv
+            )
+
+    def _init_rest(self, server_args) -> None:
         from sglang_security_tpu.speculative import (
             NgramDrafter,
             SpeculativeAlgorithm,
@@ -138,6 +160,13 @@ class Scheduler:
             self.runner.eagle = self.eagle
         self.spec_accept_sum = 0
         self.spec_verify_count = 0
+        if self.dp_attn > 1:
+            assert self.spec_drafter is None and self.eagle is None, (
+                "speculative decoding + dp attention not wired yet"
+            )
+            assert server_args.disaggregation_mode == "null", (
+                "PD disaggregation + dp attention not wired yet"
+            )
         # ---- PD disaggregation ----
         self.disagg_mode = server_args.disaggregation_mode
         self.disagg_waiting: List[Req] = []
@@ -202,7 +231,8 @@ class Scheduler:
     def add_request(self, req: Req) -> None:
         req.time_stats.queued = time.monotonic()
         if self.privacy_client is not None:
-            self.privacy_client.drain_verdicts(self.tree_cache)
+            for cache in self.tree_caches:
+                self.privacy_client.drain_verdicts(cache)
         spec = req.sampling_params.grammar_spec()
         if spec is not None and self.grammar_backend is not None:
             try:
@@ -247,7 +277,8 @@ class Scheduler:
     def step(self) -> None:
         """Run one scheduler iteration (one device batch at most)."""
         if self.privacy_client is not None:
-            self.privacy_client.drain_verdicts(self.tree_cache)
+            for cache in self.tree_caches:
+                self.privacy_client.drain_verdicts(cache)
         if self.disagg_waiting:
             self._poll_disagg_kv()
         prefill = self._get_prefill_batch()
@@ -271,14 +302,44 @@ class Scheduler:
 
     # ------------------------------------------------------------- prefill
     def _available_pages(self) -> int:
-        return self.allocator.available_pages + self.tree_cache.evictable_pages
+        # dp attention: conservative = the tightest shard (each request
+        # grows only its own shard, so min is a safe admission bound)
+        return min(
+            a.available_pages + c.evictable_pages
+            for a, c in zip(self.allocators, self.tree_caches)
+        )
 
-    def _alloc_pages(self, n: int) -> Optional[np.ndarray]:
+    def _alloc_pages(self, n: int, shard: int = 0) -> Optional[np.ndarray]:
+        alloc, cache = self.allocators[shard], self.tree_caches[shard]
         if n == 0:
             return np.empty(0, np.int32)
-        if self.allocator.available_pages < n:
-            self.tree_cache.evict(n - self.allocator.available_pages)
-        return self.allocator.alloc(n)
+        if alloc.available_pages < n:
+            cache.evict(n - alloc.available_pages)
+        return alloc.alloc(n)
+
+    def _pick_dp_shard(self, req: Req) -> int:
+        """Pin a request to the dp-attention shard with the best prefix
+        hit, break ties by free pages (reference DP dispatch is
+        shortest-queue, data_parallel_controller.py:258; prefix-aware
+        here because each shard has its own radix cache)."""
+        if self.dp_attn == 1:
+            return 0
+        # NOTE: probing match_prefix on every shard would double-count
+        # SafeKV hit statistics (probe defense), so affinity comes from
+        # hashing the first prompt page: identical prefixes land on the
+        # same shard deterministically (cache-aware like the C++ router)
+        # with a capacity escape hatch when that shard is nearly full.
+        head = tuple(req.input_ids[: self.page_size])
+        s = hash(head) % self.dp_attn
+        free = (self.allocators[s].available_pages
+                + self.tree_caches[s].evictable_pages)
+        if free * self.dp_attn >= self.allocators[s].num_pages // 4:
+            return s
+        return max(
+            range(self.dp_attn),
+            key=lambda s: self.allocators[s].available_pages
+            + self.tree_caches[s].evictable_pages,
+        )
 
     def _get_prefill_batch(self) -> List[Req]:
         if self.chunked_req is not None:
@@ -309,15 +370,17 @@ class Scheduler:
             # pooling step, generation ones the sampling step
             if admitted and req.is_embedding != admitted[0].is_embedding:
                 continue
-            # refresh prefix match and pin it
-            m = self.tree_cache.match_prefix(
+            # pin a dp-attention shard, then refresh + pin the match
+            req.dp_shard = self._pick_dp_shard(req)
+            cache = self.tree_caches[req.dp_shard]
+            m = cache.match_prefix(
                 np.asarray(req.input_ids, np.int32), user_id=req.user_id,
                 scope=req.lora_path,
             )
             if getattr(m, "host_nodes", None):
                 # HiCache: restore host-tier prefix pages to the device
-                self.tree_cache.load_back(m.host_nodes)
-                m = self.tree_cache.match_prefix(
+                cache.load_back(m.host_nodes)
+                m = cache.match_prefix(
                     np.asarray(req.input_ids, np.int32), user_id=req.user_id,
                     scope=req.lora_path,
                 )
@@ -343,7 +406,7 @@ class Scheduler:
                 req.lora_slot = slot
             ok = adder.add_one_req(req)
             if req in adder.can_run:
-                self.tree_cache.inc_lock_ref(m.last_node)
+                cache.inc_lock_ref(m.last_node)
                 self.waiting.remove(req)
                 admitted.append(req)
                 dedup.insert(req)
@@ -395,7 +458,7 @@ class Scheduler:
                             (row + (pos - start), base + (pos - it.offset))
                         )
             need = cdiv(end, self.page_size) - len(req.pages)
-            new_pages = self._alloc_pages(need)
+            new_pages = self._alloc_pages(need, req.dp_shard)
             assert new_pages is not None, "admission guaranteed pages"
             req.pages = np.concatenate([req.pages, new_pages])
             ids = req.all_ids()
@@ -582,6 +645,8 @@ class Scheduler:
     # -------------------------------------------------------------- decode
     def _decode_steps(self) -> int:
         k = max(1, self.server_args.decode_steps_per_batch)
+        if self.dp_attn > 1:
+            return 1  # dp-attention multi-step scan not wired yet
         if any(r.grammar is not None for r in self.running):
             return 1  # grammar needs a fresh host-side mask every token
         return k
@@ -609,7 +674,7 @@ class Scheduler:
             pos = req.seq_len - 1  # position of the token being fed
             need = cdiv(pos + K, self.page_size) - len(req.pages)
             if need > 0:
-                pages = self._alloc_pages(need)
+                pages = self._alloc_pages(need, req.dp_shard)
                 req.pages = np.concatenate([req.pages, pages])
             token_ids.append(req.all_ids()[pos])
             positions.append(pos)
@@ -869,9 +934,9 @@ class Scheduler:
         # free pages not owned by the tree; unpin prefix; requeue
         own = req.pages[req.prefix_pages :]
         if len(own):
-            self.allocator.free(own)
+            self.allocators[req.dp_shard].free(own)
         if req.last_node is not None:
-            self.tree_cache.dec_lock_ref(req.last_node)
+            self.tree_caches[req.dp_shard].dec_lock_ref(req.last_node)
         req.pages = np.empty(0, np.int32)
         req.prefix_pages = 0
         req.prefix_len = 0
@@ -928,8 +993,12 @@ class Scheduler:
             for i, r in enumerate(reqs):
                 if r.grammar is not None:
                     vocab_mask[i] = r.grammar.allowed_mask(self.vocab_size)
+        dp_shards = None
+        if self.dp_attn > 1:
+            dp_shards = np.asarray([r.dp_shard for r in reqs], np.int32)
         return BatchPlan(
             is_decode=is_decode,
+            dp_shards=dp_shards,
             token_ids=np.asarray(token_ids, np.int32),
             positions=np.asarray(positions, np.int32),
             slots=np.asarray(slots, np.int32),
@@ -1032,13 +1101,15 @@ class Scheduler:
                     len(req.output_ids),
                     req.prefix_len,
                 )
-                used = (
-                    self.allocator.num_pages - 1 - self.allocator.available_pages
+                used = sum(
+                    a.num_pages - 1 - a.available_pages
+                    for a in self.allocators
                 )
+                total = sum(a.num_pages - 1 for a in self.allocators)
                 collector.set_scheduler_stats(
                     len(self.running),
                     len(self.waiting),
-                    used / max(self.allocator.num_pages - 1, 1),
+                    used / max(total, 1),
                     0.0,
                 )
             except Exception:
@@ -1080,7 +1151,8 @@ class Scheduler:
         computed = req.seq_len - 1  # last sampled token has no KV
         aligned = computed // self.page_size
         ids = np.asarray(req.all_ids()[: aligned * self.page_size], np.int32)
-        dup = self.tree_cache.insert(
+        cache = self.tree_caches[req.dp_shard]
+        dup = cache.insert(
             ids, req.pages[:aligned], user_id=req.user_id,
             prompt_text=req.prompt_text, scope=req.lora_path,
         )
@@ -1089,9 +1161,9 @@ class Scheduler:
         extra = [req.pages[req.prefix_pages : dup], req.pages[aligned:]]
         for pages in extra:
             if len(pages):
-                self.allocator.free(pages)
+                self.allocators[req.dp_shard].free(pages)
         if req.last_node is not None:
-            self.tree_cache.dec_lock_ref(req.last_node)
+            cache.dec_lock_ref(req.last_node)
         req.pages = np.empty(0, np.int32)
 
     def _cache_unfinished(self, req: Req) -> None:
@@ -1100,11 +1172,12 @@ class Scheduler:
         if aligned == 0:
             return
         ids = np.asarray(req.all_ids()[: aligned * self.page_size], np.int32)
-        self.tree_cache.insert(
+        cache = self.tree_caches[req.dp_shard]
+        cache.insert(
             ids, req.pages[:aligned], user_id=req.user_id,
             prompt_text=req.prompt_text, scope=req.lora_path,
         )
-        m = self.tree_cache.match_prefix(
+        m = cache.match_prefix(
             ids, user_id=req.user_id, scope=req.lora_path
         )
         got = len(m.pages)
@@ -1116,11 +1189,11 @@ class Scheduler:
             own_mask = np.arange(got) >= req.prefix_pages
             to_free = mine[own_mask & (mine != m.pages[:got])]
             if len(to_free):
-                self.allocator.free(to_free)
+                self.allocators[req.dp_shard].free(to_free)
             req.pages[:got] = m.pages[:got]
-            self.tree_cache.inc_lock_ref(m.last_node)
+            cache.inc_lock_ref(m.last_node)
             if req.last_node is not None:
-                self.tree_cache.dec_lock_ref(req.last_node)
+                cache.dec_lock_ref(req.last_node)
             req.last_node = m.last_node
             req.prefix_pages = got
             req.prefix_len = got * self.page_size
@@ -1129,8 +1202,10 @@ class Scheduler:
     def flush_cache(self) -> bool:
         if self.running or self.waiting:
             return False
-        self.tree_cache.reset()
-        self.allocator.clear()
+        for cache in self.tree_caches:
+            cache.reset()
+        for alloc in self.allocators:
+            alloc.clear()
         self.runner.flush_cache()
         return True
 
@@ -1138,9 +1213,11 @@ class Scheduler:
         """Idle leak assertion (reference scheduler.py:1314-1361)."""
         if self.running or self.waiting or self.chunked_req:
             return True
-        tree = self.tree_cache
-        used = self.allocator.num_pages - 1 - self.allocator.available_pages
-        return used == tree.evictable_pages + tree.protected_pages
+        for tree, alloc in zip(self.tree_caches, self.allocators):
+            used = alloc.num_pages - 1 - alloc.available_pages
+            if used != tree.evictable_pages + tree.protected_pages:
+                return False
+        return True
 
     def _log_decode_stats(self) -> None:
         now = time.monotonic()
@@ -1150,9 +1227,10 @@ class Scheduler:
                 "decode: %d reqs, %.0f tok/s, pages free %d/%d, cache %d pages",
                 len(self.running),
                 self._decode_tokens_since_log / dt,
-                self.allocator.available_pages,
-                self.allocator.num_pages,
-                self.tree_cache.evictable_pages + self.tree_cache.protected_pages,
+                sum(a.available_pages for a in self.allocators),
+                sum(a.num_pages for a in self.allocators),
+                sum(c.evictable_pages + c.protected_pages
+                    for c in self.tree_caches),
             )
             self._last_decode_log = now
             self._decode_tokens_since_log = 0

@@ -70,6 +70,7 @@ class BatchPlan:
     # feature-row mapping (-1 = text token)
     mm_items: Optional[list] = None
     mm_rows: Optional[np.ndarray] = None  # [T] i32
+    dp_shards: Optional[np.ndarray] = None  # [S] dp-attention shard per seq
 
 
 class ModelRunner:
@@ -82,10 +83,25 @@ class ModelRunner:
         ``entrypoints/engine.py:537-603`` + ``parallel_state.py:1102``)."""
         self.server_args = server_args
         sa = server_args
+        self.dp_attn_size = 1
         if sa.enable_dp_attention:
-            raise NotImplementedError(
-                "enable_dp_attention is not implemented yet"
+            # DP attention (reference dp_attention.py:33): requests shard
+            # over the dp mesh axis -- each dp group holds its own slice
+            # of the batch and of the KV pool's token dim, attention runs
+            # per group (TP within the group), and the final hidden
+            # states all-gather over dp for sampling.  Dense FFN weights
+            # stay dp-replicated/tp-sharded: with the token rows already
+            # dp-sharded, the FFN is data-parallel over dp with ZERO
+            # extra collectives (XLA mesh makes the reference's
+            # gather/scatter unnecessary for dense layers).
+            assert sa.dp_size > 1, (
+                "enable_dp_attention needs dp_size > 1 (attention-dp "
+                "groups within one engine)"
             )
+            assert sa.pp_size == 1, "dp attention + pp not wired yet"
+            assert not sa.lora_paths, "dp attention + LoRA not wired yet"
+            assert not sa.enable_hierarchical_cache
+            self.dp_attn_size = sa.dp_size
         if sa.sp_size > 1:
             raise NotImplementedError("sp_size > 1 is not implemented yet")
         if sa.ep_size not in (1, sa.tp_size):
@@ -102,12 +118,14 @@ class ModelRunner:
             assert sa.speculative_algorithm is None, (
                 "speculative decoding is not supported with pp yet"
             )
-        if mesh is None and (sa.tp_size > 1 or sa.pp_size > 1):
+        if mesh is None and (
+            sa.tp_size > 1 or sa.pp_size > 1 or self.dp_attn_size > 1
+        ):
             from sglang_security_tpu.parallel.shardings import build_mesh
 
             mesh = build_mesh(
-                tp_size=sa.tp_size, dp_size=1, pp_size=sa.pp_size,
-                devices=devices,
+                tp_size=sa.tp_size, dp_size=self.dp_attn_size,
+                pp_size=sa.pp_size, devices=devices,
             )
         self.mesh = mesh
         self.dtype = get_dtype(server_args.dtype)
@@ -159,7 +177,7 @@ class ModelRunner:
             self.params = shard_params(self.params, self.mesh, self._pspecs)
             self._kv_pspec = kv_pspec(
                 self.config.kv_cache_num_heads, self.tp_size,
-                pp=self.pp_size > 1,
+                pp=self.pp_size > 1, dp=self.dp_attn_size > 1,
             )
         if server_args.unroll_layers:
             self.params = self.model.unroll_params(self.params)
@@ -172,6 +190,9 @@ class ModelRunner:
         self.page_size = server_args.page_size
         self.model.kv_page_size = self.page_size
         self.num_pages = self._profile_num_pages()
+        if self.dp_attn_size > 1:
+            # the pool's token dim shards over dp; keep shards equal
+            self.num_pages -= self.num_pages % self.dp_attn_size
         kv_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding
@@ -372,10 +393,26 @@ class ModelRunner:
             return None
         return self.lora_manager.step_params()
 
-    def _shard_step(self, step, out_specs=None):
+    def _fb_pspecs(self):
+        """ForwardBatch leaf specs: under dp attention every per-token /
+        per-seq array shards its leading dim over dp (rows are grouped
+        per shard by _pad_plan); otherwise replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        if self.dp_attn_size <= 1:
+            return P()
+        return ForwardBatch(
+            token_ids=P("dp"), positions=P("dp"), slots=P("dp"),
+            q_starts=P("dp"), q_lens=P("dp"), kv_lens=P("dp"),
+            page_indices=P("dp", None), out_rows=P("dp"),
+            lora_ids=None, mm_embeds=None, mm_rows=None,
+        )
+
+    def _shard_step(self, step, out_specs=None, fb_argnum=3):
         """Wrap a step function in shard_map over the runner's mesh: params
-        and KV arrive pre-sharded (TP), everything else is replicated, and
-        the model emits the TP collectives internally."""
+        and KV arrive pre-sharded (TP; dp-attention also shards the KV
+        token dim and the ForwardBatch rows), everything else is
+        replicated, and the model emits the collectives internally."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -384,18 +421,26 @@ class ModelRunner:
 
         def wrap(*args):
             n_in = len(args)
-            in_specs = (self._pspecs, self._kv_pspec, self._kv_pspec) + (
+            in_specs = [self._pspecs, self._kv_pspec, self._kv_pspec] + [
                 P(),
-            ) * (n_in - 3)
+            ] * (n_in - 3)
+            if self.dp_attn_size > 1 and fb_argnum is not None:
+                in_specs[fb_argnum] = self._fb_pspecs()
             return shard_map(
                 step,
                 mesh=self.mesh,
-                in_specs=in_specs,
+                in_specs=tuple(in_specs),
                 out_specs=out_specs,
                 check_vma=False,
             )(*args)
 
         return wrap
+
+    @property
+    def _dp_kwargs(self) -> dict:
+        if self.dp_attn_size <= 1:
+            return {}
+        return dict(dp_axis="dp")
 
     @property
     def _tp_axis(self):
@@ -422,6 +467,7 @@ class ModelRunner:
         interpret = self.interpret
         tp_size, tp_axis = self.tp_size, self._tp_axis
         pp_kwargs = self._pp_kwargs
+        dp_kwargs = self._dp_kwargs
 
         def step(params, k_pages, v_pages, fb, st, key, vocab_mask,
                  counts, slots, lora, ft=None, ft_rows=None):
@@ -429,7 +475,7 @@ class ModelRunner:
                 params, k_pages, v_pages, fb, block_q=block_q,
                 interpret=interpret, lora=lora,
                 tp_size=tp_size, tp_axis=tp_axis,
-                return_all=eagle, **pp_kwargs,
+                return_all=eagle, **pp_kwargs, **dp_kwargs,
             )
             if eagle:
                 hidden, x_all, k_pages, v_pages = out
@@ -549,12 +595,13 @@ class ModelRunner:
         interpret = self.interpret
         tp_size, tp_axis = self.tp_size, self._tp_axis
         pp_kwargs = self._pp_kwargs
+        dp_kwargs = self._dp_kwargs
 
         def step(params, k_pages, v_pages, fb):
             hidden, k_pages, v_pages = model.forward(
                 params, k_pages, v_pages, fb, block_q=PREFILL_BLOCK_Q,
                 interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
-                **pp_kwargs,
+                **pp_kwargs, **dp_kwargs,
             )
             h = hidden.astype(jnp.float32)
             emb = h / jnp.maximum(
@@ -573,6 +620,10 @@ class ModelRunner:
         return fn
 
     def execute_embedding(self, plan: BatchPlan) -> np.ndarray:
+        if self.dp_attn_size > 1:
+            raise NotImplementedError(
+                "embedding requests + dp attention not wired yet"
+            )
         """Run an embedding prefill; returns [S_real, H] f32 pooled
         (last-token, L2-normalized) embeddings."""
         sa = self.server_args
@@ -605,6 +656,7 @@ class ModelRunner:
         interpret = self.interpret
         tp_size, tp_axis = self.tp_size, self._tp_axis
         pp_kwargs = self._pp_kwargs
+        dp_kwargs = self._dp_kwargs
 
         def multi(params, k_pages, v_pages, tokens0, positions0, slot_mat,
                   kv_lens0, page_indices, st, key, counts, pslots, lora,
@@ -627,7 +679,7 @@ class ModelRunner:
                 hidden, k_pages, v_pages = model.forward(
                     params, k_pages, v_pages, fb, block_q=1,
                     interpret=interpret, lora=lora,
-                    tp_size=tp_size, tp_axis=tp_axis, **pp_kwargs,
+                    tp_size=tp_size, tp_axis=tp_axis, **pp_kwargs, **dp_kwargs,
                 )
                 logits = model.compute_logits(params, hidden, tp_axis=tp_axis)
                 key, sub = jax.random.split(key)
@@ -772,6 +824,129 @@ class ModelRunner:
         )
 
     # ------------------------------------------------------------------
+
+    def _dp_remap_plan(self, plan: BatchPlan):
+        """DP attention: rewrite the plan so rows/seqs are grouped per dp
+        shard, each shard block padded to a common bucket (the shard_map
+        P("dp") split then hands every shard exactly its own requests).
+        Returns (plan2, out_slot, T, S) -- out_slot maps each original
+        seq index to its row in the padded shard-grouped layout."""
+        sa = self.server_args
+        dp = self.dp_attn_size
+        shards = np.asarray(plan.dp_shards, np.int64)
+        S_real = len(plan.q_lens)
+        assert plan.mm_items is None and plan.lora_ids is None
+        assert plan.out_rows is None and plan.ft_rows is None
+
+        def scat1(src, n, slot, fill=0, dtype=None):
+            src = np.asarray(src)
+            out = np.full(n, fill, dtype or src.dtype)
+            out[slot] = src
+            return out
+
+        if plan.is_decode:
+            counts = np.bincount(shards, minlength=dp)
+            S_shard = next_bucket(
+                max(int(counts.max()), 1), sa.decode_bs_buckets
+            )
+            S = T = dp * S_shard
+            nxt = np.zeros(dp, np.int64)
+            out_slot = np.empty(S_real, np.int64)
+            for i, sh in enumerate(shards):
+                out_slot[i] = sh * S_shard + nxt[sh]
+                nxt[sh] += 1
+            pages2 = [np.empty(0, np.int32)] * S
+            for i, pages in enumerate(plan.page_indices):
+                pages2[out_slot[i]] = pages
+            plan2 = BatchPlan(
+                is_decode=True,
+                token_ids=scat1(plan.token_ids, T, out_slot),
+                positions=scat1(plan.positions, T, out_slot),
+                slots=scat1(plan.slots, T, out_slot, fill=-1),
+                q_starts=np.tile(np.arange(S_shard, dtype=np.int32), dp),
+                q_lens=scat1(plan.q_lens, S, out_slot),
+                kv_lens=scat1(plan.kv_lens, S, out_slot),
+                page_indices=pages2,
+                temperature=scat1(plan.temperature, S, out_slot, 0.0),
+                top_k=scat1(plan.top_k, S, out_slot),
+                top_p=scat1(plan.top_p, S, out_slot, 1.0),
+                min_p=scat1(plan.min_p, S, out_slot, 0.0),
+            )
+        else:
+            rows_req = np.asarray([
+                round_up(max(int(ql), 1), PREFILL_BLOCK_Q)
+                for ql in plan.q_lens
+            ])
+            shard_rows = np.zeros(dp, np.int64)
+            for r, sh in zip(rows_req, shards):
+                shard_rows[sh] += r
+            T_shard = round_up(
+                next_bucket(
+                    max(int(shard_rows.max()), PREFILL_BLOCK_Q),
+                    sa.prefill_token_buckets,
+                ),
+                PREFILL_BLOCK_Q,
+            )
+            T = dp * T_shard
+            S_shard = T_shard // PREFILL_BLOCK_Q
+            S = dp * S_shard
+            tok = np.zeros(T, np.int32)
+            pos = np.zeros(T, np.int32)
+            slt = np.full(T, -1, np.int32)
+            q_starts2 = np.full(S, T_shard, np.int32)  # local sentinel
+            out_rows2 = np.zeros(S, np.int32)
+            nxt_row = np.zeros(dp, np.int64)
+            nxt_seq = np.zeros(dp, np.int64)
+            out_slot = np.empty(S_real, np.int64)
+            pages2 = [np.empty(0, np.int32)] * S
+            for i, sh in enumerate(shards):
+                r = rows_req[i]
+                src0 = int(plan.q_starts[i])
+                loc = int(nxt_row[sh])
+                dst0 = sh * T_shard + loc
+                span = min(r, len(plan.token_ids) - src0)
+                tok[dst0:dst0 + span] = plan.token_ids[src0:src0 + span]
+                pos[dst0:dst0 + span] = plan.positions[src0:src0 + span]
+                slt[dst0:dst0 + span] = plan.slots[src0:src0 + span]
+                slot = int(sh * S_shard + nxt_seq[sh])
+                out_slot[i] = slot
+                q_starts2[slot] = loc
+                out_rows2[slot] = loc + max(int(plan.q_lens[i]) - 1, 0)
+                pages2[slot] = plan.page_indices[i]
+                nxt_row[sh] += r
+                nxt_seq[sh] += 1
+            plan2 = BatchPlan(
+                is_decode=False,
+                token_ids=tok,
+                positions=pos,
+                slots=slt,
+                q_starts=q_starts2,
+                q_lens=scat1(plan.q_lens, S, out_slot),
+                kv_lens=scat1(plan.kv_lens, S, out_slot),
+                page_indices=pages2,
+                temperature=scat1(plan.temperature, S, out_slot, 0.0),
+                top_k=scat1(plan.top_k, S, out_slot),
+                top_p=scat1(plan.top_p, S, out_slot, 1.0),
+                min_p=scat1(plan.min_p, S, out_slot, 0.0),
+                out_rows=out_rows2,
+            )
+        for name in ("presence_penalty", "frequency_penalty",
+                     "repetition_penalty"):
+            v = getattr(plan, name)
+            if v is not None:
+                fill = 1.0 if name == "repetition_penalty" else 0.0
+                setattr(plan2, name, scat1(v, S, out_slot, fill))
+        if plan.penalty_slots is not None:
+            plan2.penalty_slots = scat1(
+                plan.penalty_slots, S, out_slot, -1
+            )
+        if plan.vocab_mask is not None:
+            V = plan.vocab_mask.shape[1]
+            vm = np.ones((S, V), bool)
+            vm[out_slot] = plan.vocab_mask
+            plan2.vocab_mask = vm
+        return plan2, out_slot, T, S
+
     def _get_penalty_state(self, plan: BatchPlan, S: int):
         penalized = plan.penalty_slots is not None and (
             np.asarray(plan.penalty_slots) >= 0
@@ -795,7 +970,11 @@ class ModelRunner:
         """Run one step; returns (next_token per seq [S_real], logprobs)."""
         sa = self.server_args
         S_real = len(plan.q_lens)
-        if plan.is_decode:
+        out_slot = None
+        if self.dp_attn_size > 1 and plan.dp_shards is not None:
+            plan, out_slot, T, S = self._dp_remap_plan(plan)
+            block_q = 1 if plan.is_decode else PREFILL_BLOCK_Q
+        elif plan.is_decode:
             S = next_bucket(S_real, sa.decode_bs_buckets)
             T = S
             block_q = 1
@@ -812,7 +991,10 @@ class ModelRunner:
         ppb = 8 if PPS % 8 == 0 else max(1, PPS)
         PPS = round_up(PPS, 8)
 
-        fb, st, vocab_mask = self._pad_plan(plan, T, S, PPS)
+        fb, st, vocab_mask = self._pad_plan(
+            plan, T, S, PPS,
+            dp_local=(S // self.dp_attn_size if out_slot is not None else 0),
+        )
         self._rng_key, sub = jax.random.split(self._rng_key)
         penalized, counts, pslots = self._get_penalty_state(plan, S)
         eagle_on = self.eagle is not None and plan.ft_rows is not None
@@ -845,8 +1027,14 @@ class ModelRunner:
         self.kv_pool.v_pages = v_pages
         if penalized:
             self.penalty_counts = counts
-        tokens_np = np.asarray(jax.device_get(tokens))[:S_real]
-        logprobs_np = np.asarray(jax.device_get(logprobs))[:S_real]
+        tokens_np = np.asarray(jax.device_get(tokens))
+        logprobs_np = np.asarray(jax.device_get(logprobs))
+        if out_slot is not None:  # dp attention: back to request order
+            tokens_np = tokens_np[out_slot]
+            logprobs_np = logprobs_np[out_slot]
+        else:
+            tokens_np = tokens_np[:S_real]
+            logprobs_np = logprobs_np[:S_real]
         if eagle_on:
             return tokens_np, logprobs_np, x_all
         return tokens_np, logprobs_np
@@ -854,7 +1042,7 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def _pad_plan(self, plan: BatchPlan, T: int, S: int, PPS: int,
                   block_q: Optional[int] = None, R: Optional[int] = None,
-                  rows_per_seq: int = 1):
+                  rows_per_seq: int = 1, dp_local: int = 0):
         """R: number of output/sampling rows (defaults to S; spec verify
         samples rows_per_seq positions per sequence)."""
         def pad1(a, n, fill=0):
@@ -870,8 +1058,13 @@ class ModelRunner:
             m = min(len(pages), PPS)
             pi[i, :m] = pages[:m]
         if plan.is_decode:
-            q_starts = np.arange(S, dtype=np.int32)
-            out_rows = np.arange(S, dtype=np.int32)
+            if dp_local:  # dp attention: local row ids, tiled per shard
+                q_starts = np.tile(
+                    np.arange(dp_local, dtype=np.int32), S // dp_local
+                )
+            else:
+                q_starts = np.arange(S, dtype=np.int32)
+            out_rows = q_starts.copy()
         else:
             q_starts = pad1(plan.q_starts, S).astype(np.int32)
             if plan.out_rows is not None:

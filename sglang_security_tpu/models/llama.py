@@ -314,6 +314,7 @@ class LlamaForCausalLM:
         pp_axis: Optional[str] = None,  # pipeline axis (inside shard_map)
         pp_size: int = 1,
         pp_microbatches: int = 1,
+        dp_axis: Optional[str] = None,  # dp-attention axis (inside shard_map)
         lora=None,  # LoRAManager.step_params() pytree, or None
         return_all: bool = False,  # also return every row's hidden (EAGLE)
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -424,6 +425,15 @@ class LlamaForCausalLM:
             li0 += n_layers
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
+        if dp_axis is not None:
+            # DP attention: rows (and KV) were sharded over dp; gather
+            # each shard's selected hidden states so logits + sampling
+            # run replicated (keeps sampler/penalty state consistent
+            # across shards).  This is the one extra collective the
+            # dp-attention path needs (reference dp_gather,
+            # layers/dp_attention.py:224).
+            assert lora is None and not return_all
+            sel = lax.all_gather(sel, dp_axis, axis=0, tiled=True)
         if return_all:
             return sel, x, k_pages, v_pages
         return sel, k_pages, v_pages

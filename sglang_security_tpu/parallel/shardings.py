@@ -156,15 +156,21 @@ def unroll_pspecs(pspecs: dict, params_unrolled: dict) -> dict:
     return out
 
 
-def kv_pspec(num_kv_heads: int, tp_size: int, pp: bool = False) -> P:
+def kv_pspec(
+    num_kv_heads: int, tp_size: int, pp: bool = False, dp: bool = False
+) -> P:
     """KV pool [L, Hkv, tokens, hd] (flat, head-major): shard heads over
     tp when divisible; MLA (one latent head) replicates the pool across
     tp like the reference's MQA TP.  Under pp the layer dim shards over
-    the pipeline axis — each stage holds KV only for its own layers."""
+    the pipeline axis — each stage holds KV only for its own layers.
+    Under dp attention the token dim shards over dp — each dp group
+    holds only its own requests' pages (the point of dp attention for
+    MLA: no tp replication of the latent KV)."""
     lead = "pp" if pp else None
+    tok = "dp" if dp else None
     if tp_size > 1 and num_kv_heads % tp_size == 0:
-        return P(lead, "tp", None, None)
-    return P(lead, None, None, None)
+        return P(lead, "tp", tok, None)
+    return P(lead, None, tok, None)
 
 
 def shard_params(params: dict, mesh: Mesh, pspecs: Optional[dict] = None) -> dict:

@@ -85,7 +85,8 @@ def test_engine_dp2_tp2(tiny):
 
 
 def test_unimplemented_parallelism_flags_hard_fail(tiny):
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(AssertionError):
+        # dp attention needs dp_size > 1
         _engine(tiny, enable_dp_attention=True)
     with pytest.raises(ValueError):
         _engine(tiny, tp_size=1, ep_size=2)
