@@ -243,6 +243,31 @@ class LlamaForCausalLM:
             )
         return params
 
+    # ------------------------------------------------- family hooks
+    def _sm_scale(self) -> float:
+        return self.config.head_dim**-0.5
+
+    def _norm_names(self):
+        """Checkpoint names mapped to (input_norm, post_norm)."""
+        return "input_layernorm", "post_attention_layernorm"
+
+    def _load_norm(self, t, prefix, dtype):
+        """A norm's params: a weight vector by default; LayerNorm
+        families (StableLM, Starcoder2) return {"w", "b"} dicts."""
+        return t(prefix + ".weight").astype(dtype)
+
+    def _layer_extra_load(self, i, t, lp, dtype) -> None:
+        """Per-layer extra/renamed tensors (e.g. OLMo2 flat q/k norms,
+        GLM-4 sandwich norms)."""
+
+    def _apply_final_norm(self, x, w):
+        return rms_norm(x, w, self.config.rms_eps)
+
+    def _logit_scale(self) -> float:
+        """Multiplier on the lm-head logits (Cohere logit_scale,
+        Granite 1/logits_scaling)."""
+        return 1.0
+
     def load_weights(self, get_tensor, dtype=jnp.bfloat16):
         """Build params from a name->np.ndarray accessor over an HF checkpoint.
 
@@ -265,31 +290,36 @@ class LlamaForCausalLM:
                 tp_size=self.tp_size, dtype=dtype,
             )
 
+        n_in, n_post = self._norm_names()
         layers = []
         for i in range(cfg.num_layers):
             p = f"model.layers.{i}."
             a = p + "self_attn."
             m = p + "mlp."
             lp = {
-                "input_norm": t(p + "input_layernorm.weight").astype(dtype),
-                "post_norm": t(p + "post_attention_layernorm.weight").astype(dtype),
+                "input_norm": self._load_norm(t, p + n_in, dtype),
+                "post_norm": self._load_norm(t, p + n_post, dtype),
                 "qkv": lin_merged(
                     [a + "q_proj.weight", a + "k_proj.weight", a + "v_proj.weight"],
                     [a + "q_proj.bias", a + "k_proj.bias", a + "v_proj.bias"]
                     if cfg.qkv_bias
                     else None,
                 ),
-                "o": lin_merged([a + "o_proj.weight"], None),
+                "o": lin_merged(
+                    [a + "o_proj.weight"],
+                    [a + "o_proj.bias"] if cfg.o_bias else None,
+                ),
                 **self._ffn_params_load(i, t, lin_merged, dtype),
             }
             if cfg.qk_norm:
                 lp["q_norm"] = t(a + "q_norm.weight").astype(dtype)
                 lp["k_norm"] = t(a + "k_norm.weight").astype(dtype)
+            self._layer_extra_load(i, t, lp, dtype)
             layers.append(lp)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
         params = {
             "embed": t("model.embed_tokens.weight").astype(dtype),
-            "final_norm": t("model.norm.weight").astype(dtype),
+            "final_norm": self._load_norm(t, "model.norm", dtype),
             "layers": stacked,
         }
         if not cfg.tie_word_embeddings:
@@ -372,19 +402,20 @@ class LlamaForCausalLM:
                 lp, li = xs
                 lora_lp = None
 
-            h, resid = fused_add_rms_norm(x, None, lp["input_norm"], cfg.rms_eps)
-            o, k_pages, v_pages = self._attn_apply(
-                lp, h, fb, k_pages, v_pages, li, safe_slots,
-                block_q=block_q, pages_per_block=pages_per_block,
-                interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
-                lora_lp=lora_lp, lora_ids=lora_ids, lora_scale=lora_scale,
-            )
-            x = resid + o
-
-            h, resid = fused_add_rms_norm(x, None, lp["post_norm"], cfg.rms_eps)
-            x = resid + self._ffn_apply(
-                lp, h, tp_size, tp_axis,
-                lora_lp=lora_lp, lora_ids=lora_ids, lora_scale=lora_scale,
+            x, k_pages, v_pages = self._layer_apply(
+                lp, x,
+                lambda h: self._attn_apply(
+                    lp, h, fb, k_pages, v_pages, li, safe_slots,
+                    block_q=block_q, pages_per_block=pages_per_block,
+                    interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
+                    lora_lp=lora_lp, lora_ids=lora_ids,
+                    lora_scale=lora_scale,
+                ),
+                lambda h: self._ffn_apply(
+                    lp, h, tp_size, tp_axis,
+                    lora_lp=lora_lp, lora_ids=lora_ids,
+                    lora_scale=lora_scale,
+                ),
             )
             return (x, k_pages, v_pages), None
 
@@ -423,7 +454,7 @@ class LlamaForCausalLM:
                 body, (x, k_pages, v_pages), xs
             )
             li0 += n_layers
-        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        x = self._apply_final_norm(x, params["final_norm"])
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
         if dp_axis is not None:
             # DP attention: rows (and KV) were sharded over dp; gather
@@ -501,19 +532,16 @@ class LlamaForCausalLM:
             def body(carry, xs):
                 h, k_pages, v_pages = carry
                 lp, li = xs
-                hn, resid = fused_add_rms_norm(
-                    h, None, lp["input_norm"], cfg.rms_eps
+                h, k_pages, v_pages = self._layer_apply(
+                    lp, h,
+                    lambda hn: self._attn_apply(
+                        lp, hn, fb_t, k_pages, v_pages, li, safe_slots,
+                        block_q=block_q, pages_per_block=pages_per_block,
+                        interpret=interpret, tp_size=tp_size,
+                        tp_axis=tp_axis,
+                    ),
+                    lambda hn: self._ffn_apply(lp, hn, tp_size, tp_axis),
                 )
-                o, k_pages, v_pages = self._attn_apply(
-                    lp, hn, fb_t, k_pages, v_pages, li, safe_slots,
-                    block_q=block_q, pages_per_block=pages_per_block,
-                    interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
-                )
-                h = resid + o
-                hn, resid = fused_add_rms_norm(
-                    h, None, lp["post_norm"], cfg.rms_eps
-                )
-                h = resid + self._ffn_apply(lp, hn, tp_size, tp_axis)
                 return (h, k_pages, v_pages), None
 
             (h, k_pages, v_pages), _ = lax.scan(
@@ -541,7 +569,7 @@ class LlamaForCausalLM:
                 )
         # only the last stage holds real outputs; replicate across pp
         x = lax.psum(outs, pp_axis).reshape(T, H)
-        x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+        x = self._apply_final_norm(x, params["final_norm"])
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]
         return sel, k_pages, v_pages
 
@@ -567,6 +595,21 @@ class LlamaForCausalLM:
         e.g. DeepSeek's first-k-dense-then-MoE — return several)."""
         return [params["layers"]]
 
+    def _layer_apply(self, lp, x, attn_fn, ffn_fn):
+        """One decoder layer's norm/residual structure (pre-norm default;
+        Llama/Mistral/Qwen).  ``attn_fn(h) -> (o, k_pages, v_pages)``,
+        ``ffn_fn(h) -> out``.  Post-norm families (OLMo2), LayerNorm
+        families (StableLM), and parallel-block families (Cohere)
+        override this one hook; sandwich-norm families (Gemma2, GLM-4)
+        instead wrap extra norms inside _attn_apply/_ffn_apply."""
+        cfg = self.config
+        h, resid = fused_add_rms_norm(x, None, lp["input_norm"], cfg.rms_eps)
+        o, k_pages, v_pages = attn_fn(h)
+        x = resid + o
+        h, resid = fused_add_rms_norm(x, None, lp["post_norm"], cfg.rms_eps)
+        x = resid + ffn_fn(h)
+        return x, k_pages, v_pages
+
     def _attn_apply(
         self, lp, h, fb, k_pages, v_pages, li, safe_slots, *,
         block_q, pages_per_block, interpret, tp_size, tp_axis,
@@ -586,13 +629,24 @@ class LlamaForCausalLM:
                 h, lora_lp, "qkv", lora_ids, lora_scale
             ).astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [Hq * hd, (Hq + Hkv) * hd], axis=-1)
+        if "q_norm_flat" in lp:  # whole-projection RMSNorm (OLMo2)
+            q = rms_norm(q, lp["q_norm_flat"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm_flat"], cfg.rms_eps)
         q = q.reshape(T, Hq, hd)
         k = k.reshape(T, Hkv, hd)
         v = v.reshape(T, Hkv, hd)
         if "q_norm" in lp:  # per-head QK RMSNorm (Qwen3-family)
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        q, k = apply_rope(q, k, fb.positions, self.inv_freq)
+        rot = getattr(self, "rotary_dim", hd)
+        if rot < hd:  # partial rotary (GLM-4, StableLM, Phi-class)
+            qr, kr = apply_rope(
+                q[..., :rot], k[..., :rot], fb.positions, self.inv_freq
+            )
+            q = jnp.concatenate([qr, q[..., rot:]], axis=-1)
+            k = jnp.concatenate([kr, k[..., rot:]], axis=-1)
+        else:
+            q, k = apply_rope(q, k, fb.positions, self.inv_freq)
 
         if block_q == 1 and not isinstance(k_pages, tuple):
             # decode fast path: the kernel writes the new token's K/V into
@@ -601,7 +655,7 @@ class LlamaForCausalLM:
                 q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
                 page_size=self.kv_page_size,
                 layer=li,
-                sm_scale=hd**-0.5,
+                sm_scale=self._sm_scale(),
                 sliding_window=cfg.sliding_window,
                 soft_cap=cfg.attn_softcap,
                 interpret=interpret,
@@ -613,7 +667,7 @@ class LlamaForCausalLM:
             )
             attn = self._paged_attention(
                 q, k_pages, v_pages, fb, li,
-                sm_scale=hd**-0.5,
+                sm_scale=self._sm_scale(),
                 sliding_window=cfg.sliding_window,
                 soft_cap=cfg.attn_softcap,
                 block_q=block_q,
@@ -688,6 +742,8 @@ class LlamaForCausalLM:
             if tp_axis is not None:
                 # vocab-parallel head: gather shards to the full vocab
                 logits = lax.all_gather(logits, tp_axis, axis=1, tiled=True)
+        if self._logit_scale() != 1.0:
+            logits = logits * self._logit_scale()
         if cfg.logit_softcap:
             logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
         return logits

@@ -29,6 +29,12 @@ from sglang_security_tpu.models.phi3 import (
     Phi3ForCausalLM,
 )
 from sglang_security_tpu.models.llava import LlavaForConditionalGeneration
+from sglang_security_tpu.models.glm4 import Glm4ForCausalLM, GlmForCausalLM
+from sglang_security_tpu.models.olmo2 import Olmo2ForCausalLM
+from sglang_security_tpu.models.stablelm import StableLmForCausalLM
+from sglang_security_tpu.models.cohere import CohereForCausalLM
+from sglang_security_tpu.models.granite import GraniteForCausalLM
+from sglang_security_tpu.models.starcoder2 import Starcoder2ForCausalLM
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -51,6 +57,13 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
     "InternLM3ForCausalLM": LlamaForCausalLM,
     "LlavaForConditionalGeneration": LlavaForConditionalGeneration,
+    "Glm4ForCausalLM": Glm4ForCausalLM,
+    "GlmForCausalLM": GlmForCausalLM,
+    "Olmo2ForCausalLM": Olmo2ForCausalLM,
+    "StableLmForCausalLM": StableLmForCausalLM,
+    "CohereForCausalLM": CohereForCausalLM,
+    "GraniteForCausalLM": GraniteForCausalLM,
+    "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
 }
 
 
