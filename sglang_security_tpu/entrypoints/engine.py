@@ -455,6 +455,49 @@ class Engine:
             runner.update_weights_from_disk(model_path)
         return True
 
+    def update_weights_from_tensor(self, named_tensors,
+                                   load_format=None) -> bool:
+        """RL weight push (reference engine.py:392): (HF name, array)
+        pairs; missing tensors fall back to the original checkpoint."""
+        while any(s.has_work() for s in self.schedulers):
+            time.sleep(0.05)
+        for runner in self.model_runners:
+            runner.update_weights_from_tensor(named_tensors, load_format)
+        return True
+
+    def get_weights_by_name(self, name: str, truncate_size: int = 100):
+        return self.model_runner.get_weights_by_name(name, truncate_size)
+
+    def release_memory_occupation(self) -> bool:
+        """Free weights + KV pool HBM for a co-located trainer
+        (reference engine.py:442); refuses while requests are running.
+        KV content is dropped, so the radix caches flush first."""
+        if any(s.has_work() for s in self.schedulers):
+            return False
+        self.flush_cache()
+        for runner in self.model_runners:
+            runner.release_memory_occupation()
+        return True
+
+    def resume_memory_occupation(self) -> bool:
+        for runner in self.model_runners:
+            runner.resume_memory_occupation()
+        return True
+
+    def save_sharded_checkpoint(self, path: str) -> int:
+        """TPU-native sharded save of the serving-layout params
+        (reference save_sharded_model, engine.py:472)."""
+        while any(s.has_work() for s in self.schedulers):
+            time.sleep(0.05)
+        return self.model_runner.save_sharded_checkpoint(path)
+
+    def load_sharded_checkpoint(self, path: str) -> bool:
+        while any(s.has_work() for s in self.schedulers):
+            time.sleep(0.05)
+        for runner in self.model_runners:
+            runner.load_sharded_checkpoint(path)
+        return True
+
     def start_profile(self, output_dir: str = "/tmp/sgl_tpu_profile") -> bool:
         """jax.profiler trace (reference torch-profiler /start_profile)."""
         import os

@@ -54,6 +54,13 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights)
+        r.add_post("/update_weights_from_tensor",
+                   self.update_weights_from_tensor)
+        r.add_post("/release_memory_occupation", self.release_memory)
+        r.add_post("/resume_memory_occupation", self.resume_memory)
+        r.add_post("/save_sharded_checkpoint", self.save_checkpoint)
+        r.add_post("/load_sharded_checkpoint", self.load_checkpoint)
+        r.add_post("/get_weights_by_name", self.get_weights_by_name)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/configure_logging", self.configure_logging)
@@ -456,6 +463,58 @@ class HttpServer:
         body = await request.json()
         self.engine.abort_request(body.get("rid", ""))
         return web.json_response({"success": True})
+
+    async def update_weights_from_tensor(self, request):
+        """RL weight push: {"named_tensors": [[name, {"shape", "dtype",
+        "data_b64"}], ...]} (reference update_weights_from_tensor)."""
+        import base64
+
+        import numpy as np
+
+        body = await request.json()
+        pairs = []
+        for name, t in body["named_tensors"]:
+            arr = np.frombuffer(
+                base64.b64decode(t["data_b64"]), dtype=np.dtype(t["dtype"])
+            ).reshape(t["shape"])
+            pairs.append((name, arr))
+        ok = await self._run(
+            self.engine.update_weights_from_tensor, pairs,
+            body.get("load_format"),
+        )
+        return web.json_response({"success": bool(ok)})
+
+    async def release_memory(self, request):
+        ok = await self._run(self.engine.release_memory_occupation)
+        return web.json_response({"success": bool(ok)})
+
+    async def resume_memory(self, request):
+        ok = await self._run(self.engine.resume_memory_occupation)
+        return web.json_response({"success": bool(ok)})
+
+    async def save_checkpoint(self, request):
+        body = await request.json()
+        n = await self._run(
+            self.engine.save_sharded_checkpoint, body["path"]
+        )
+        return web.json_response({"success": True, "num_tensors": n})
+
+    async def load_checkpoint(self, request):
+        body = await request.json()
+        ok = await self._run(
+            self.engine.load_sharded_checkpoint, body["path"]
+        )
+        return web.json_response({"success": bool(ok)})
+
+    async def get_weights_by_name(self, request):
+        body = await request.json()
+        arr = await self._run(
+            self.engine.get_weights_by_name, body["name"],
+            body.get("truncate_size", 100),
+        )
+        if arr is None:
+            return web.json_response({"error": "unknown name"}, status=404)
+        return web.json_response({"values": [float(x) for x in arr]})
 
     async def update_weights(self, request):
         body = await request.json()

@@ -54,6 +54,15 @@ class KVCachePool:
         # head-major flat token dim: pages are row ranges of dim 2
         # (see ops/ragged_paged_attention layout note)
         shape = (num_layers, num_kv_heads, num_pages * page_size, head_dim)
+        self._shape = shape
+        self._sharding = sharding
+        self.reallocate()
+
+    def reallocate(self) -> None:
+        """(Re)create the device buffers (used by
+        resume_memory_occupation after release())."""
+        shape, store_dtype = self._shape, self.store_dtype
+        sharding = self._sharding
 
         def _zeros(shp, dt):
             z = jnp.zeros(shp, dt)
@@ -61,12 +70,12 @@ class KVCachePool:
                 z = jax.device_put(z, sharding)
             return z
 
-        if kv_quant_dtype is not None:
+        if self.kv_quant_dtype is not None:
             # quantized KV rides as a (data, per-token-per-head scale)
             # pytree so model code threads it opaquely through scan
             # carries (analog of the reference's fused_downcast storage,
             # memory_pool.py:416 + per-layer scales)
-            sshape = (num_layers, num_kv_heads, num_pages * page_size)
+            sshape = shape[:3]
             self.k_pages = (
                 _zeros(shape, store_dtype),
                 jnp.ones(sshape, jnp.bfloat16),
@@ -78,6 +87,12 @@ class KVCachePool:
         else:
             self.k_pages = _zeros(shape, store_dtype)
             self.v_pages = _zeros(shape, store_dtype)
+
+    def release(self) -> None:
+        """Drop the device buffers (release_memory_occupation); the KV
+        content is NOT preserved -- callers flush the radix cache."""
+        self.k_pages = None
+        self.v_pages = None
 
     # ------------------------------------------------------------------
     def mem_usage_bytes(self) -> int:

@@ -1169,6 +1169,170 @@ class ModelRunner:
     def flush_cache(self) -> None:
         self.kv_pool.clear()
 
+    def update_weights_from_tensor(self, named_tensors,
+                                   load_format=None) -> None:
+        """RL weight push (reference model_runner.py:754): rebuild params
+        from (HF tensor name -> array) pairs; tensors not in the push are
+        read from the original checkpoint.  The push is whole-model
+        consistent because load_weights re-merges/re-quantizes into the
+        serving layout in one pass (no torch named_parameters surgery)."""
+        if load_format not in (None, "auto"):
+            raise NotImplementedError(f"load_format={load_format!r}")
+        from sglang_security_tpu.model_loader.loader import (
+            SafetensorsAccessor,
+            _resolve_model_path,
+        )
+
+        upd = {name: np.asarray(t) for name, t in named_tensors}
+        base = [None]
+
+        def get_tensor(name):
+            if name in upd:
+                return upd[name]
+            if base[0] is None:
+                base[0] = SafetensorsAccessor(_resolve_model_path(
+                    self.server_args.model_path,
+                    self.server_args.download_dir,
+                ))
+            return base[0](name)
+
+        params = self.model.load_weights(get_tensor, dtype=self.dtype)
+        self._install_params(params)
+
+    def get_weights_by_name(self, name: str, truncate_size: int = 100):
+        """Fetch a param leaf by its pytree path (e.g.
+        "layers/qkv/w" or "embed"); returns a truncated host array
+        (reference model_runner.py:771 get_weights_by_name)."""
+        node = self.params
+        for part in name.split("/"):
+            if isinstance(node, dict):
+                if part not in node:
+                    return None
+                node = node[part]
+            elif isinstance(node, list):
+                node = node[int(part)]
+            else:
+                return None
+        arr = np.asarray(jax.device_get(node)).reshape(-1)
+        return arr[:truncate_size]
+
+    def release_memory_occupation(self) -> None:
+        """Stash weights to host RAM and free the KV pool so a co-located
+        trainer can use the chip's HBM (reference memory-saver path,
+        engine.py:442).  resume_memory_occupation restores both."""
+        assert getattr(self, "_released_params", None) is None
+        self._released_params = jax.device_get(self.params)
+        self.params = None
+        self.kv_pool.release()
+        import gc
+
+        gc.collect()
+
+    def resume_memory_occupation(self) -> None:
+        host = getattr(self, "_released_params", None)
+        assert host is not None, "release_memory_occupation first"
+        shard = None
+        if self.mesh is not None and self._pspecs is not None:
+            from jax.sharding import NamedSharding
+
+            shard = jax.tree.map(
+                lambda ps: NamedSharding(self.mesh, ps), self._pspecs,
+                is_leaf=lambda x: not isinstance(x, dict),
+            )
+            self.params = jax.tree.map(
+                lambda a, sh: jax.device_put(a, sh), host, shard
+            )
+        else:
+            self.params = jax.tree.map(jnp.asarray, host)
+        self._released_params = None
+        self.kv_pool.reallocate()
+
+    def save_sharded_checkpoint(self, path: str) -> int:
+        """Save the serving-layout params as a TPU-native sharded
+        checkpoint: one safetensors file of '/'-joined pytree paths +
+        meta.json (reference save_sharded_model, model_runner.py:1303 --
+        theirs shards per GPU rank; ours is layout-exact so reload skips
+        the HF merge/quantize pass entirely)."""
+        import json as _json
+        import os
+
+        from safetensors.numpy import save_file
+
+        os.makedirs(path, exist_ok=True)
+        flat = {}
+
+        def walk(node, prefix):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, f"{prefix}/{k}" if prefix else k)
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    walk(v, f"{prefix}/{i}")
+            else:
+                flat[prefix] = np.asarray(jax.device_get(node))
+
+        walk(self.params, "")
+        save_file(flat, os.path.join(path, "sgl_tpu_params.safetensors"))
+        meta = {
+            "format": "sgl_tpu_sharded",
+            "architecture": self.config.architecture,
+            "quantization": self.server_args.quantization,
+            "dtype": self.server_args.dtype,
+            "unroll_layers": bool(self.server_args.unroll_layers),
+        }
+        with open(os.path.join(path, "sgl_tpu_ckpt.json"), "w") as f:
+            _json.dump(meta, f)
+        return len(flat)
+
+    def load_sharded_checkpoint(self, path: str) -> None:
+        """Restore params saved by save_sharded_checkpoint (layout must
+        match the current server config)."""
+        import json as _json
+        import os
+
+        from safetensors import safe_open
+
+        with open(os.path.join(path, "sgl_tpu_ckpt.json")) as f:
+            meta = _json.load(f)
+        assert meta["architecture"] == self.config.architecture, meta
+        f = safe_open(
+            os.path.join(path, "sgl_tpu_params.safetensors"),
+            framework="flax",
+        )
+        flat = {name: f.get_tensor(name) for name in f.keys()}
+
+        def rebuild(node, prefix):
+            if isinstance(node, dict):
+                return {
+                    k: rebuild(v, f"{prefix}/{k}" if prefix else k)
+                    for k, v in node.items()
+                }
+            if isinstance(node, list):
+                return [
+                    rebuild(v, f"{prefix}/{i}") for i, v in enumerate(node)
+                ]
+            return jnp.asarray(flat[prefix])
+
+        params = rebuild(self.params, "")
+        self._install_params(params)
+
+    def _install_params(self, params) -> None:
+        """Shard/unroll freshly built params like __init__ does, then
+        swap them in."""
+        if self.mesh is not None:
+            from sglang_security_tpu.parallel.shardings import (
+                param_pspecs,
+                shard_params,
+            )
+
+            params = shard_params(
+                params, self.mesh,
+                param_pspecs(params, pp=self.pp_size > 1),
+            )
+        if self.server_args.unroll_layers:
+            params = self.model.unroll_params(params)
+        self.params = params
+
     def update_weights_from_disk(self, model_path: str) -> None:
         """Live weight update (reference model_runner.py:621-787)."""
         _, params, _ = load_model(
