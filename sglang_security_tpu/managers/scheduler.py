@@ -645,8 +645,6 @@ class Scheduler:
     # -------------------------------------------------------------- decode
     def _decode_steps(self) -> int:
         k = max(1, self.server_args.decode_steps_per_batch)
-        if self.dp_attn > 1:
-            return 1  # dp-attention multi-step scan not wired yet
         if any(r.grammar is not None for r in self.running):
             return 1  # grammar needs a fresh host-side mask every token
         return k

@@ -408,11 +408,14 @@ class ModelRunner:
             lora_ids=None, mm_embeds=None, mm_rows=None,
         )
 
-    def _shard_step(self, step, out_specs=None, fb_argnum=3):
+    def _shard_step(self, step, out_specs=None, fb_argnum=3,
+                    extra_specs=None):
         """Wrap a step function in shard_map over the runner's mesh: params
         and KV arrive pre-sharded (TP; dp-attention also shards the KV
         token dim and the ForwardBatch rows), everything else is
-        replicated, and the model emits the collectives internally."""
+        replicated, and the model emits the collectives internally.
+        ``extra_specs``: {argnum: PartitionSpec} overrides (dp-attention
+        multi-step shards its raw per-seq arrays)."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -426,6 +429,9 @@ class ModelRunner:
             ] * (n_in - 3)
             if self.dp_attn_size > 1 and fb_argnum is not None:
                 in_specs[fb_argnum] = self._fb_pspecs()
+            if extra_specs:
+                for argnum, spec in extra_specs.items():
+                    in_specs[argnum] = spec
             return shard_map(
                 step,
                 mesh=self.mesh,
@@ -658,22 +664,34 @@ class ModelRunner:
         pp_kwargs = self._pp_kwargs
         dp_kwargs = self._dp_kwargs
 
+        dp_size = self.dp_attn_size
+
         def multi(params, k_pages, v_pages, tokens0, positions0, slot_mat,
                   kv_lens0, page_indices, st, key, counts, pslots, lora,
                   lora_ids0):
-            # slot_mat: [num_steps, B] precomputed KV slots per step
+            # slot_mat: [num_steps, B] precomputed KV slots per step.
+            # Under dp attention the per-seq arrays arrive dp-sharded
+            # (B_loc = B/dp rows each) while sampled tokens stay
+            # replicated: each shard slices out its own row block.
+            B_loc = positions0.shape[0]
+
             def body(carry, xs):
                 tokens, k_pages, v_pages, step_i, key, counts = carry
                 slots = xs
+                tok_in = tokens
+                if dp_size > 1:
+                    tok_in = jax.lax.dynamic_slice_in_dim(
+                        tokens, jax.lax.axis_index("dp") * B_loc, B_loc
+                    )
                 fb = ForwardBatch(
-                    token_ids=tokens,
+                    token_ids=tok_in,
                     positions=positions0 + step_i,
                     slots=slots,
-                    q_starts=jnp.arange(B, dtype=jnp.int32),
+                    q_starts=jnp.arange(B_loc, dtype=jnp.int32),
                     q_lens=(kv_lens0 > 0).astype(jnp.int32),
                     kv_lens=jnp.where(kv_lens0 > 0, kv_lens0 + step_i, 0),
                     page_indices=page_indices,
-                    out_rows=jnp.arange(B, dtype=jnp.int32),
+                    out_rows=jnp.arange(B_loc, dtype=jnp.int32),
                     lora_ids=lora_ids0,
                 )
                 hidden, k_pages, v_pages = model.forward(
@@ -705,7 +723,14 @@ class ModelRunner:
             return all_toks, all_lps, k_pages, v_pages, counts
 
         if self.mesh is not None:
-            multi = self._shard_step(multi)
+            extra = None
+            if self.dp_attn_size > 1:
+                from jax.sharding import PartitionSpec as P
+
+                extra = {4: P("dp"), 5: P(None, "dp"), 6: P("dp"),
+                         7: P("dp", None)}
+            multi = self._shard_step(multi, fb_argnum=None,
+                                     extra_specs=extra)
         fn = jax.jit(multi, donate_argnums=(1, 2, 10))
         self._step_cache[key] = fn
         logger.info(
@@ -787,12 +812,27 @@ class ModelRunner:
         request i's KV slot for the token fed at step k."""
         sa = self.server_args
         S_real = len(plan.kv_lens)
-        S = next_bucket(S_real, sa.decode_bs_buckets)
-        pps_real = max((len(p) for p in plan.page_indices), default=1)
-        PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
-        fb, st, _ = self._pad_plan(plan, S, S, PPS)
-        sm = np.full((num_steps, S), -1, np.int32)
-        sm[:, :S_real] = slot_mat
+        out_slot = None
+        if self.dp_attn_size > 1 and plan.dp_shards is not None:
+            plan, out_slot, _, S = self._dp_remap_plan(plan)
+            pps_real = max(
+                (len(p) for p in plan.page_indices), default=1
+            )
+            PPS = round_up(
+                next_bucket(pps_real, sa.max_seq_pages_buckets), 8
+            )
+            fb, st, _ = self._pad_plan(
+                plan, S, S, PPS, dp_local=S // self.dp_attn_size
+            )
+            sm = np.full((num_steps, S), -1, np.int32)
+            sm[:, out_slot] = slot_mat
+        else:
+            S = next_bucket(S_real, sa.decode_bs_buckets)
+            pps_real = max((len(p) for p in plan.page_indices), default=1)
+            PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
+            fb, st, _ = self._pad_plan(plan, S, S, PPS)
+            sm = np.full((num_steps, S), -1, np.int32)
+            sm[:, :S_real] = slot_mat
         self._rng_key, sub = jax.random.split(self._rng_key)
         penalized, counts, pslots = self._get_penalty_state(plan, S)
         fn = self._get_multi_step(
@@ -818,10 +858,11 @@ class ModelRunner:
         self.kv_pool.v_pages = v_pages
         if penalized:
             self.penalty_counts = counts
-        return (
-            np.asarray(jax.device_get(toks))[:, :S_real],
-            np.asarray(jax.device_get(lps))[:, :S_real],
-        )
+        toks = np.asarray(jax.device_get(toks))
+        lps = np.asarray(jax.device_get(lps))
+        if out_slot is not None:  # dp attention: back to request order
+            return toks[:, out_slot], lps[:, out_slot]
+        return toks[:, :S_real], lps[:, :S_real]
 
     # ------------------------------------------------------------------
 

@@ -79,6 +79,21 @@ def test_dp_attention_prefix_cache_and_streaming_decode(tiny):
     eng.shutdown()
 
 
+def test_dp_attention_multi_step_decode_parity(tiny):
+    """decode_steps_per_batch > 1: the in-scan dp slice of replicated
+    sampled tokens must reproduce single-step outputs exactly."""
+    eng = _engine(tiny, decode_steps_per_batch=1)
+    base = [o["output_ids"] for o in eng.generate(
+        prompt=PROMPTS, sampling_params=SP)]
+    eng.shutdown()
+    eng = _engine(tiny, enable_dp_attention=True, dp_size=2, tp_size=2,
+                  decode_steps_per_batch=4)
+    got = [o["output_ids"] for o in eng.generate(
+        prompt=PROMPTS, sampling_params=SP)]
+    assert got == base
+    eng.shutdown()
+
+
 def test_dp_attention_mixed_lengths_and_sampling(tiny):
     """Different-length prompts + nongreedy sampling run without error
     and stay deterministic for fixed seed."""
