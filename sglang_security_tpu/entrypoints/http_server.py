@@ -198,7 +198,8 @@ class HttpServer:
                 "index": i,
                 "text": (req.prompt if req.echo and isinstance(req.prompt, str) else "")
                 + o["text"],
-                "logprobs": None,
+                "logprobs": self._completion_logprobs(o)
+                if req.logprobs is not None else None,
                 "finish_reason": o["meta_info"]["finish_reason"]["type"],
             }
             for i, o in enumerate(outs)
@@ -263,6 +264,9 @@ class HttpServer:
         o = outs[0]
         message = {"role": "assistant", "content": o["text"]}
         finish = o["meta_info"]["finish_reason"]["type"]
+        logprobs_obj = (
+            self._chat_logprobs(o) if req.logprobs else None
+        )
         if req.tools:
             from sglang_security_tpu.function_call import (
                 FunctionCallParser,
@@ -294,7 +298,7 @@ class HttpServer:
             "choices": [{
                 "index": 0,
                 "message": message,
-                "logprobs": None,
+                "logprobs": logprobs_obj,
                 "finish_reason": finish,
             }],
             "usage": self._usage(outs),
@@ -338,6 +342,47 @@ class HttpServer:
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp
+
+    def _decode_tokens(self, ids):
+        tok = self.engine.tokenizer_manager.tokenizer
+        if tok is None:
+            return [str(i) for i in ids]
+        return [tok.decode([i]) for i in ids]
+
+    def _completion_logprobs(self, o):
+        """OpenAI completions logprobs block (sampled-token logprobs;
+        reference v1_generate_response logprob assembly)."""
+        lps = o["meta_info"].get("output_token_logprobs") or []
+        ids = o.get("output_ids") or []
+        toks = self._decode_tokens(ids[: len(lps)])
+        offsets, pos = [], 0
+        for t in toks:
+            offsets.append(pos)
+            pos += len(t)
+        return {
+            "tokens": toks,
+            "token_logprobs": [float(x) for x in lps],
+            "top_logprobs": [
+                {t: float(x)} for t, x in zip(toks, lps)
+            ],
+            "text_offset": offsets,
+        }
+
+    def _chat_logprobs(self, o):
+        lps = o["meta_info"].get("output_token_logprobs") or []
+        ids = o.get("output_ids") or []
+        toks = self._decode_tokens(ids[: len(lps)])
+        return {
+            "content": [
+                {
+                    "token": t,
+                    "logprob": float(x),
+                    "bytes": list(t.encode()),
+                    "top_logprobs": [],
+                }
+                for t, x in zip(toks, lps)
+            ]
+        }
 
     def _usage(self, outs):
         pt = sum(o["meta_info"]["prompt_tokens"] for o in outs)

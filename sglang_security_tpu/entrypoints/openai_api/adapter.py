@@ -34,6 +34,8 @@ def completion_to_gri(req: CompletionRequest) -> GenerateReqInput:
         "json_schema": req.json_schema,
         "regex": req.regex,
         "ebnf": req.ebnf,
+        "logit_bias": {int(k): float(v)
+                       for k, v in (req.logit_bias or {}).items()} or None,
     }
     prompt = req.prompt
     text = None
@@ -131,6 +133,8 @@ def chat_to_gri(req: ChatCompletionRequest, tokenizer) -> GenerateReqInput:
         "repetition_penalty": req.repetition_penalty,
         "ignore_eos": req.ignore_eos,
         "json_schema": json_schema,
+        "logit_bias": {int(k): float(v)
+                       for k, v in (req.logit_bias or {}).items()} or None,
     }
     return GenerateReqInput(
         text=prompt,

@@ -44,6 +44,7 @@ class CompletionRequest(BaseModel):
     n: int = 1
     stream: bool = False
     logprobs: Optional[int] = None
+    logit_bias: Optional[Dict[str, float]] = None
     echo: bool = False
     stop: Optional[Union[str, List[str]]] = None
     presence_penalty: float = 0.0
@@ -89,6 +90,7 @@ class ChatCompletionRequest(BaseModel):
     repetition_penalty: float = 1.0
     logprobs: bool = False
     top_logprobs: Optional[int] = None
+    logit_bias: Optional[Dict[str, float]] = None
     user: Optional[str] = None
     user_id: Optional[str] = None  # SafeKV privacy scope
     seed: Optional[int] = None

@@ -28,6 +28,10 @@ class SamplingTensors(NamedTuple):
     presence_penalty: jax.Array  # [B, 1] f32
     frequency_penalty: jax.Array  # [B, 1] f32
     repetition_penalty: jax.Array  # [B, 1] f32; 1.0 = off
+    # sparse per-row logit bias (OpenAI logit_bias): token ids (-1 pad)
+    # + additive values, scattered onto the logits in-jit
+    bias_tokens: Optional[jax.Array] = None  # [B, NB] i32
+    bias_values: Optional[jax.Array] = None  # [B, NB] f32
 
     @classmethod
     def greedy(cls, batch: int):
@@ -92,6 +96,11 @@ def sample(
     if vocab_mask is not None:
         logits = jnp.where(vocab_mask, logits, NEG_INF)
     B, V = logits.shape
+    if s.bias_tokens is not None:
+        # OpenAI logit_bias: out-of-range pad ids (-1 -> V) are dropped
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        toks = jnp.where(s.bias_tokens >= 0, s.bias_tokens, V)
+        logits = logits.at[rows, toks].add(s.bias_values, mode="drop")
 
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if mode == "greedy":

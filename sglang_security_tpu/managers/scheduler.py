@@ -985,6 +985,20 @@ class Scheduler:
             penalty_slots = np.asarray(
                 [r.penalty_slot for r in reqs], np.int32
             )
+        bias_tokens = bias_values = None
+        if any(r.sampling_params.logit_bias for r in reqs):
+            nmax = max(
+                len(r.sampling_params.logit_bias or {}) for r in reqs
+            )
+            NB = max(8, -(-nmax // 8) * 8)
+            bias_tokens = np.full((len(reqs), NB), -1, np.int32)
+            bias_values = np.zeros((len(reqs), NB), np.float32)
+            for i, r in enumerate(reqs):
+                for j, (tok, val) in enumerate(
+                    (r.sampling_params.logit_bias or {}).items()
+                ):
+                    bias_tokens[i, j] = int(tok)
+                    bias_values[i, j] = float(val)
         vocab_mask = None
         if any(r.grammar is not None for r in reqs):
             vocab_mask = np.ones((len(reqs), self.vocab_size), bool)
@@ -1020,6 +1034,8 @@ class Scheduler:
             penalty_slots=penalty_slots,
             lora_ids=lora_ids,
             vocab_mask=vocab_mask,
+            bias_tokens=bias_tokens,
+            bias_values=bias_values,
         )
 
     def _append_token(self, req: Req, token: int, logprob: float) -> None:

@@ -71,6 +71,8 @@ class BatchPlan:
     mm_items: Optional[list] = None
     mm_rows: Optional[np.ndarray] = None  # [T] i32
     dp_shards: Optional[np.ndarray] = None  # [S] dp-attention shard per seq
+    bias_tokens: Optional[np.ndarray] = None  # [S, NB] OpenAI logit_bias ids
+    bias_values: Optional[np.ndarray] = None  # [S, NB] additive biases
 
 
 class ModelRunner:
@@ -986,6 +988,13 @@ class ModelRunner:
             vm = np.ones((S, V), bool)
             vm[out_slot] = plan.vocab_mask
             plan2.vocab_mask = vm
+        if plan.bias_tokens is not None:
+            NB = plan.bias_tokens.shape[1]
+            bt = np.full((S, NB), -1, np.int32)
+            bv = np.zeros((S, NB), np.float32)
+            bt[out_slot] = plan.bias_tokens
+            bv[out_slot] = plan.bias_values
+            plan2.bias_tokens, plan2.bias_values = bt, bv
         return plan2, out_slot, T, S
 
     def _get_penalty_state(self, plan: BatchPlan, S: int):
@@ -1154,6 +1163,16 @@ class ModelRunner:
                 a = np.full(S_real, fill, np.float32)
             return jnp.asarray(srow(a, fill).reshape(Rr, 1), jnp.float32)
 
+        bias_tokens = bias_values = None
+        if plan.bias_tokens is not None:
+            NB = plan.bias_tokens.shape[1]
+            bt = np.full((Rr, NB), -1, np.int32)
+            bv = np.zeros((Rr, NB), np.float32)
+            rows = np.repeat(np.arange(S_real), rep)[: Rr]
+            bt[: len(rows)] = plan.bias_tokens[rows]
+            bv[: len(rows)] = plan.bias_values[rows]
+            bias_tokens = jnp.asarray(bt)
+            bias_values = jnp.asarray(bv)
         st = SamplingTensors(
             temperature=jnp.asarray(
                 srow(plan.temperature, 0.0).reshape(Rr, 1), jnp.float32
@@ -1164,6 +1183,8 @@ class ModelRunner:
             presence_penalty=opt(plan.presence_penalty, 0.0),
             frequency_penalty=opt(plan.frequency_penalty, 0.0),
             repetition_penalty=opt(plan.repetition_penalty, 1.0),
+            bias_tokens=bias_tokens,
+            bias_values=bias_values,
         )
         if plan.vocab_mask is not None:
             V = self.config.vocab_size
