@@ -159,6 +159,8 @@ class ModelRunner:
             or sa.enable_expert_distribution_recorder
         ):
             self._init_eplb(sa)
+        if sa.enable_double_sparsity:
+            self._init_double_sparsity(sa)
         self._pspecs = None
         self._kv_pspec = None
         if self.mesh is not None:
@@ -240,6 +242,56 @@ class ModelRunner:
         )  # hard cap pages/seq
 
     # ------------------------------------------------------------------
+    def _init_double_sparsity(self, sa) -> None:
+        """Token-level sparse decode attention (reference
+        double_sparsity_backend.py): per-(layer, kv head) heavy channels
+        from the ds channel config json, else the k-projection
+        column-norm fallback (ops/double_sparsity.py)."""
+        from sglang_security_tpu.ops.double_sparsity import (
+            heavy_channels_from_config,
+            heavy_channels_from_k_weights,
+        )
+
+        cfg = self.config
+        r = min(sa.ds_heavy_channel_num, cfg.head_dim)
+        L, Hkv = cfg.num_layers, cfg.num_kv_heads
+        if sa.ds_channel_config_path:
+            ch = heavy_channels_from_config(
+                sa.ds_channel_config_path, L, Hkv, r
+            )
+        else:
+            ch = None
+            layers = self.params.get("layers")
+            if isinstance(layers, dict):
+                qkv = layers.get("qkv")
+                if isinstance(qkv, dict) and "w" in qkv and self.tp_size == 1:
+                    hd, Hq = cfg.head_dim, cfg.num_q_heads
+                    w = np.asarray(jax.device_get(qkv["w"]))
+                    ch = np.stack([
+                        heavy_channels_from_k_weights(
+                            w[li][:, Hq * hd:(Hq + Hkv) * hd], Hkv, hd, r
+                        )
+                        for li in range(w.shape[0])
+                    ])
+            if ch is None:
+                logger.warning(
+                    "double sparsity: no channel config and k weights "
+                    "not inspectable (quantized/TP); using first %d dims",
+                    r,
+                )
+                ch = np.tile(
+                    np.arange(r, dtype=np.int32), (L, Hkv, 1)
+                )
+        self.model.ds_cfg = {
+            "channels": jnp.asarray(ch, jnp.int32),
+            "heavy_tokens": int(sa.ds_heavy_token_num),
+            "threshold": int(sa.ds_sparse_decode_threshold),
+        }
+        logger.info(
+            "double sparsity on: r=%d heavy_tokens=%d threshold=%d",
+            r, sa.ds_heavy_token_num, sa.ds_sparse_decode_threshold,
+        )
+
     def _init_eplb(self, sa) -> None:
         """EPLB: expand expert stacks with redundant replicas, install
         the logical->physical routing maps, and (optionally) the

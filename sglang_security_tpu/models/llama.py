@@ -648,7 +648,33 @@ class LlamaForCausalLM:
         else:
             q, k = apply_rope(q, k, fb.positions, self.inv_freq)
 
-        if block_q == 1 and not isinstance(k_pages, tuple):
+        ds = getattr(self, "ds_cfg", None)
+        if (
+            ds is not None
+            and block_q == 1
+            and not isinstance(k_pages, tuple)
+            and fb.page_indices.shape[1] * self.kv_page_size
+            >= ds["threshold"]
+        ):
+            # double sparsity: the padded context bucket crossed the
+            # threshold, so this compiled variant uses token-sparse
+            # decode attention (ops/double_sparsity.py); shorter-context
+            # buckets keep the dense fused kernel
+            from sglang_security_tpu.ops.double_sparsity import (
+                sparse_decode_attention,
+            )
+
+            k_pages, v_pages = _scatter_kv(
+                k_pages, v_pages, k, v, li, safe_slots
+            )
+            attn = sparse_decode_attention(
+                q, k_pages, v_pages, fb.kv_lens, fb.page_indices,
+                ds["channels"][li], li,
+                heavy_tokens=ds["heavy_tokens"],
+                page_size=self.kv_page_size,
+                sm_scale=self._sm_scale(),
+            )
+        elif block_q == 1 and not isinstance(k_pages, tuple):
             # decode fast path: the kernel writes the new token's K/V into
             # the (aliased) pool itself — no XLA scatter on the hot loop
             attn, k_pages, v_pages = paged_decode_attention(

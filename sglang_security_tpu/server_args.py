@@ -94,6 +94,13 @@ class ServerArgs:
     dist_init_addr: Optional[str] = None
     enable_ep_moe: bool = False
     enable_dp_attention: bool = False
+    # ---- double sparsity (reference server_args.py ds_*) ----
+    enable_double_sparsity: bool = False
+    ds_channel_config_path: Optional[str] = None
+    ds_heavy_channel_num: int = 32
+    ds_heavy_token_num: int = 1024
+    ds_sparse_decode_threshold: int = 4096
+
     # ---- EPLB (reference server_args.py:175-185) ----
     enable_eplb: bool = False
     ep_num_redundant_experts: int = 0
