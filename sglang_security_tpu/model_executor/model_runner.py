@@ -663,10 +663,7 @@ class ModelRunner:
                 interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
                 **pp_kwargs, **dp_kwargs,
             )
-            h = hidden.astype(jnp.float32)
-            emb = h / jnp.maximum(
-                jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9
-            )
+            emb = model.pool(params, hidden)
             return emb, k_pages, v_pages
 
         if self.mesh is not None:

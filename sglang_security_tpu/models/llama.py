@@ -268,6 +268,16 @@ class LlamaForCausalLM:
         Granite 1/logits_scaling)."""
         return 1.0
 
+    def pool(self, params, hidden):
+        """Pooling head for the encode path (reference
+        srt/layers/pooler.py LAST + normalize): L2-normalized last-token
+        hidden states.  Reward/classification models override with
+        their score heads."""
+        h = hidden.astype(jnp.float32)
+        return h / jnp.maximum(
+            jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9
+        )
+
     def load_weights(self, get_tensor, dtype=jnp.bfloat16):
         """Build params from a name->np.ndarray accessor over an HF checkpoint.
 

@@ -35,6 +35,11 @@ from sglang_security_tpu.models.stablelm import StableLmForCausalLM
 from sglang_security_tpu.models.cohere import CohereForCausalLM
 from sglang_security_tpu.models.granite import GraniteForCausalLM
 from sglang_security_tpu.models.starcoder2 import Starcoder2ForCausalLM
+from sglang_security_tpu.models.reward import (
+    LlamaForSequenceClassification,
+    Qwen2ForRewardModel,
+    Qwen2ForSequenceClassification,
+)
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -64,6 +69,10 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "CohereForCausalLM": CohereForCausalLM,
     "GraniteForCausalLM": GraniteForCausalLM,
     "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
+    "Qwen2ForRewardModel": Qwen2ForRewardModel,
+    "LlamaForSequenceClassification": LlamaForSequenceClassification,
+    "Qwen2ForSequenceClassification": Qwen2ForSequenceClassification,
+    "Qwen3ForSequenceClassification": Qwen2ForSequenceClassification,
 }
 
 

@@ -127,7 +127,11 @@ def param_pspecs(params: dict, pp: bool = False) -> dict:
         elif key == "embed":
             spec[key] = P(None, None)  # replicated (tied logits stay local)
         elif key == "final_norm":
-            spec[key] = P(None)
+            # plain weight vector, or {"w","b"} for LayerNorm families
+            spec[key] = (
+                jax.tree.map(lambda a: P(None), val)
+                if isinstance(val, dict) else P(None)
+            )
         elif key == "lm_head":
             spec[key] = _linear_pspec(val, True)
         else:

@@ -1,0 +1,135 @@
+"""Reward + sequence-classification heads served through the encode
+path (reference qwen2_rm.py / llama_classification.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_new_families import H, I, hd, Hq, Hkv, V, L, _r, _write, \
+    _base_cfg, _std_attn, _gated_mlp
+
+
+def _mk_cls_ckpt(path, num_labels=3, seed=0):
+    rng = np.random.default_rng(seed)
+    cfg = _base_cfg("LlamaForSequenceClassification", "llama",
+                    num_labels=num_labels, tie_word_embeddings=False)
+    t = {"model.embed_tokens.weight": _r(rng, V, H),
+         "model.norm.weight": 1 + _r(rng, H),
+         "score.weight": _r(rng, num_labels, H)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "post_attention_layernorm.weight"] = 1 + _r(rng, H)
+        _std_attn(rng, t, p)
+        _gated_mlp(rng, t, p)
+    return _write(path, cfg, t)
+
+
+def _mk_rm_ckpt(path, seed=1):
+    rng = np.random.default_rng(seed)
+    cfg = _base_cfg("Qwen2ForRewardModel", "qwen2",
+                    tie_word_embeddings=False)
+    t = {"model.embed_tokens.weight": _r(rng, V, H),
+         "model.norm.weight": 1 + _r(rng, H),
+         "score.0.weight": _r(rng, H, H),
+         "score.0.bias": _r(rng, H),
+         "score.2.weight": _r(rng, 1, H),
+         "score.2.bias": _r(rng, 1)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "post_attention_layernorm.weight"] = 1 + _r(rng, H)
+        _std_attn(rng, t, p, bias=True)  # qwen2 qkv bias
+        _gated_mlp(rng, t, p)
+    return _write(path, cfg, t)
+
+
+def test_llama_classification_matches_hf(tmp_path):
+    import torch
+    from transformers import AutoModelForSequenceClassification
+
+    import jax.numpy as jnp
+
+    from sglang_security_tpu.model_loader import load_model
+    from tests.test_model_parity import run_prefill
+
+    path = _mk_cls_ckpt(str(tmp_path / "cls"))
+    model, params, cfg = load_model(path, dtype="float32")
+    ids = [5, 17, 93, 203, 44, 150, 7]
+    hidden, *_ = run_prefill_hidden(model, params, ids)
+    ours = np.asarray(model.pool(params, hidden))[0]
+
+    m = AutoModelForSequenceClassification.from_pretrained(
+        path, torch_dtype=torch.float32)
+    m.eval()
+    with torch.no_grad():
+        ref = m(torch.tensor([ids])).logits[0].numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def run_prefill_hidden(model, params, ids):
+    """Like tests.test_model_parity.run_prefill but returns the pooled
+    last-token hidden instead of logits."""
+    import jax.numpy as jnp
+
+    from tests.test_model_parity import run_prefill
+
+    # run_prefill computes hidden then logits; recompute hidden here
+    import numpy as _np
+
+    from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
+    from sglang_security_tpu.utils import round_up
+
+    cfg = model.config
+    page_size, block_q, n_pages, pps = 8, 16, 64, 16
+    T = round_up(len(ids), block_q)
+    kshape = (cfg.num_layers, cfg.kv_cache_num_heads,
+              n_pages * page_size, cfg.kv_cache_head_dim)
+    k_pages = jnp.zeros(kshape, jnp.float32)
+    v_pages = jnp.zeros(kshape, jnp.float32)
+    n = len(ids)
+    used = -(-n // page_size)
+    pages = _np.arange(1, used + 1, dtype=_np.int32)
+    pi = _np.zeros((1, pps), _np.int32)
+    pi[0, :used] = pages
+    slots = _np.full(T, -1, _np.int32)
+    slots[:n] = pages[_np.arange(n) // page_size] * page_size + _np.arange(n) % page_size
+    fb = ForwardBatch(
+        token_ids=jnp.asarray(_np.pad(_np.asarray(ids, _np.int32), (0, T - n))),
+        positions=jnp.asarray(_np.pad(_np.arange(n, dtype=_np.int32), (0, T - n))),
+        slots=jnp.asarray(slots),
+        q_starts=jnp.asarray([0], jnp.int32),
+        q_lens=jnp.asarray([n], jnp.int32),
+        kv_lens=jnp.asarray([n], jnp.int32),
+        page_indices=jnp.asarray(pi),
+        out_rows=jnp.asarray([n - 1], jnp.int32),
+    )
+    model.kv_page_size = page_size
+    hidden, k_pages, v_pages = model.forward(
+        params, k_pages, v_pages, fb, block_q=block_q, pages_per_block=2
+    )
+    return hidden, k_pages, v_pages
+
+
+def test_reward_model_through_engine_encode(tmp_path):
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+
+    path = _mk_rm_ckpt(str(tmp_path / "rm"))
+    eng = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=1024,
+        page_size=8, prefill_token_buckets=[64], decode_bs_buckets=[1],
+        max_seq_pages_buckets=[8], random_seed=0, enable_warmup=False,
+        log_level="warning", is_embedding=True,
+    ))
+    out = eng.encode("rate this answer please")
+    score = out["embedding"]
+    assert len(score) == 1 and np.isfinite(score[0])
+    # deterministic + input-sensitive
+    out2 = eng.encode("rate this answer please")
+    assert out2["embedding"] == score
+    out3 = eng.encode("a completely different input text")
+    assert out3["embedding"] != score
+    eng.shutdown()
