@@ -34,6 +34,9 @@ class Engine:
         configure_logger(server_args.log_level)
         set_random_seed(server_args.random_seed)
 
+        from sglang_security_tpu.distributed import maybe_init_distributed
+
+        maybe_init_distributed(server_args)  # nnodes > 1: join the cluster
         self.tokenizer_manager = TokenizerManager(server_args)
 
         # dp_size > 1: in-process data parallelism as engine-level model
