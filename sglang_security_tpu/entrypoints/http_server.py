@@ -192,6 +192,19 @@ class HttpServer:
     async def _completion_payload(self, req: CompletionRequest) -> dict:
         gri = completion_to_gri(req)
         model = req.model or self.engine.server_args.served_model_name
+        if req.n > 1:
+            # n samples per prompt = n batched engine requests
+            # (reference v1_generate_request parallel_sample_num)
+            assert isinstance(req.prompt, str) or (
+                req.prompt and isinstance(req.prompt[0], int)
+            ), "n > 1 with batched prompts is not supported"
+            if gri.text is not None:
+                gri.text = [gri.text] * req.n
+            else:
+                gri.input_ids = [gri.input_ids] * req.n
+            gri.sampling_params = [
+                dict(gri.sampling_params) for _ in range(req.n)
+            ]
         outs = await self._run(self._engine_gri, gri)
         choices = [
             {
@@ -260,47 +273,52 @@ class HttpServer:
         gri = chat_to_gri(req, tokenizer)
         model = req.model or self.engine.server_args.served_model_name
         rid = f"chatcmpl-{uuid.uuid4().hex}"
+        if req.n > 1:
+            gri.text = [gri.text] * req.n
+            gri.sampling_params = [
+                dict(gri.sampling_params) for _ in range(req.n)
+            ]
         outs = await self._run(self._engine_gri, gri)
-        o = outs[0]
-        message = {"role": "assistant", "content": o["text"]}
-        finish = o["meta_info"]["finish_reason"]["type"]
-        logprobs_obj = (
-            self._chat_logprobs(o) if req.logprobs else None
-        )
-        if req.tools:
-            from sglang_security_tpu.function_call import (
-                FunctionCallParser,
-            )
+        choices = []
+        for i, o in enumerate(outs):
+            message = {"role": "assistant", "content": o["text"]}
+            finish = o["meta_info"]["finish_reason"]["type"]
+            if req.tools:
+                from sglang_security_tpu.function_call import (
+                    FunctionCallParser,
+                )
 
-            normal, calls = FunctionCallParser().parse(o["text"])
-            if calls:
-                message = {
-                    "role": "assistant",
-                    "content": normal or None,
-                    "tool_calls": [
-                        {
-                            "id": f"call_{uuid.uuid4().hex[:12]}",
-                            "type": "function",
-                            "function": {
-                                "name": c.name,
-                                "arguments": json.dumps(c.arguments),
-                            },
-                        }
-                        for c in calls
-                    ],
-                }
-                finish = "tool_calls"
+                normal, calls = FunctionCallParser().parse(o["text"])
+                if calls:
+                    message = {
+                        "role": "assistant",
+                        "content": normal or None,
+                        "tool_calls": [
+                            {
+                                "id": f"call_{uuid.uuid4().hex[:12]}",
+                                "type": "function",
+                                "function": {
+                                    "name": c.name,
+                                    "arguments": json.dumps(c.arguments),
+                                },
+                            }
+                            for c in calls
+                        ],
+                    }
+                    finish = "tool_calls"
+            choices.append({
+                "index": i,
+                "message": message,
+                "logprobs": self._chat_logprobs(o) if req.logprobs
+                else None,
+                "finish_reason": finish,
+            })
         return {
             "id": rid,
             "object": "chat.completion",
             "created": int(time.time()),
             "model": model,
-            "choices": [{
-                "index": 0,
-                "message": message,
-                "logprobs": logprobs_obj,
-                "finish_reason": finish,
-            }],
+            "choices": choices,
             "usage": self._usage(outs),
         }
 
