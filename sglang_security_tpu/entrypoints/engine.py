@@ -253,6 +253,7 @@ class Engine:
         user_id: Optional[str] = None,
         rid: Optional[str] = None,
         return_logprob: bool = False,
+        logprob_start_len: int = -1,
         session_id: Optional[str] = None,
         bootstrap_host: Optional[str] = None,
         bootstrap_port: Optional[int] = None,
@@ -268,6 +269,7 @@ class Engine:
             user_id=user_id,
             rid=rid,
             return_logprob=return_logprob,
+            logprob_start_len=logprob_start_len,
             session_id=session_id,
             bootstrap_host=bootstrap_host,
             bootstrap_port=bootstrap_port,
@@ -387,6 +389,7 @@ class Engine:
                 "cached_tokens": last.cached_tokens,
                 "e2e_latency": last.e2e_latency,
                 "output_token_logprobs": last.output_logprobs,
+                "input_token_logprobs": last.input_logprobs,
             },
         }
 

@@ -27,6 +27,7 @@ class GenerateReqInput:
     stream: bool = False
     return_logprob: bool = False
     top_logprobs_num: int = 0
+    logprob_start_len: int = -1  # >=0: also return prompt logprobs
     user_id: Optional[str] = None
     session_id: Optional[str] = None
     lora_path: Optional[str] = None
@@ -72,6 +73,7 @@ class StepOutput:
     completion_tokens: int = 0
     cached_tokens: int = 0
     output_logprobs: Optional[List[float]] = None
+    input_logprobs: Optional[List[Optional[float]]] = None
     e2e_latency: Optional[float] = None
     embedding: Optional[List[float]] = None  # encode path result
 

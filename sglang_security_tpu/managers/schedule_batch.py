@@ -82,6 +82,7 @@ class Req:
         self.time_stats = TimeStats()
         self.return_logprob = sampling_params.return_logprob
         self.output_logprobs: List[float] = []
+        self.input_logprobs: List[float] = []  # prompt-token logprobs
         # incremental detokenization state
         self.read_offset = 0
         self.surr_offset = 0

@@ -491,6 +491,25 @@ class Scheduler:
             page_lists=page_lists,
             reqs=reqs,
         )
+        want_lp = [
+            r.return_logprob and r.sampling_params.logprob_start_len >= 0
+            for r in reqs
+        ]
+        if any(want_lp) and self.dp_attn == 1:
+            # prompt logprobs: row j of a chunk predicts prompt token
+            # start+j+1 (reference input_token_logprobs); the last row's
+            # target is the next chunk's first token, known for prompts
+            lp_targets = np.full(len(token_ids), -1, np.int32)
+            for i, req in enumerate(reqs):
+                if not want_lp[i] or takes[i] == 0:
+                    continue
+                ids, row0 = req.input_ids, int(q_starts[i])
+                start = req.computed_len
+                for j in range(takes[i]):
+                    nxt = start + j + 1
+                    if nxt < len(ids):
+                        lp_targets[row0 + j] = ids[nxt]
+            plan.lp_targets = lp_targets
         if mm_items:
             mm_rows = np.full(len(token_ids), -1, np.int32)
             for r, f in mm_pairs:
@@ -539,6 +558,16 @@ class Scheduler:
                     ids[start + 1 : start + take] + [last]
                 )
             self.runner.eagle_draft_prefill(draft_tok)
+        if plan.lp_targets is not None:
+            lps = self.runner._last_input_lps
+            for i, req in enumerate(reqs):
+                if not want_lp[i] or takes[i] == 0:
+                    continue
+                row0 = int(plan.q_starts[i])
+                start = req.computed_len
+                for j in range(takes[i]):
+                    if start + j + 1 < len(req.input_ids):
+                        req.input_logprobs.append(float(lps[row0 + j]))
         for i, req in enumerate(reqs):
             req.computed_len += takes[i]
             if req.extend_len > 0:
@@ -1138,6 +1167,14 @@ class Scheduler:
             completion_tokens=len(req.output_ids),
             cached_tokens=req.prefix_len,
             output_logprobs=req.output_logprobs if req.return_logprob else None,
+            input_logprobs=(
+                req.input_logprobs[
+                    max(req.sampling_params.logprob_start_len - 1, 0):
+                ]
+                if req.return_logprob
+                and req.sampling_params.logprob_start_len >= 0
+                else None
+            ),
             e2e_latency=(
                 time.monotonic() - req.time_stats.created if finished else None
             ),

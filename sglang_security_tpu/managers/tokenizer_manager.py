@@ -120,6 +120,8 @@ class TokenizerManager:
         sp = SamplingParams.from_dict(sp_dict)
         if gri.return_logprob:
             sp.return_logprob = True
+        if gri.logprob_start_len >= 0:
+            sp.logprob_start_len = gri.logprob_start_len
             sp.top_logprobs_num = gri.top_logprobs_num
         return TokenizedGenerateReqInput(
             rid=rid or uuid.uuid4().hex,

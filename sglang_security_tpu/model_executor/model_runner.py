@@ -73,6 +73,7 @@ class BatchPlan:
     dp_shards: Optional[np.ndarray] = None  # [S] dp-attention shard per seq
     bias_tokens: Optional[np.ndarray] = None  # [S, NB] OpenAI logit_bias ids
     bias_values: Optional[np.ndarray] = None  # [S, NB] additive biases
+    lp_targets: Optional[np.ndarray] = None  # [T] prompt-logprob targets
 
 
 class ModelRunner:
@@ -228,6 +229,7 @@ class ModelRunner:
             self.kv_pool.mem_usage_bytes() / 1e9,
         )
         self._step_cache: Dict[tuple, callable] = {}
+        self._last_input_lps = None  # prompt logprobs of the last prefill
         self.eagle = None  # EagleWorker when speculative_algorithm == EAGLE
         self._rng_key = jax.random.PRNGKey(server_args.random_seed)
         self.max_penalty_slots = (server_args.max_running_requests or 256) * 2
@@ -518,8 +520,9 @@ class ModelRunner:
 
     def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
                   penalized: bool = False, mode: str = "topk",
-                  eagle: bool = False):
-        key = (T, S, PPS, block_q, masked, penalized, mode, eagle)
+                  eagle: bool = False, prompt_lp: bool = False):
+        key = (T, S, PPS, block_q, masked, penalized, mode, eagle,
+               prompt_lp)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -535,9 +538,9 @@ class ModelRunner:
                 params, k_pages, v_pages, fb, block_q=block_q,
                 interpret=interpret, lora=lora,
                 tp_size=tp_size, tp_axis=tp_axis,
-                return_all=eagle, **pp_kwargs, **dp_kwargs,
+                return_all=eagle or prompt_lp, **pp_kwargs, **dp_kwargs,
             )
-            if eagle:
+            if eagle or prompt_lp:
                 hidden, x_all, k_pages, v_pages = out
             else:
                 hidden, k_pages, v_pages = out
@@ -562,10 +565,14 @@ class ModelRunner:
                 # the draft phase reads them without a host round-trip
                 ft = ft.at[ft_rows].set(hidden.astype(ft.dtype), mode="drop")
                 return tokens, logprobs, k_pages, v_pages, counts, ft, x_all
+            if prompt_lp:
+                return tokens, logprobs, k_pages, v_pages, counts, x_all
             return tokens, logprobs, k_pages, v_pages, counts
 
         if self.mesh is not None:
-            assert not eagle, "EAGLE + mesh TP not wired yet"
+            assert not eagle and not prompt_lp, (
+                "EAGLE/prompt-logprobs + mesh not wired yet"
+            )
             step = self._shard_step(step)
         # donate the KV pool (1, 2), penalty counts (7), feature table (10)
         donate = (1, 2, 7, 10) if eagle else (1, 2, 7)
@@ -575,6 +582,38 @@ class ModelRunner:
             "compiling step T=%d S=%d PPS=%d block_q=%d tp=%d",
             T, S, PPS, block_q, tp_size,
         )
+        return fn
+
+    def _get_prompt_lp_fn(self, T: int):
+        """Chunked prompt logprobs: log P(targets[t] | rows <= t) from
+        the prefill's full hidden states (reference input_token_logprobs,
+        schedule_batch extend_logprob machinery).  Row blocks of 128 keep
+        the [block, V] logits transient small."""
+        key = ("prompt_lp", T)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        CH = 128
+        assert T % CH == 0, T
+
+        def f(params, x_all, targets):
+            def blk(i):
+                h = jax.lax.dynamic_slice_in_dim(x_all, i * CH, CH)
+                logits = model.compute_logits(params, h)  # [CH, V] f32
+                t = jax.lax.dynamic_slice_in_dim(targets, i * CH, CH)
+                lse = jax.nn.logsumexp(logits, axis=-1)
+                tgt = jnp.take_along_axis(
+                    logits, jnp.clip(t, 0)[:, None], axis=-1
+                )[:, 0]
+                return jnp.where(t >= 0, tgt - lse, 0.0)
+
+            return jax.lax.map(
+                blk, jnp.arange(T // CH, dtype=jnp.int32)
+            ).reshape(T)
+
+        fn = jax.jit(f)
+        self._step_cache[key] = fn
         return fn
 
     # --------------------------------------------------------- multimodal
@@ -1097,9 +1136,11 @@ class ModelRunner:
         self._rng_key, sub = jax.random.split(self._rng_key)
         penalized, counts, pslots = self._get_penalty_state(plan, S)
         eagle_on = self.eagle is not None and plan.ft_rows is not None
+        prompt_lp = plan.lp_targets is not None and not plan.is_decode
         fn = self._get_step(
             T, S, PPS, block_q, plan.vocab_mask is not None, penalized,
             self._sampling_mode(plan), eagle=eagle_on,
+            prompt_lp=prompt_lp,
         )
         args = [
             self.params,
@@ -1114,12 +1155,23 @@ class ModelRunner:
             self._lora_step_params() if plan.lora_ids is not None else None,
         ]
         x_all = None
+        input_lps = None
         if eagle_on:
             args += list(self._eagle_ft_args(plan.ft_rows, S))
             tokens, logprobs, k_pages, v_pages, counts, ft, x_all = fn(*args)
             self.eagle.ft = ft
             if not plan.is_decode:
                 self._eagle_prefill_ctx = (fb, T, S, PPS, x_all)
+        elif prompt_lp:
+            tokens, logprobs, k_pages, v_pages, counts, x_all = fn(*args)
+            targets = np.full(T, -1, np.int32)
+            targets[: len(plan.lp_targets)] = plan.lp_targets
+            input_lps = np.asarray(jax.device_get(
+                self._get_prompt_lp_fn(T)(
+                    self.params, x_all, jnp.asarray(targets)
+                )
+            ))
+            self._last_input_lps = input_lps
         else:
             tokens, logprobs, k_pages, v_pages, counts = fn(*args)
         self.kv_pool.k_pages = k_pages

@@ -34,6 +34,7 @@ class SamplingParams:
     # logprobs
     return_logprob: bool = False
     top_logprobs_num: int = 0
+    logprob_start_len: int = -1  # >=0: also return prompt logprobs
     logit_bias: Optional[dict] = None
     # SafeKV: privacy scope of the request's KV-cache entries
     user_id: Optional[str] = None

@@ -68,3 +68,74 @@ def test_output_logprobs_returned(eng):
     lps = out["meta_info"]["output_token_logprobs"]
     assert len(lps) == 3
     assert all(lp <= 0.0 for lp in lps)
+
+
+def test_prompt_logprobs(eng):
+    """input_token_logprobs (reference logprob_start_len): prompt-token
+    logprobs match a manual full-forward recomputation."""
+    import jax.numpy as jnp
+
+    from sglang_security_tpu.model_loader import load_model
+    from tests.test_model_parity import run_prefill
+
+    ids = [3, 17, 93, 203, 44, 150, 7, 77, 31]
+    out = eng.generate(
+        input_ids=ids,
+        sampling_params={"temperature": 0.0, "max_new_tokens": 1,
+                         "ignore_eos": True,
+                         "logprob_start_len": 0},
+        return_logprob=True,
+    )
+    lps = out["meta_info"]["input_token_logprobs"]
+    assert len(lps) == len(ids) - 1  # first prompt token has no logprob
+    assert all(lp <= 0.0 for lp in lps)
+    # manual check of the logprob of ids[1] given ids[:1] .. via HF-free
+    # recomputation: run the model on the full prompt and softmax
+    model, params, cfg = load_model(
+        eng.server_args.model_path, dtype="float32")
+    import numpy as np
+
+    logits, *_ = run_prefill(model, params, ids[:2], dtype=jnp.float32)
+    # run_prefill returns last-row logits = predicts token after ids[:2];
+    # instead check the LAST prompt logprob: P(ids[-1] | ids[:-1])
+    logits, *_ = run_prefill(model, params, ids[:-1], dtype=jnp.float32)
+    ref = float(
+        np.log(
+            np.exp(logits[0] - logits[0].max())
+            / np.exp(logits[0] - logits[0].max()).sum()
+        )[ids[-1]]
+    )
+    np.testing.assert_allclose(lps[-1], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_prompt_logprobs_chunked_prefill(tmp_path_factory):
+    """Chunk boundaries: the last row of each chunk predicts the next
+    chunk's first token; lps must match the unchunked run."""
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    path = str(tmp_path_factory.mktemp("tiny_lp") / "llama")
+    make_tiny_llama(path)
+    ids = [int(x) for x in
+           np.random.default_rng(4).integers(3, 500, 70)]
+    sp = {"temperature": 0.0, "max_new_tokens": 1, "ignore_eos": True,
+          "logprob_start_len": 0}
+
+    def run(chunk):
+        e = Engine(ServerArgs(
+            model_path=path, dtype="float32", max_total_tokens=2048,
+            page_size=8, prefill_token_buckets=[32, 64, 128],
+            decode_bs_buckets=[1], max_seq_pages_buckets=[16],
+            random_seed=0, enable_warmup=False, log_level="warning",
+            chunked_prefill_size=chunk, max_prefill_tokens=chunk,
+        ))
+        out = e.generate(input_ids=ids, sampling_params=sp,
+                         return_logprob=True)
+        e.shutdown()
+        return out["meta_info"]["input_token_logprobs"]
+
+    whole = run(4096)
+    chunked = run(32)  # 70 tokens -> 3 chunks
+    assert len(whole) == len(ids) - 1
+    np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-5)
