@@ -61,11 +61,17 @@ def extract_choice(text: str) -> Optional[str]:
 
 def run_mmlu(
     engine, data_path: str, num_questions: Optional[int] = None,
-    max_new_tokens: int = 64,
+    max_new_tokens: int = 64, method: str = "generate",
 ) -> dict:
+    """method="generate": answer-letter extraction (reference
+    simple_eval_mmlu).  method="loglikelihood": lm-eval-harness style --
+    score each choice continuation by its prompt logprobs
+    (input_token_logprobs) and pick the argmax; no sampling involved."""
     rows = read_rows(data_path)
     if num_questions:
         rows = rows[:num_questions]
+    if method == "loglikelihood":
+        return _run_mmlu_loglikelihood(engine, rows)
     prompts = [QUERY_TEMPLATE.format(**r) for r in rows]
     outs = engine.generate(
         prompt=prompts,
@@ -82,6 +88,43 @@ def run_mmlu(
     }
 
 
+def _run_mmlu_loglikelihood(engine, rows: List[dict]) -> dict:
+    tok = engine.tokenizer_manager.tokenizer
+    assert tok is not None, "loglikelihood scoring needs the tokenizer"
+    prompts, spans = [], []  # spans: (row, choice, prefix_len)
+    for r in rows:
+        stem = QUERY_TEMPLATE.format(**r)
+        stem_ids = tok.encode(stem)
+        for c in CHOICES:
+            full_ids = tok.encode(stem + " " + c)
+            prompts.append(full_ids)
+            spans.append(len(stem_ids))
+    outs = engine.generate(
+        input_ids=prompts,
+        sampling_params={"temperature": 0.0, "max_new_tokens": 1,
+                         "ignore_eos": True, "logprob_start_len": 0},
+        return_logprob=True,
+    )
+    correct = 0
+    for i, r in enumerate(rows):
+        scores = []
+        for j in range(4):
+            o = outs[i * 4 + j]
+            lps = o["meta_info"]["input_token_logprobs"]
+            # continuation tokens = everything past the stem; lps[t] is
+            # the logprob of prompt token t+1
+            n_cont = len(prompts[i * 4 + j]) - spans[i * 4 + j]
+            scores.append(sum(lps[-n_cont:]) if n_cont else float("-inf"))
+        if CHOICES[int(max(range(4), key=scores.__getitem__))] == r["answer"]:
+            correct += 1
+    return {
+        "accuracy": correct / max(len(rows), 1),
+        "num_questions": len(rows),
+        "invalid_rate": 0.0,
+        "method": "loglikelihood",
+    }
+
+
 def main():
     from sglang_security_tpu.entrypoints.engine import Engine
     from sglang_security_tpu.server_args import ServerArgs
@@ -89,11 +132,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
     ap.add_argument("--num-questions", type=int, default=None)
+    ap.add_argument("--method", default="generate",
+                    choices=["generate", "loglikelihood"])
     ServerArgs.add_cli_args(ap)
     args = ap.parse_args()
     engine = Engine(ServerArgs.from_cli_args(args))
     try:
-        res = run_mmlu(engine, args.data, args.num_questions)
+        res = run_mmlu(engine, args.data, args.num_questions,
+                       method=args.method)
     finally:
         engine.shutdown()
     print(json.dumps(res))

