@@ -67,6 +67,33 @@ class EngineBackend:
         )
         return out["text"]
 
+    def select(self, prompt: str, choices, user_id=None) -> str:
+        """Normalized-loglikelihood choice scoring (the reference
+        RuntimeEndpoint.select semantics): each prompt+choice prefills
+        with prompt logprobs and the per-token-normalized continuation
+        score picks the winner -- exact, unlike constrained greedy."""
+        tok = self.engine.tokenizer_manager.tokenizer
+        if tok is None:
+            return None
+        stem_len = len(tok.encode(prompt))
+        outs = self.engine.generate(
+            input_ids=[tok.encode(prompt + c) for c in choices],
+            sampling_params={"temperature": 0.0, "max_new_tokens": 1,
+                             "ignore_eos": True, "logprob_start_len": 0},
+            return_logprob=True,
+            user_id=user_id,
+        )
+        best, best_score = choices[0], float("-inf")
+        for c, o in zip(choices, outs):
+            lps = o["meta_info"]["input_token_logprobs"]
+            n_cont = len(tok.encode(prompt + c)) - stem_len
+            if n_cont <= 0:
+                continue
+            score = sum(lps[-n_cont:]) / n_cont
+            if score > best_score:
+                best, best_score = c, score
+        return best
+
 
 class RuntimeEndpoint:
     """Runs programs against a server's native /generate endpoint
@@ -138,15 +165,25 @@ class ProgramState:
 
     def _run_select(self, s: SglSelect) -> None:
         assert s.choices, "select needs choices"
-        pattern = "(?:" + "|".join(re.escape(c) for c in s.choices) + ")"
-        out = self.backend.generate(
-            self.text_,
-            {"max_new_tokens": 32, "temperature": 0.0, "regex": pattern,
-             "ignore_eos": True},
-            self.user_id,
-        )
-        # constrained output is exactly one of the choices
-        chosen = next((c for c in s.choices if out.startswith(c)), out)
+        chosen = None
+        if hasattr(self.backend, "select"):
+            # exact normalized-loglikelihood scoring (EngineBackend)
+            chosen = self.backend.select(
+                self.text_, s.choices, self.user_id
+            )
+        if chosen is None:
+            # remote backends: regex-constrained greedy fallback
+            pattern = "(?:" + "|".join(
+                re.escape(c) for c in s.choices) + ")"
+            out = self.backend.generate(
+                self.text_,
+                {"max_new_tokens": 32, "temperature": 0.0,
+                 "regex": pattern, "ignore_eos": True},
+                self.user_id,
+            )
+            chosen = next(
+                (c for c in s.choices if out.startswith(c)), out
+            )
         if s.name:
             self.variables[s.name] = chosen
         self.text_ += chosen
