@@ -117,6 +117,14 @@ class TokenizerManager:
             input_ids, mm_inputs = self.mm_processor.expand_prompt(
                 list(input_ids), images
             )
+        if text is None and self.tokenizer is not None:
+            # raw-input_ids request: decode so the SafeKV privacy
+            # detector judges real content (with no text, nodes stay
+            # private forever -- safe but unshareable)
+            try:
+                text = self.tokenizer.decode(list(input_ids))
+            except Exception:
+                text = None
         sp = SamplingParams.from_dict(sp_dict)
         if gri.return_logprob:
             sp.return_logprob = True

@@ -260,8 +260,16 @@ class RadixCache:
             node.need_check_privacy = False
             self._merge_public_siblings(node)
             return
+        text = node.prompt_text
+        if not text:
+            # no prompt text to judge (e.g. raw-input_ids request with
+            # no tokenizer): the detector would see "" and call it
+            # benign, publishing unseen content -- stay private instead
+            # (found by ndss_scripts/run_timing_attack_experiment.py:
+            # cross-user cache hits on a tokenized PII sequence)
+            node.need_check_privacy = False
+            return
         node.pending_check = True
-        text = node.prompt_text or ""
         self.safekv.privacy_checker(node, text)
 
     # ------------------------------------------------------------------

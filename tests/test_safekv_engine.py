@@ -108,3 +108,47 @@ def test_tier3_llm_judge_routes_through_engine(tmp_path_factory):
             time.sleep(0.2)
     finally:
         eng.shutdown()
+
+
+def test_input_ids_requests_still_privacy_checked(tmp_path_factory):
+    """Raw-input_ids requests previously bypassed the privacy detector
+    (no prompt text -> tier-1 judged "" benign -> PII KV went public;
+    found by ndss_scripts/run_timing_attack_experiment.py). The ids are
+    now decoded for the check, and no-text nodes stay private."""
+    import numpy as np
+
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    path = str(tmp_path_factory.mktemp("tiny_ids_priv") / "llama")
+    make_tiny_llama(path)
+    eng = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=4096,
+        page_size=8, prefill_token_buckets=[128, 256],
+        decode_bs_buckets=[1], max_seq_pages_buckets=[16],
+        random_seed=0, enable_warmup=False, log_level="warning",
+        enable_safekv=True, safekv_epoch_seconds=3600.0,
+        safekv_hit_spike_threshold=1e9,
+    ))
+    tok = eng.tokenizer_manager.tokenizer
+    pii = tok.encode(
+        "confidential: my ssn is 123-45-6789 and email a@b.example " * 3
+    )
+    sp = {"max_new_tokens": 1, "temperature": 0.0, "ignore_eos": True}
+    import time
+
+    eng.generate(input_ids=pii, user_id="alice", sampling_params=sp)
+    time.sleep(0.8)  # let the async verdicts land
+    # attacker replays the ids under other users; even after their own
+    # insertions, no cross-user hit may appear
+    for i in range(3):
+        o = eng.generate(input_ids=list(pii), user_id=f"mallory{i}",
+                         sampling_params=sp)
+        assert o["meta_info"]["cached_tokens"] == 0, (i, o["meta_info"])
+        time.sleep(0.3)
+    # alice herself still reuses her prefix
+    o = eng.generate(input_ids=list(pii), user_id="alice",
+                     sampling_params=sp)
+    assert o["meta_info"]["cached_tokens"] > 0
+    eng.shutdown()
