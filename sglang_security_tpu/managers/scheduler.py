@@ -676,6 +676,10 @@ class Scheduler:
         k = max(1, self.server_args.decode_steps_per_batch)
         if any(r.grammar is not None for r in self.running):
             return 1  # grammar needs a fresh host-side mask every token
+        if any(
+            r.sampling_params.custom_logit_processor for r in self.running
+        ):
+            return 1  # processors run in the single-step jit variant
         return k
 
     def _run_decode(self) -> None:
@@ -1028,6 +1032,35 @@ class Scheduler:
                 ):
                     bias_tokens[i, j] = int(tok)
                     bias_values[i, j] = float(val)
+        custom_procs = None
+        if any(r.sampling_params.custom_logit_processor for r in reqs) \
+                and self.server_args.enable_custom_logit_processor:
+            by_name = {}
+            for i, r in enumerate(reqs):
+                name = r.sampling_params.custom_logit_processor
+                if name:
+                    by_name.setdefault(name, []).append(i)
+            custom_procs = []
+            for name, idxs in sorted(by_name.items()):
+                mask = np.zeros(len(reqs), bool)
+                mask[idxs] = True
+                keys = set()
+                for i in idxs:
+                    keys |= set(
+                        (reqs[i].sampling_params.custom_params or {})
+                    )
+                pdict = {
+                    k: np.asarray(
+                        [
+                            float((reqs[i].sampling_params.custom_params
+                                   or {}).get(k, 0.0))
+                            for i in range(len(reqs))
+                        ],
+                        np.float32,
+                    )
+                    for k in sorted(keys)
+                }
+                custom_procs.append((name, mask, pdict))
         vocab_mask = None
         if any(r.grammar is not None for r in reqs):
             vocab_mask = np.ones((len(reqs), self.vocab_size), bool)
@@ -1065,6 +1098,7 @@ class Scheduler:
             vocab_mask=vocab_mask,
             bias_tokens=bias_tokens,
             bias_values=bias_values,
+            custom_procs=custom_procs,
         )
 
     def _append_token(self, req: Req, token: int, logprob: float) -> None:

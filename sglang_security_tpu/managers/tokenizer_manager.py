@@ -126,6 +126,13 @@ class TokenizerManager:
             except Exception:
                 text = None
         sp = SamplingParams.from_dict(sp_dict)
+        if sp.custom_logit_processor and not (
+            self.server_args.enable_custom_logit_processor
+        ):
+            raise ValueError(
+                "custom_logit_processor requires "
+                "--enable-custom-logit-processor"
+            )
         if gri.return_logprob:
             sp.return_logprob = True
         if gri.logprob_start_len >= 0:

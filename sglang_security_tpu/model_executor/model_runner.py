@@ -41,6 +41,18 @@ logger = logging.getLogger(__name__)
 PREFILL_BLOCK_Q = 128
 
 
+def _pad_bool(a, n):
+    out = np.zeros(n, bool)
+    out[: len(a)] = a
+    return out
+
+
+def _pad_f32(a, n):
+    out = np.zeros(n, np.float32)
+    out[: len(a)] = a
+    return out
+
+
 @dataclass
 class BatchPlan:
     """Host-side (numpy, unpadded) description of one step."""
@@ -74,6 +86,8 @@ class BatchPlan:
     bias_tokens: Optional[np.ndarray] = None  # [S, NB] OpenAI logit_bias ids
     bias_values: Optional[np.ndarray] = None  # [S, NB] additive biases
     lp_targets: Optional[np.ndarray] = None  # [T] prompt-logprob targets
+    # custom logit processors: [(name, row_mask [S], {param: [S]})]
+    custom_procs: Optional[list] = None
 
 
 class ModelRunner:
@@ -520,9 +534,10 @@ class ModelRunner:
 
     def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
                   penalized: bool = False, mode: str = "topk",
-                  eagle: bool = False, prompt_lp: bool = False):
+                  eagle: bool = False, prompt_lp: bool = False,
+                  proc_names: tuple = ()):
         key = (T, S, PPS, block_q, masked, penalized, mode, eagle,
-               prompt_lp)
+               prompt_lp, proc_names)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -532,8 +547,18 @@ class ModelRunner:
         pp_kwargs = self._pp_kwargs
         dp_kwargs = self._dp_kwargs
 
+        if proc_names:
+            from sglang_security_tpu.sampling.custom_processors import (
+                get_custom_logit_processor,
+            )
+
+            proc_fns = tuple(
+                get_custom_logit_processor(n) for n in proc_names
+            )
+
         def step(params, k_pages, v_pages, fb, st, key, vocab_mask,
-                 counts, slots, lora, ft=None, ft_rows=None):
+                 counts, slots, lora, proc_data=None, ft=None,
+                 ft_rows=None):
             out = model.forward(
                 params, k_pages, v_pages, fb, block_q=block_q,
                 interpret=interpret, lora=lora,
@@ -548,6 +573,13 @@ class ModelRunner:
             logits = model.compute_logits(
                 params, hidden, tp_axis=tp_axis
             )  # [S, V] f32
+            if proc_names:
+                # registered jax-traceable processors, row-masked per
+                # request (reference custom logit processor batching)
+                for fn, (mask, pdict) in zip(proc_fns, proc_data):
+                    logits = jnp.where(
+                        mask[:, None], fn(logits, pdict), logits
+                    )
             row_counts = None
             if penalized:
                 safe = jnp.clip(slots, 0, counts.shape[0] - 1)
@@ -574,8 +606,8 @@ class ModelRunner:
                 "EAGLE/prompt-logprobs + mesh not wired yet"
             )
             step = self._shard_step(step)
-        # donate the KV pool (1, 2), penalty counts (7), feature table (10)
-        donate = (1, 2, 7, 10) if eagle else (1, 2, 7)
+        # donate the KV pool (1, 2), penalty counts (7), feature table (11)
+        donate = (1, 2, 7, 11) if eagle else (1, 2, 7)
         fn = jax.jit(step, donate_argnums=donate)
         self._step_cache[key] = fn
         logger.info(
@@ -860,6 +892,7 @@ class ModelRunner:
             self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
             fb, st, sub, vocab_mask, counts, pslots,
             self._lora_step_params() if plan.lora_ids is not None else None,
+            None,  # proc_data (custom processors don't ride spec verify)
         ]
         if eagle_on:
             args += list(self._eagle_ft_args(plan.ft_rows, R))
@@ -1137,10 +1170,22 @@ class ModelRunner:
         penalized, counts, pslots = self._get_penalty_state(plan, S)
         eagle_on = self.eagle is not None and plan.ft_rows is not None
         prompt_lp = plan.lp_targets is not None and not plan.is_decode
+        proc_names = ()
+        proc_data = None
+        if plan.custom_procs:
+            proc_names = tuple(n for n, _, _ in plan.custom_procs)
+            proc_data = tuple(
+                (
+                    jnp.asarray(_pad_bool(mask, S)),
+                    {k: jnp.asarray(_pad_f32(v, S))
+                     for k, v in pdict.items()},
+                )
+                for _, mask, pdict in plan.custom_procs
+            )
         fn = self._get_step(
             T, S, PPS, block_q, plan.vocab_mask is not None, penalized,
             self._sampling_mode(plan), eagle=eagle_on,
-            prompt_lp=prompt_lp,
+            prompt_lp=prompt_lp, proc_names=proc_names,
         )
         args = [
             self.params,
@@ -1153,6 +1198,7 @@ class ModelRunner:
             counts,
             pslots,
             self._lora_step_params() if plan.lora_ids is not None else None,
+            proc_data,
         ]
         x_all = None
         input_lps = None

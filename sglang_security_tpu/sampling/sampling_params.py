@@ -36,6 +36,8 @@ class SamplingParams:
     top_logprobs_num: int = 0
     logprob_start_len: int = -1  # >=0: also return prompt logprobs
     logit_bias: Optional[dict] = None
+    custom_logit_processor: Optional[str] = None  # registered name
+    custom_params: Optional[dict] = None  # float params for the processor
     # SafeKV: privacy scope of the request's KV-cache entries
     user_id: Optional[str] = None
     no_stop_trim: bool = False

@@ -109,6 +109,7 @@ class ServerArgs:
 
     # ---- sampling / constrained decoding ----
     grammar_backend: str = "native"  # our own regex/json/ebnf engine
+    enable_custom_logit_processor: bool = False
     constrained_json_whitespace_pattern: Optional[str] = None
 
     # ---- speculative decoding ----
