@@ -10,9 +10,21 @@
 // Admin endpoints: /health, /metrics (Prometheus text), /add_worker,
 // /remove_worker, /list_workers.
 //
+// Service discovery (the file-based analog of the reference router's
+// k8s --service-discovery watch): --workers-file <path> is polled every
+// --discovery-interval seconds; lines of host:port are diffed against
+// the live set (in k8s, a configmap/sidecar materializes the endpoint
+// list into that file). A background health checker probes every worker
+// each --health-check-interval seconds, evicting dead ones from rotation
+// and RECOVERING them when they answer again.
+//
 // Build: see csrc/CMakeLists.txt (target sgl-tpu-router).
 
 #include <atomic>
+#include <chrono>
+#include <fstream>
+#include <set>
+#include <sys/stat.h>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -214,20 +226,101 @@ static void HandleConn(int fd) {
   close(fd);
 }
 
+static void SyncWorkersFromFile(const std::string& path) {
+  std::ifstream f(path);
+  if (!f.good()) return;
+  std::set<std::string> want;
+  std::string line;
+  while (std::getline(f, line)) {
+    while (!line.empty() && (line.back() == '\r' || line.back() == ' '))
+      line.pop_back();
+    if (line.empty() || line[0] == '#') continue;
+    want.insert(line);
+  }
+  std::lock_guard<std::mutex> lk(g_router.mu);
+  for (auto it = g_router.workers.begin(); it != g_router.workers.end();) {
+    std::string key = g_router.WorkerKey(**it);
+    if (!want.count(key)) {
+      fprintf(stderr, "router: discovery removed %s\n", key.c_str());
+      g_router.tree.RemoveTenant(key);
+      it = g_router.workers.erase(it);
+    } else {
+      want.erase(key);
+      ++it;
+    }
+  }
+  for (const auto& url : want) {
+    auto colon = url.rfind(':');
+    if (colon == std::string::npos) continue;
+    fprintf(stderr, "router: discovery added %s\n", url.c_str());
+    g_router.workers.emplace_back(
+        new Worker(url.substr(0, colon), atoi(url.c_str() + colon + 1)));
+  }
+}
+
+static void DiscoveryLoop(std::string path, int interval_s) {
+  // re-read every poll: the sync is a cheap diff and mtime granularity
+  // (1 s) can miss rapid updates
+  while (true) {
+    SyncWorkersFromFile(path);
+    std::this_thread::sleep_for(std::chrono::seconds(interval_s));
+  }
+}
+
+static void HealthLoop(int interval_s) {
+  while (true) {
+    std::vector<std::pair<std::string, int>> targets;
+    {
+      std::lock_guard<std::mutex> lk(g_router.mu);
+      for (auto& w : g_router.workers)
+        targets.emplace_back(w->host, w->port);
+    }
+    for (auto& [host, port] : targets) {
+      int fd = Connect(host, port);
+      bool up = fd >= 0;
+      if (fd >= 0) close(fd);
+      std::lock_guard<std::mutex> lk(g_router.mu);
+      for (auto& w : g_router.workers) {
+        if (w->host == host && w->port == port && w->healthy != up) {
+          fprintf(stderr, "router: worker %s:%d -> %s\n", host.c_str(),
+                  port, up ? "healthy" : "UNHEALTHY");
+          w->healthy = up;
+        }
+      }
+    }
+    std::this_thread::sleep_for(std::chrono::seconds(interval_s));
+  }
+}
+
 int main(int argc, char** argv) {
   int port = 30080;
+  std::string workers_file;
+  int discovery_interval = 5;
+  int health_interval = 10;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     if (a == "--port" && i + 1 < argc) port = atoi(argv[++i]);
     else if (a == "--policy" && i + 1 < argc) g_router.policy = argv[++i];
     else if (a == "--cache-threshold" && i + 1 < argc)
       g_router.cache_threshold = atof(argv[++i]);
+    else if (a == "--workers-file" && i + 1 < argc) workers_file = argv[++i];
+    else if (a == "--discovery-interval" && i + 1 < argc)
+      discovery_interval = atoi(argv[++i]);
+    else if (a == "--health-check-interval" && i + 1 < argc)
+      health_interval = atoi(argv[++i]);
     else if (a == "--worker" && i + 1 < argc) {
       std::string url = argv[++i];
       auto colon = url.rfind(':');
       g_router.workers.emplace_back(
           new Worker(url.substr(0, colon), atoi(url.c_str() + colon + 1)));
     }
+  }
+  if (!workers_file.empty()) {
+    SyncWorkersFromFile(workers_file);
+    std::thread(DiscoveryLoop, workers_file, discovery_interval).detach();
+  }
+  if (health_interval > 0) {
+    std::thread(HealthLoop, health_interval).detach();
   }
   int lfd = Listen(port);
   if (lfd < 0) {

@@ -37,6 +37,9 @@ def launch_router(
     workers: List[str],
     policy: str = "cache_aware",
     cache_threshold: float = 0.5,
+    workers_file: str = None,
+    discovery_interval: int = 5,
+    health_check_interval: int = 10,
 ) -> subprocess.Popen:
     build = ensure_built()
     cmd = [
@@ -44,7 +47,11 @@ def launch_router(
         "--port", str(port),
         "--policy", policy,
         "--cache-threshold", str(cache_threshold),
+        "--health-check-interval", str(health_check_interval),
     ]
+    if workers_file:
+        cmd += ["--workers-file", workers_file,
+                "--discovery-interval", str(discovery_interval)]
     for w in workers:
         cmd += ["--worker", w.replace("http://", "")]
     return subprocess.Popen(cmd)

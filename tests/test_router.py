@@ -52,6 +52,7 @@ class MockWorker:
 
     def stop(self):
         self.httpd.shutdown()
+        self.httpd.server_close()  # release the listen socket too
 
 
 @pytest.fixture(scope="module")
@@ -129,3 +130,71 @@ def test_remove_worker(cluster):
     assert got.ok
     requests.post(base + f"/add_worker?url=127.0.0.1:{w2.port}", json={})
     assert len(requests.get(base + "/list_workers").json()["workers"]) == 2
+
+
+def test_service_discovery_and_health_recovery(tmp_path):
+    """File-based service discovery (the k8s-watch analog): workers
+    join/leave by editing the workers file; the health checker evicts a
+    dead worker and recovers it when it comes back."""
+    ensure_built()
+    w1, w2 = MockWorker("w1"), MockWorker("w2")
+    wf = tmp_path / "workers.txt"
+    wf.write_text(f"127.0.0.1:{w1.port}\n")
+    port = free_port()
+    proc = launch_router(
+        port, [], workers_file=str(wf), discovery_interval=1,
+        health_check_interval=1,
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for _ in range(50):
+            try:
+                if requests.get(base + "/health", timeout=0.5).ok:
+                    break
+            except Exception:
+                time.sleep(0.1)
+
+        def worker_set():
+            ws = requests.get(base + "/list_workers", timeout=2).json()
+            return {
+                (w["worker"] if "worker" in w else w.get("url", "")):
+                w.get("healthy", True)
+                for w in ws.get("workers", ws if isinstance(ws, list) else [])
+            }
+
+        deadline = time.time() + 10
+        while time.time() < deadline and len(worker_set()) != 1:
+            time.sleep(0.3)
+        assert len(worker_set()) == 1
+
+        # add w2 via the file
+        wf.write_text(f"127.0.0.1:{w1.port}\n127.0.0.1:{w2.port}\n")
+        deadline = time.time() + 10
+        while time.time() < deadline and len(worker_set()) != 2:
+            time.sleep(0.3)
+        assert len(worker_set()) == 2
+
+        # kill w2 -> health checker marks it unhealthy, traffic flows to w1
+        w2.stop()
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            r = requests.post(base + "/generate",
+                              json={"text": "ping"}, timeout=5)
+            if r.ok and r.json()["worker"] == "w1":
+                healthy = worker_set()
+                if healthy.get(f"127.0.0.1:{w2.port}") is False:
+                    break
+            time.sleep(0.5)
+        vals = worker_set()
+        assert vals.get(f"127.0.0.1:{w2.port}") is False
+
+        # remove w2 from the file entirely
+        wf.write_text(f"127.0.0.1:{w1.port}\n")
+        deadline = time.time() + 10
+        while time.time() < deadline and len(worker_set()) != 1:
+            time.sleep(0.3)
+        assert len(worker_set()) == 1
+    finally:
+        proc.terminate()
+        proc.wait(timeout=5)
+        w1.stop()
