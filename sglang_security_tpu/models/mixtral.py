@@ -152,3 +152,14 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
     def __init__(self, config, quantization=None, tp_size: int = 1):
         super().__init__(config, quantization, tp_size)
         self.renormalize = bool(config.raw.get("norm_topk_prob", True))
+
+
+class OlmoeForCausalLM(Qwen3MoeForCausalLM):
+    """OLMoE (Allen AI; reference ``srt/models/olmoe.py``): qwen-moe
+    expert naming without a shared expert, plus OLMo-style
+    whole-projection q/k RMSNorms applied before the head reshape."""
+
+    def _layer_extra_load(self, i, t, lp, dtype) -> None:
+        a = f"model.layers.{i}.self_attn."
+        lp["q_norm_flat"] = t(a + "q_norm.weight").astype(dtype)
+        lp["k_norm_flat"] = t(a + "k_norm.weight").astype(dtype)

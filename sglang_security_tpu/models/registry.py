@@ -21,6 +21,7 @@ from sglang_security_tpu.models.deepseek_v2 import (
 )
 from sglang_security_tpu.models.mixtral import (
     MixtralForCausalLM,
+    OlmoeForCausalLM,
     Qwen2MoeForCausalLM,
     Qwen3MoeForCausalLM,
 )
@@ -53,6 +54,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "MixtralForCausalLM": MixtralForCausalLM,
     "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
     "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
+    "OlmoeForCausalLM": OlmoeForCausalLM,
     "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
     "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
     "Gemma2ForCausalLM": Gemma2ForCausalLM,

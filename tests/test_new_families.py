@@ -195,3 +195,36 @@ def test_starcoder2_parity(tmp_path):
         t[p + "mlp.c_proj.weight"] = _r(rng, H, I)
         t[p + "mlp.c_proj.bias"] = _r(rng, H)
     _check(_write(tmp_path / "starcoder2", cfg, t))
+
+
+def test_olmoe_parity(tmp_path):
+    E, kk, Imoe = 4, 2, 64
+    rng = np.random.default_rng(6)
+    cfg = _base_cfg("OlmoeForCausalLM", "olmoe",
+                    num_experts=E, num_experts_per_tok=kk,
+                    norm_topk_prob=False, attention_bias=False)
+    del cfg["head_dim"]  # olmoe infers H // num_heads
+    nq = H // hd
+    cfg["num_attention_heads"] = nq
+    cfg["num_key_value_heads"] = nq  # olmoe default: MHA
+    cfg["intermediate_size"] = Imoe
+    t = {"model.embed_tokens.weight": _r(rng, V, H),
+         "model.norm.weight": 1 + _r(rng, H),
+         "lm_head.weight": _r(rng, V, H)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "post_attention_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "self_attn.q_proj.weight"] = _r(rng, nq * hd, H)
+        t[p + "self_attn.k_proj.weight"] = _r(rng, nq * hd, H)
+        t[p + "self_attn.v_proj.weight"] = _r(rng, nq * hd, H)
+        t[p + "self_attn.o_proj.weight"] = _r(rng, H, nq * hd)
+        t[p + "self_attn.q_norm.weight"] = 1 + _r(rng, nq * hd)
+        t[p + "self_attn.k_norm.weight"] = 1 + _r(rng, nq * hd)
+        t[p + "mlp.gate.weight"] = _r(rng, E, H)
+        for e in range(E):
+            ep = p + f"mlp.experts.{e}."
+            t[ep + "gate_proj.weight"] = _r(rng, Imoe, H)
+            t[ep + "up_proj.weight"] = _r(rng, Imoe, H)
+            t[ep + "down_proj.weight"] = _r(rng, H, Imoe)
+    _check(_write(tmp_path / "olmoe", cfg, t), rtol=4e-3, atol=4e-3)
