@@ -191,3 +191,31 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
             if self._layer_sliding(li) is not None
             else self.inv_freq
         )
+
+
+class GemmaForCausalLM(LlamaForCausalLM):
+    """Gemma 1 (reference ``srt/models/gemma.py``): plain pre-norm llama
+    structure with Gemma conventions — (1+w) RMSNorm folded at load,
+    sqrt(hidden) embedding scale, tanh-approximate gelu, tied
+    embeddings."""
+
+    def __init__(self, config, quantization=None, tp_size: int = 1):
+        # HF gemma configs say hidden_act "gelu" but mean the tanh
+        # approximation (HF GemmaMLP uses gelu_pytorch_tanh)
+        if config.act_fn == "gelu":
+            config.act_fn = "gelu_pytorch_tanh"
+        config.tie_word_embeddings = True
+        super().__init__(config, quantization, tp_size)
+
+    def _embed_scale(self) -> float:
+        return math.sqrt(self.config.hidden_size)
+
+    def load_weights(self, get_tensor, dtype=jnp.bfloat16):
+        def wrapped(name):
+            if name.endswith("layernorm.weight") or name.endswith(
+                "model.norm.weight"
+            ):
+                return get_tensor(name) + 1.0
+            return get_tensor(name)
+
+        return super().load_weights(wrapped, dtype=dtype)

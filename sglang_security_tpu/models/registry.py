@@ -14,6 +14,7 @@ from sglang_security_tpu.models.llama import LlamaForCausalLM
 from sglang_security_tpu.models.gemma2 import (
     Gemma2ForCausalLM,
     Gemma3ForCausalLM,
+    GemmaForCausalLM,
 )
 from sglang_security_tpu.models.deepseek_v2 import (
     DeepseekV2ForCausalLM,
@@ -57,6 +58,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "OlmoeForCausalLM": OlmoeForCausalLM,
     "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
     "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
+    "GemmaForCausalLM": GemmaForCausalLM,
     "Gemma2ForCausalLM": Gemma2ForCausalLM,
     "Gemma3ForCausalLM": Gemma3ForCausalLM,
     "Phi3ForCausalLM": Phi3ForCausalLM,

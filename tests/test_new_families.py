@@ -228,3 +228,18 @@ def test_olmoe_parity(tmp_path):
             t[ep + "up_proj.weight"] = _r(rng, Imoe, H)
             t[ep + "down_proj.weight"] = _r(rng, H, Imoe)
     _check(_write(tmp_path / "olmoe", cfg, t), rtol=4e-3, atol=4e-3)
+
+
+def test_gemma1_parity(tmp_path):
+    rng = np.random.default_rng(8)
+    cfg = _base_cfg("GemmaForCausalLM", "gemma", hidden_act="gelu",
+                    tie_word_embeddings=True, head_dim=hd)
+    t = {"model.embed_tokens.weight": _r(rng, V, H),
+         "model.norm.weight": _r(rng, H)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = _r(rng, H)
+        t[p + "post_attention_layernorm.weight"] = _r(rng, H)
+        _std_attn(rng, t, p)
+        _gated_mlp(rng, t, p)
+    _check(_write(tmp_path / "gemma1", cfg, t))
