@@ -266,6 +266,18 @@ class Scheduler:
             if r.rid == rid:
                 r.finished_reason = FinishReason.ABORT
                 return
+        # mid-chunk prefill: the request is in neither queue
+        if self.chunked_req is not None and self.chunked_req.rid == rid:
+            r, self.chunked_req = self.chunked_req, None
+            self._retract_req(r)  # frees its pages, unpins the prefix
+            self.waiting.remove(r)
+            self._emit(r, [], finished=True, reason=FinishReason.ABORT)
+            return
+        for r in self.disagg_waiting:
+            if r.rid == rid:
+                self.disagg_waiting.remove(r)
+                self._emit(r, [], finished=True, reason=FinishReason.ABORT)
+                return
 
     def has_work(self) -> bool:
         return bool(
@@ -752,6 +764,12 @@ class Scheduler:
             self.running.remove(req)
             self._cache_finished(req)
             self._release_penalty_slot(req)
+            if req.finished_reason == FinishReason.ABORT:
+                # aborted while running: nothing in the result loop
+                # emitted for it, so the caller would block until the
+                # request watchdog -- emit the final output here
+                self._emit(req, [], finished=True,
+                           reason=FinishReason.ABORT)
         self._decode_tokens_since_log += produced
         self._log_decode_stats()
 
@@ -863,6 +881,12 @@ class Scheduler:
             self.running.remove(req)
             self._cache_finished(req)
             self._release_penalty_slot(req)
+            if req.finished_reason == FinishReason.ABORT:
+                # aborted while running: nothing in the result loop
+                # emitted for it, so the caller would block until the
+                # request watchdog -- emit the final output here
+                self._emit(req, [], finished=True,
+                           reason=FinishReason.ABORT)
         self._decode_tokens_since_log += produced
         self._log_decode_stats()
         return True
@@ -940,6 +964,12 @@ class Scheduler:
             self.running.remove(req)
             self._cache_finished(req)
             self._release_penalty_slot(req)
+            if req.finished_reason == FinishReason.ABORT:
+                # aborted while running: nothing in the result loop
+                # emitted for it, so the caller would block until the
+                # request watchdog -- emit the final output here
+                self._emit(req, [], finished=True,
+                           reason=FinishReason.ABORT)
         self._decode_tokens_since_log += produced
         self._log_decode_stats()
         return True

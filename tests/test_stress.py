@@ -106,3 +106,29 @@ def test_aborts_mid_flight_do_not_leak(eng):
         time.sleep(0.2)
     assert not eng.scheduler.has_work()
     assert eng.scheduler.check_memory(), "page leak after aborts"
+
+
+def test_abort_running_request_returns_promptly(eng):
+    """An abort of an actively-decoding request must emit a final ABORT
+    output (previously the caller blocked until the request watchdog)."""
+    result = {}
+
+    def run():
+        result["out"] = eng.generate(
+            prompt="long story " * 8, rid="abort-running",
+            sampling_params={"max_new_tokens": 500, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+
+    t = threading.Thread(target=run)
+    t.start()
+    # wait until it is actually decoding
+    deadline = time.time() + 60
+    while time.time() < deadline and not any(
+        r.rid == "abort-running" for r in eng.scheduler.running
+    ):
+        time.sleep(0.05)
+    eng.abort_request("abort-running")
+    t.join(timeout=60)
+    assert not t.is_alive(), "caller stuck after aborting a running req"
+    assert result["out"]["meta_info"]["finish_reason"]["type"] == "abort"
