@@ -383,6 +383,8 @@ class ModelRunner:
             np.maximum(logcnt, 1), jnp.int32
         )
         self._eplb_log2phy_np = np.asarray(log2phy)
+        self._eplb_last = (np.asarray(phy2log), np.asarray(log2phy),
+                           np.asarray(logcnt))
 
     def _profile_num_pages(self) -> int:
         sa = self.server_args
@@ -1528,6 +1530,13 @@ class ModelRunner:
     def _install_params(self, params) -> None:
         """Shard/unroll freshly built params like __init__ does, then
         swap them in."""
+        if getattr(self, "_eplb_last", None) is not None:
+            # re-expand the fresh (logical) expert stacks into the
+            # current EPLB physical placement; without this a later
+            # rebalance would gather [L, P] indices on [L, E] stacks
+            self.params = params
+            self._apply_expert_location(*self._eplb_last, initial=True)
+            params = self.params
         if self.mesh is not None:
             from sglang_security_tpu.parallel.shardings import (
                 param_pspecs,
@@ -1550,13 +1559,4 @@ class ModelRunner:
             dtype=self.server_args.dtype,
             tp_size=self.tp_size,
         )
-        if self.mesh is not None:
-            from sglang_security_tpu.parallel.shardings import (
-                param_pspecs,
-                shard_params,
-            )
-
-            params = shard_params(params, self.mesh, param_pspecs(params))
-        if self.server_args.unroll_layers:
-            params = self.model.unroll_params(params)
-        self.params = params
+        self._install_params(params)

@@ -186,3 +186,29 @@ def test_engine_eplb_outputs_match_and_rebalance_fires(tiny_mixtral):
         prompt=prompts, sampling_params=sp)]
     assert again == base
     eng.shutdown()
+
+
+def test_weight_update_preserves_eplb_placement(tiny_mixtral, tmp_path):
+    """update_weights_from_disk under EPLB must re-expand the fresh
+    logical expert stacks into the physical placement (and keep the
+    routing maps), or a later rebalance corrupts the gather."""
+    sp = {"temperature": 0.0, "max_new_tokens": 6, "ignore_eos": True}
+    eng = _engine(
+        tiny_mixtral, enable_eplb=True, ep_num_redundant_experts=2,
+        eplb_rebalance_num_iterations=3,
+    )
+    base = eng.generate(prompt="the quick", sampling_params=sp)["output_ids"]
+    eng.update_weights_from_disk(tiny_mixtral)
+    layers = eng.scheduler.runner.params["layers"]
+    E_cfg = eng.scheduler.runner.config.num_experts
+    assert layers["experts_gate_up"].shape[1] == E_cfg + 2
+    assert "eplb_log2phy" in layers
+    assert eng.generate(
+        prompt="the quick", sampling_params=sp)["output_ids"] == base
+    # rebalances after the update still work
+    for _ in range(4):
+        eng.generate(prompt="the quick", sampling_params=sp)
+    assert eng.scheduler.runner.eplb_manager.rebalances >= 1
+    assert eng.generate(
+        prompt="the quick", sampling_params=sp)["output_ids"] == base
+    eng.shutdown()
