@@ -1445,10 +1445,11 @@ class ModelRunner:
         shard = None
         if self.mesh is not None and self._pspecs is not None:
             from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
 
             shard = jax.tree.map(
                 lambda ps: NamedSharding(self.mesh, ps), self._pspecs,
-                is_leaf=lambda x: not isinstance(x, dict),
+                is_leaf=lambda x: isinstance(x, _P),
             )
             self.params = jax.tree.map(
                 lambda a, sh: jax.device_put(a, sh), host, shard
@@ -1530,7 +1531,26 @@ class ModelRunner:
     def _install_params(self, params) -> None:
         """Shard/unroll freshly built params like __init__ does, then
         swap them in."""
-        if getattr(self, "_eplb_last", None) is not None:
+        already_placed = (
+            isinstance(params.get("layers"), dict)
+            and "eplb_log2phy" in params["layers"]
+        )
+        if getattr(self, "_eplb_last", None) is not None and already_placed:
+            # params restored from a checkpoint saved under EPLB: the
+            # stacks are already physical; adopt its maps instead of
+            # re-expanding (which would permute physical stacks again)
+            l2p = np.asarray(params["layers"]["eplb_log2phy"])
+            self._eplb_log2phy_np = l2p
+            cnt = np.asarray(params["layers"]["eplb_logcnt"])
+            L, E, R = l2p.shape
+            P = params["layers"]["experts_gate_up"].shape[1]
+            p2l = np.zeros((L, P), np.int64)
+            for i in range(L):
+                for e in range(E):
+                    for p_ in l2p[i, e][l2p[i, e] >= 0]:
+                        p2l[i, p_] = e
+            self._eplb_last = (p2l, l2p, cnt)
+        elif getattr(self, "_eplb_last", None) is not None:
             # re-expand the fresh (logical) expert stacks into the
             # current EPLB physical placement; without this a later
             # rebalance would gather [L, P] indices on [L, E] stacks

@@ -89,3 +89,60 @@ def test_get_weights_by_name(eng):
     vals = eng.get_weights_by_name("embed", truncate_size=8)
     assert vals is not None and len(vals) == 8
     assert eng.get_weights_by_name("nope/missing") is None
+
+
+def test_release_resume_under_mesh(tmp_path_factory):
+    """resume_memory_occupation must re-shard onto the mesh (the pspec
+    tree walk previously treated unrolled per-layer LISTS as leaves)."""
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    path = str(tmp_path_factory.mktemp("tiny_wl_tp") / "llama")
+    make_tiny_llama(path)
+    e = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=2048,
+        page_size=8, prefill_token_buckets=[64], decode_bs_buckets=[1],
+        max_seq_pages_buckets=[8], random_seed=0, enable_warmup=False,
+        log_level="warning", tp_size=2, unroll_layers=True,
+    ))
+    try:
+        base = _gen(e)
+        assert e.release_memory_occupation()
+        assert e.resume_memory_occupation()
+        assert _gen(e) == base
+    finally:
+        e.shutdown()
+
+
+def test_sharded_checkpoint_roundtrip_under_eplb(tmp_path_factory,
+                                                 tmp_path):
+    """A checkpoint saved under EPLB restores without re-permuting the
+    already-physical expert stacks."""
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_mixtral
+
+    path = str(tmp_path_factory.mktemp("tiny_wl_moe") / "mixtral")
+    make_tiny_mixtral(path)
+    sp = {"temperature": 0.0, "max_new_tokens": 6, "ignore_eos": True}
+    e = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=2048,
+        page_size=8, prefill_token_buckets=[64], decode_bs_buckets=[1],
+        max_seq_pages_buckets=[8], random_seed=0, enable_warmup=False,
+        log_level="warning", enable_eplb=True, ep_num_redundant_experts=2,
+        eplb_rebalance_num_iterations=10_000,
+    ))
+    try:
+        base = e.generate(prompt="hello world", sampling_params=sp)[
+            "output_ids"]
+        e.save_sharded_checkpoint(str(tmp_path / "ck"))
+        e.load_sharded_checkpoint(str(tmp_path / "ck"))
+        assert e.generate(prompt="hello world", sampling_params=sp)[
+            "output_ids"] == base
+        # a rebalance after the restore still works
+        e.scheduler.runner.eplb_manager.rebalance()
+        assert e.generate(prompt="hello world", sampling_params=sp)[
+            "output_ids"] == base
+    finally:
+        e.shutdown()
