@@ -507,7 +507,7 @@ class Scheduler:
             r.return_logprob and r.sampling_params.logprob_start_len >= 0
             for r in reqs
         ]
-        if any(want_lp) and self.dp_attn == 1:
+        if any(want_lp) and self.dp_attn == 1 and self.eagle is None:
             # prompt logprobs: row j of a chunk predicts prompt token
             # start+j+1 (reference input_token_logprobs); the last row's
             # target is the next chunk's first token, known for prompts
