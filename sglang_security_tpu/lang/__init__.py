@@ -30,6 +30,7 @@ from sglang_security_tpu.lang.api import (
     assistant,
     function,
     gen,
+    image,
     select,
     system,
     user,
@@ -38,7 +39,7 @@ from sglang_security_tpu.lang.backends import AnthropicBackend, OpenAIBackend
 from sglang_security_tpu.lang.ir import ProgramIR, TracerState
 
 __all__ = [
-    "function", "gen", "select", "system", "user", "assistant",
+    "function", "gen", "image", "select", "system", "user", "assistant",
     "SglFunction", "EngineBackend", "RuntimeEndpoint",
     "OpenAIBackend", "AnthropicBackend", "ProgramIR", "TracerState",
 ]

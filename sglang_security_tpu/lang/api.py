@@ -34,12 +34,25 @@ class SglRole:
     parts: List[Any]
 
 
+@dataclass
+class SglImage:
+    """An image part (path / base64 / ndarray); the served VLM's
+    tokenizer maps the <image> placeholder to its image token
+    (reference lang/api.py sgl.image -> SglImage)."""
+
+    data: Any
+
+
 def gen(name: Optional[str] = None, **kwargs) -> SglGen:
     return SglGen(name=name, **kwargs)
 
 
 def select(name: Optional[str] = None, choices: Optional[List[str]] = None) -> SglSelect:
     return SglSelect(name, choices or [])
+
+
+def image(data) -> SglImage:
+    return SglImage(data)
 
 
 def system(*parts) -> SglRole:
@@ -61,9 +74,11 @@ class EngineBackend:
     def __init__(self, engine):
         self.engine = engine
 
-    def generate(self, prompt: str, sp: dict, user_id=None) -> str:
+    def generate(self, prompt: str, sp: dict, user_id=None,
+                 images=None) -> str:
         out = self.engine.generate(
-            prompt=prompt, sampling_params=sp, user_id=user_id
+            prompt=prompt, sampling_params=sp, user_id=user_id,
+            image_data=images,
         )
         return out["text"]
 
@@ -102,13 +117,16 @@ class RuntimeEndpoint:
     def __init__(self, base_url: str):
         self.base_url = base_url.rstrip("/")
 
-    def generate(self, prompt: str, sp: dict, user_id=None) -> str:
+    def generate(self, prompt: str, sp: dict, user_id=None,
+                 images=None) -> str:
         import requests
 
+        payload = {"text": prompt, "sampling_params": sp,
+                   "user_id": user_id}
+        if images:
+            payload["image_data"] = images
         r = requests.post(
-            self.base_url + "/generate",
-            json={"text": prompt, "sampling_params": sp, "user_id": user_id},
-            timeout=600,
+            self.base_url + "/generate", json=payload, timeout=600,
         )
         r.raise_for_status()
         return r.json()["text"]
@@ -121,6 +139,7 @@ class ProgramState:
         self.user_id = user_id
         self.text_ = ""
         self.variables: Dict[str, str] = {}
+        self.images: List[Any] = []
 
     # s += <expr>
     def __iadd__(self, other):
@@ -130,6 +149,9 @@ class ProgramState:
     def _append(self, other) -> None:
         if isinstance(other, str):
             self.text_ += other
+        elif isinstance(other, SglImage):
+            self.images.append(other.data)
+            self.text_ += "<image>"
         elif isinstance(other, SglGen):
             self._run_gen(other)
         elif isinstance(other, SglSelect):
@@ -158,7 +180,8 @@ class ProgramState:
             sp["regex"] = g.regex
         if g.json_schema:
             sp["json_schema"] = g.json_schema
-        out = self.backend.generate(self.text_, sp, self.user_id)
+        out = self.backend.generate(self.text_, sp, self.user_id,
+                                    images=self.images or None)
         if g.name:
             self.variables[g.name] = out
         self.text_ += out
@@ -194,6 +217,7 @@ class ProgramState:
             st = ProgramState(self.backend, self.user_id)
             st.text_ = self.text_
             st.variables = dict(self.variables)
+            st.images = list(self.images)
             out.append(st)
         return out
 

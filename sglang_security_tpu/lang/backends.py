@@ -30,7 +30,8 @@ class OpenAIBackend:
         return {"Authorization": f"Bearer {self.api_key}",
                 "Content-Type": "application/json"}
 
-    def generate(self, prompt: str, sp: dict, user_id=None) -> str:
+    def generate(self, prompt: str, sp: dict, user_id=None,
+                 images=None) -> str:
         import requests
 
         common = {
@@ -76,7 +77,8 @@ class AnthropicBackend:
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
 
-    def generate(self, prompt: str, sp: dict, user_id=None) -> str:
+    def generate(self, prompt: str, sp: dict, user_id=None,
+                 images=None) -> str:
         import requests
 
         r = requests.post(

@@ -172,3 +172,36 @@ def test_openai_backend_against_own_server(engine, tmp_path):
     )
     assert isinstance(st["out"], str)
     loop_holder["loop"].call_soon_threadsafe(loop_holder["loop"].stop)
+
+
+def test_image_in_program(tmp_path_factory):
+    """sgl.image feeds the multimodal engine path (reference
+    lang/api.py sgl.image)."""
+    import numpy as np
+
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llava
+
+    path = str(tmp_path_factory.mktemp("tiny_dsl_mm") / "llava")
+    make_tiny_llava(path)
+    eng = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=4096,
+        page_size=8, prefill_token_buckets=[128, 256],
+        decode_bs_buckets=[1], max_seq_pages_buckets=[32],
+        random_seed=0, enable_warmup=False, log_level="warning",
+    ))
+    try:
+        img = np.random.default_rng(0).integers(
+            0, 255, (24, 24, 3), dtype=np.uint8
+        )
+
+        @sgl.function
+        def prog(s):
+            s += sgl.user("describe ", sgl.image(img))
+            s += sgl.gen("desc", max_tokens=4, ignore_eos=True)
+
+        st = prog.run(backend=sgl.EngineBackend(eng))
+        assert isinstance(st["desc"], str) and "<image>" in st.text()
+    finally:
+        eng.shutdown()
