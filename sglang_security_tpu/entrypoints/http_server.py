@@ -270,7 +270,7 @@ class HttpServer:
 
     async def _chat_payload(self, req: ChatCompletionRequest) -> dict:
         tokenizer = self.engine.tokenizer_manager.tokenizer
-        gri = chat_to_gri(req, tokenizer)
+        gri = chat_to_gri(req, tokenizer, self.engine.server_args)
         model = req.model or self.engine.server_args.served_model_name
         rid = f"chatcmpl-{uuid.uuid4().hex}"
         if req.n > 1:
@@ -328,7 +328,7 @@ class HttpServer:
         if not req.stream:
             return web.json_response(await self._chat_payload(req))
         tokenizer = self.engine.tokenizer_manager.tokenizer
-        gri = chat_to_gri(req, tokenizer)
+        gri = chat_to_gri(req, tokenizer, self.engine.server_args)
         model = req.model or self.engine.server_args.served_model_name
         rid = f"chatcmpl-{uuid.uuid4().hex}"
         resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})

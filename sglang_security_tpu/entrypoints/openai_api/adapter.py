@@ -61,11 +61,14 @@ def completion_to_gri(req: CompletionRequest) -> GenerateReqInput:
     )
 
 
-def build_chat_prompt(tokenizer, req: ChatCompletionRequest):
+def build_chat_prompt(tokenizer, req: ChatCompletionRequest,
+                      server_args=None):
     """Returns (prompt_text, images): image_url content parts become
     ``<image>`` placeholders in the text (the served VLM's tokenizer maps
     them to its image token) and the image payloads are collected in
-    order (reference v1_chat_generate_request image handling)."""
+    order (reference v1_chat_generate_request image handling).
+    --chat-template (registry name or .jinja path) overrides the
+    tokenizer's own template."""
     images = []
     messages = []
     for m in req.messages:
@@ -74,6 +77,14 @@ def build_chat_prompt(tokenizer, req: ChatCompletionRequest):
         else:
             content = _flatten_content(m.content, images)
         messages.append({"role": m.role, "content": content})
+    if server_args is not None and server_args.chat_template:
+        from sglang_security_tpu.entrypoints.openai_api.chat_templates import (
+            apply_server_template,
+        )
+
+        rendered = apply_server_template(server_args, tokenizer, messages)
+        if rendered is not None:
+            return rendered, images
     if tokenizer is not None and getattr(tokenizer, "chat_template", None):
         try:
             return tokenizer.apply_chat_template(
@@ -106,8 +117,9 @@ def _flatten_content(content, images=None) -> str:
     return "\n".join(out)
 
 
-def chat_to_gri(req: ChatCompletionRequest, tokenizer) -> GenerateReqInput:
-    prompt, images = build_chat_prompt(tokenizer, req)
+def chat_to_gri(req: ChatCompletionRequest, tokenizer,
+                server_args=None) -> GenerateReqInput:
+    prompt, images = build_chat_prompt(tokenizer, req, server_args)
     max_tokens = req.max_completion_tokens or req.max_tokens or 512
     json_schema = None
     if req.response_format and req.response_format.type == "json_schema":

@@ -976,7 +976,10 @@ class Scheduler:
 
     def _maybe_retract(self, steps: int = 1) -> None:
         """Reference retract_decode (schedule_batch.py:1352): if the pool
-        cannot hold this step's new pages, push newest requests back."""
+        cannot hold this step's new pages, push newest requests back.
+        ``retract_decode_steps`` reserves headroom for that many future
+        decode steps so one retract buys a while without thrash."""
+        steps = max(steps, self.server_args.retract_decode_steps)
         while self.running:
             need = sum(
                 cdiv(r.seq_len - 1 + steps, self.page_size) - len(r.pages)

@@ -31,6 +31,7 @@ class ServerArgs:
     model_path: str = ""
     tokenizer_path: Optional[str] = None
     tokenizer_mode: str = "auto"
+    chat_template: Optional[str] = None  # named template or .jinja path
     load_format: str = "auto"  # auto | safetensors | dummy
     trust_remote_code: bool = False
     dtype: str = "bfloat16"  # activation dtype: bfloat16 | float32
