@@ -190,7 +190,7 @@ class HttpServer:
 
     # --------------------------------------------------------- OpenAI APIs
     async def _completion_payload(self, req: CompletionRequest) -> dict:
-        gri = completion_to_gri(req)
+        gri = completion_to_gri(req, self.engine.server_args)
         model = req.model or self.engine.server_args.served_model_name
         if req.n > 1:
             # n samples per prompt = n batched engine requests
@@ -231,7 +231,7 @@ class HttpServer:
         req = CompletionRequest(**body)
         if not req.stream:
             return web.json_response(await self._completion_payload(req))
-        gri = completion_to_gri(req)
+        gri = completion_to_gri(req, self.engine.server_args)
         model = req.model or self.engine.server_args.served_model_name
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream"}

@@ -19,7 +19,8 @@ from sglang_security_tpu.managers.io_struct import GenerateReqInput
 logger = logging.getLogger(__name__)
 
 
-def completion_to_gri(req: CompletionRequest) -> GenerateReqInput:
+def completion_to_gri(req: CompletionRequest,
+                      server_args=None) -> GenerateReqInput:
     sp = {
         "max_new_tokens": req.max_tokens,
         "temperature": req.temperature,
@@ -38,6 +39,19 @@ def completion_to_gri(req: CompletionRequest) -> GenerateReqInput:
                        for k, v in (req.logit_bias or {}).items()} or None,
     }
     prompt = req.prompt
+    if req.suffix and isinstance(prompt, str):
+        # FIM code completion (reference code_completion_parser.py)
+        from sglang_security_tpu.entrypoints.openai_api.completion_templates import (
+            build_fim_prompt,
+            load_completion_template,
+        )
+
+        name = None
+        if server_args is not None and server_args.completion_template:
+            name = load_completion_template(
+                server_args.completion_template
+            )
+        prompt = build_fim_prompt(name, prompt, req.suffix)
     text = None
     input_ids = None
     if isinstance(prompt, str):

@@ -32,6 +32,7 @@ class ServerArgs:
     tokenizer_path: Optional[str] = None
     tokenizer_mode: str = "auto"
     chat_template: Optional[str] = None  # named template or .jinja path
+    completion_template: Optional[str] = None  # FIM template name/json
     load_format: str = "auto"  # auto | safetensors | dummy
     trust_remote_code: bool = False
     dtype: str = "bfloat16"  # activation dtype: bfloat16 | float32

@@ -93,3 +93,53 @@ def test_end_to_end_chat_with_named_template(tmp_path_factory):
     gri = chat_to_gri(req, tokenizer=None, server_args=Args())
     assert gri.text.startswith("<|begin_of_text|>")
     assert "ping" in gri.text
+
+
+def test_fim_completion_templates():
+    from sglang_security_tpu.entrypoints.openai_api.completion_templates import (
+        build_fim_prompt,
+        load_completion_template,
+    )
+
+    out = build_fim_prompt("deepseek-coder", "def f(:", "return 1")
+    assert out == "<|fim▁begin|>def f(:<|fim▁hole|>return 1<|fim▁end|>"
+    out = build_fim_prompt("starcoder", "A", "B")
+    assert out == "<fim_prefix>A<fim_suffix>B<fim_middle>"
+    with pytest.raises(ValueError, match="completion-template"):
+        build_fim_prompt(None, "a", "b")
+    assert load_completion_template("codellama") == "codellama"
+
+
+def test_fim_custom_json(tmp_path):
+    import json as _json
+
+    from sglang_security_tpu.entrypoints.openai_api.completion_templates import (
+        build_fim_prompt,
+        load_completion_template,
+    )
+
+    f = tmp_path / "fim.json"
+    f.write_text(_json.dumps({
+        "name": "custom", "fim_begin_token": "<B>",
+        "fim_middle_token": "<M>", "fim_end_token": "<E>",
+        "fim_position": "MIDDLE",
+    }))
+    assert load_completion_template(str(f)) == "custom"
+    assert build_fim_prompt("custom", "p", "s") == "<B>p<M>s<E>"
+
+
+def test_fim_through_adapter():
+    from sglang_security_tpu.entrypoints.openai_api.adapter import (
+        completion_to_gri,
+    )
+    from sglang_security_tpu.entrypoints.openai_api.protocol import (
+        CompletionRequest,
+    )
+
+    class Args:
+        completion_template = "starcoder"
+
+    req = CompletionRequest(model="x", prompt="front", suffix="back",
+                            max_tokens=4)
+    gri = completion_to_gri(req, Args())
+    assert gri.text == "<fim_prefix>front<fim_suffix>back<fim_middle>"
