@@ -45,6 +45,18 @@ class HttpServer:
         r.add_get("/health", self.health)
         r.add_get("/health_generate", self.health_generate)
         r.add_get("/get_server_info", self.server_info)
+        r.add_get("/get_model_info", self.model_info)
+        r.add_get("/get_load", self.get_load)
+        r.add_post("/classify", self.classify)
+        r.add_post("/generate_from_file", self.generate_from_file)
+        r.add_post("/parse_function_call", self.parse_function_call)
+        r.add_post("/separate_reasoning", self.separate_reasoning)
+        r.add_post("/start_expert_distribution_record",
+                   self.start_expert_record)
+        r.add_post("/stop_expert_distribution_record",
+                   self.stop_expert_record)
+        r.add_post("/dump_expert_distribution_record",
+                   self.dump_expert_record)
         r.add_get("/v1/models", self.models)
         r.add_post("/generate", self.generate)
         r.add_post("/v1/completions", self.v1_completions)
@@ -136,6 +148,108 @@ class HttpServer:
         info = self.engine.get_server_info()
         info["uptime"] = time.time() - self.start_time
         return web.json_response(info)
+
+    async def model_info(self, request):
+        sa = self.engine.server_args
+        return web.json_response({
+            "model_path": sa.model_path,
+            "tokenizer_path": sa.tokenizer_path,
+            "is_generation": not sa.is_embedding,
+        })
+
+    async def get_load(self, request):
+        loads = [
+            {
+                "num_running_reqs": len(s.running),
+                "num_waiting_reqs": len(s.waiting),
+                "num_tokens_in_cache": sum(
+                    c.total_pages() * s.page_size for c in s.tree_caches
+                ),
+            }
+            for s in self.engine.schedulers
+        ]
+        return web.json_response(loads)
+
+    async def classify(self, request):
+        """Reward / sequence-classification scores via the pooling path
+        (reference /classify); the served model's pool() head defines
+        the output."""
+        body = await request.json()
+        res = await self._run(
+            self.engine.encode, body.get("text"), body.get("input_ids")
+        )
+        if isinstance(res, list):
+            return web.json_response(
+                [{"scores": r["embedding"]} for r in res]
+            )
+        return web.json_response({"scores": res["embedding"]})
+
+    async def generate_from_file(self, request):
+        """Run /generate with the prompt read from an uploaded file id
+        (reference generate_from_file)."""
+        body = await request.json()
+        content = self.files.content(body["file_id"])
+        if content is None:
+            return web.json_response({"error": "file not found"},
+                                     status=404)
+        out = await self._run(
+            self.engine.generate,
+            prompt=content.decode(),
+            sampling_params=body.get("sampling_params"),
+            user_id=body.get("user_id"),
+        )
+        return web.json_response(out)
+
+    async def parse_function_call(self, request):
+        from sglang_security_tpu.function_call import FunctionCallParser
+
+        body = await request.json()
+        normal, calls = FunctionCallParser(
+            body.get("tool_call_parser") or "auto"
+        ).parse(body["text"])
+        return web.json_response({
+            "normal_text": normal,
+            "calls": [
+                {"name": c.name, "parameters": c.arguments} for c in calls
+            ],
+        })
+
+    async def separate_reasoning(self, request):
+        from sglang_security_tpu.function_call.reasoning_parser import (
+            ReasoningParser,
+        )
+
+        body = await request.json()
+        reasoning, normal = ReasoningParser(
+            body.get("reasoning_parser", "deepseek-r1")
+        ).parse_non_stream(body["text"])
+        return web.json_response({
+            "reasoning_text": reasoning,
+            "text": normal,
+        })
+
+    def _eplb_recorder(self):
+        rec = self.engine.model_runner.eplb_recorder
+        if rec is None:
+            raise ValueError(
+                "pass --enable-expert-distribution-recorder (MoE models)"
+            )
+        return rec
+
+    async def start_expert_record(self, request):
+        self._eplb_recorder().recording = True
+        return web.json_response({"success": True})
+
+    async def stop_expert_record(self, request):
+        self._eplb_recorder().recording = False
+        return web.json_response({"success": True})
+
+    async def dump_expert_record(self, request):
+        rec = self._eplb_recorder()
+        return web.json_response({
+            "logical_count": rec.dump().tolist(),
+            "num_passes": rec.num_passes,
+        })
 
     async def models(self, request):
         name = self.engine.server_args.served_model_name

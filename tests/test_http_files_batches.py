@@ -138,3 +138,38 @@ def test_batch_bad_endpoint_rejected(server):
         timeout=10,
     )
     assert r.status_code == 400
+
+
+def test_info_load_parse_endpoints(server):
+    r = requests.get(server + "/get_model_info", timeout=10).json()
+    assert "model_path" in r and r["is_generation"] is True
+    loads = requests.get(server + "/get_load", timeout=10).json()
+    assert loads and "num_running_reqs" in loads[0]
+
+    r = requests.post(server + "/parse_function_call", json={
+        "text": '<tool_call>{"name": "get_weather", '
+                '"arguments": {"city": "Paris"}}</tool_call>',
+    }, timeout=10).json()
+    assert r["calls"] and r["calls"][0]["name"] == "get_weather"
+
+    r = requests.post(server + "/separate_reasoning", json={
+        "text": "I think hard.</think>The answer is 4.",
+        "reasoning_parser": "deepseek-r1",
+    }, timeout=10).json()
+    assert r["text"].strip() == "The answer is 4."
+    assert "think hard" in r["reasoning_text"]
+
+
+def test_generate_from_file(server):
+    fid = requests.post(
+        server + "/v1/files",
+        files={"file": ("p.txt", b"the quick brown fox")},
+        data={"purpose": "batch"},
+        timeout=10,
+    ).json()["id"]
+    r = requests.post(server + "/generate_from_file", json={
+        "file_id": fid,
+        "sampling_params": {"max_new_tokens": 4, "temperature": 0.0,
+                            "ignore_eos": True},
+    }, timeout=120).json()
+    assert r["meta_info"]["completion_tokens"] == 4
