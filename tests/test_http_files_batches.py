@@ -9,7 +9,18 @@ import pytest
 
 requests = pytest.importorskip("requests")
 
-PORT = 31157
+import socket as _socket
+
+
+def _free_port():
+    sk = _socket.socket()
+    sk.bind(("127.0.0.1", 0))
+    p = sk.getsockname()[1]
+    sk.close()
+    return p
+
+
+PORT = _free_port()
 BASE = f"http://127.0.0.1:{PORT}"
 
 
@@ -49,7 +60,7 @@ def server(tmp_path_factory):
 
     t = threading.Thread(target=serve, daemon=True)
     t.start()
-    deadline = time.time() + 15
+    deadline = time.time() + 60
     while time.time() < deadline:
         try:
             requests.get(BASE + "/health", timeout=1)

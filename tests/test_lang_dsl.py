@@ -137,6 +137,12 @@ def test_openai_backend_against_own_server(engine, tmp_path):
     except ImportError:
         pytest.skip("aiohttp not available")
 
+    import socket as _socket
+
+    sk = _socket.socket()
+    sk.bind(("127.0.0.1", 0))
+    port = sk.getsockname()[1]
+    sk.close()
     app = build_app(engine)
     runner = web.AppRunner(app)
     loop_holder = {}
@@ -148,16 +154,16 @@ def test_openai_backend_against_own_server(engine, tmp_path):
         asyncio.set_event_loop(loop)
         loop_holder["loop"] = loop
         loop.run_until_complete(runner.setup())
-        site = web.TCPSite(runner, "127.0.0.1", 31123)
+        site = web.TCPSite(runner, "127.0.0.1", port)
         loop.run_until_complete(site.start())
         loop.run_forever()
 
     t = threading.Thread(target=serve, daemon=True)
     t.start()
-    deadline = time.time() + 15
+    deadline = time.time() + 60
     while time.time() < deadline:
         try:
-            requests.get("http://127.0.0.1:31123/health", timeout=1)
+            requests.get(f"http://127.0.0.1:{port}/health", timeout=1)
             break
         except Exception:
             time.sleep(0.2)
@@ -168,7 +174,7 @@ def test_openai_backend_against_own_server(engine, tmp_path):
         s += sgl.gen("out", max_tokens=4, ignore_eos=True)
 
     st = prog.run(
-        backend=sgl.OpenAIBackend("http://127.0.0.1:31123", chat=False)
+        backend=sgl.OpenAIBackend(f"http://127.0.0.1:{port}", chat=False)
     )
     assert isinstance(st["out"], str)
     loop_holder["loop"].call_soon_threadsafe(loop_holder["loop"].stop)

@@ -7,7 +7,18 @@ import pytest
 
 requests = pytest.importorskip("requests")
 
-PORT = 31177
+import socket as _socket
+
+
+def _free_port():
+    sk = _socket.socket()
+    sk.bind(("127.0.0.1", 0))
+    p = sk.getsockname()[1]
+    sk.close()
+    return p
+
+
+PORT = _free_port()
 BASE = f"http://127.0.0.1:{PORT}"
 
 
@@ -46,7 +57,7 @@ def server(tmp_path_factory):
         loop.run_forever()
 
     threading.Thread(target=serve, daemon=True).start()
-    deadline = time.time() + 15
+    deadline = time.time() + 60
     while time.time() < deadline:
         try:
             requests.get(BASE + "/health", timeout=1)
