@@ -40,8 +40,8 @@ class LoRAManager:
                  max_rank: int = 64, dtype=None):
         import jax.numpy as jnp
 
-        assert model.tp_size == 1, "LoRA with TP>1 not yet supported"
         self.model = model
+        self.tp_size = model.tp_size
         self.config = config
         self.max_slots = max_loras_per_batch
         self.max_rank = max_rank
@@ -194,8 +194,8 @@ class LoRAManager:
                     if a is not None and b is not None:
                         A[li, :, :r] = np.asarray(a).T
                         B[li, :r, :] = np.asarray(b).T
-            import jax
-
+            if self.tp_size > 1 and target in ("qkv", "gate_up"):
+                B = B[:, :, self._merged_col_perm(target)]
             self.pool[target]["A"] = (
                 self.pool[target]["A"].at[slot].set(jnp.asarray(A, self.dtype))
             )
@@ -203,6 +203,45 @@ class LoRAManager:
                 self.pool[target]["B"].at[slot].set(jnp.asarray(B, self.dtype))
             )
         logger.info("loaded LoRA %s into slot %d (r=%d)", lora_path, slot, r)
+
+    def _merged_col_perm(self, target: str) -> np.ndarray:
+        """Column permutation putting a merged projection's GLOBAL
+        [w0 | w1 | ...] layout into the base's per-shard interleaved
+        order (layers/linear.py merge_for_tp), so contiguous
+        tp-sharding of B's N dim matches the base weight shards."""
+        cfg = self.config
+        hd = cfg.head_dim
+        if target == "qkv":
+            widths = (cfg.num_q_heads * hd, cfg.num_kv_heads * hd,
+                      cfg.num_kv_heads * hd)
+        else:  # gate_up
+            widths = (cfg.intermediate_size, cfg.intermediate_size)
+        offs = np.cumsum((0,) + widths)[:-1]
+        perm = []
+        for sshard in range(self.tp_size):
+            for off, w in zip(offs, widths):
+                n = w // self.tp_size
+                perm.extend(range(off + sshard * n, off + (sshard + 1) * n))
+        return np.asarray(perm)
+
+    def lora_pspecs(self):
+        """PartitionSpecs for step_params() under a tp mesh: merged
+        column-parallel targets shard B's output columns (interleaved
+        at load to match the base shards); row-parallel targets shard
+        A's input dim — the partial [T, r] products sum in the layer's
+        existing output psum."""
+        from jax.sharding import PartitionSpec as P
+
+        specs = {}
+        for t in TARGETS:
+            if t in ("qkv", "gate_up"):
+                specs[t] = {"A": P(None, None, None, None),
+                            "B": P(None, None, None, "tp")}
+            else:  # o, down
+                specs[t] = {"A": P(None, None, "tp", None),
+                            "B": P(None, None, None, None)}
+        specs["scale"] = P()
+        return specs
 
     # --------------------------------------------------------- step input
     def step_params(self):

@@ -481,7 +481,7 @@ class ModelRunner:
         )
 
     def _shard_step(self, step, out_specs=None, fb_argnum=3,
-                    extra_specs=None):
+                    extra_specs=None, lora_argnum=None):
         """Wrap a step function in shard_map over the runner's mesh: params
         and KV arrive pre-sharded (TP; dp-attention also shards the KV
         token dim and the ForwardBatch rows), everything else is
@@ -504,6 +504,13 @@ class ModelRunner:
             if extra_specs:
                 for argnum, spec in extra_specs.items():
                     in_specs[argnum] = spec
+            if (
+                lora_argnum is not None
+                and lora_argnum < n_in
+                and args[lora_argnum] is not None
+                and self.lora_manager is not None
+            ):
+                in_specs[lora_argnum] = self.lora_manager.lora_pspecs()
             return shard_map(
                 step,
                 mesh=self.mesh,
@@ -607,7 +614,7 @@ class ModelRunner:
             assert not eagle and not prompt_lp, (
                 "EAGLE/prompt-logprobs + mesh not wired yet"
             )
-            step = self._shard_step(step)
+            step = self._shard_step(step, lora_argnum=9)
         # donate the KV pool (1, 2), penalty counts (7), feature table (11)
         donate = (1, 2, 7, 11) if eagle else (1, 2, 7)
         fn = jax.jit(step, donate_argnums=donate)
@@ -854,7 +861,7 @@ class ModelRunner:
                 extra = {4: P("dp"), 5: P(None, "dp"), 6: P("dp"),
                          7: P("dp", None)}
             multi = self._shard_step(multi, fb_argnum=None,
-                                     extra_specs=extra)
+                                     extra_specs=extra, lora_argnum=12)
         fn = jax.jit(multi, donate_argnums=(1, 2, 10))
         self._step_cache[key] = fn
         logger.info(

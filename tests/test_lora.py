@@ -136,3 +136,34 @@ def test_mixed_batch_two_adapters(tmp_path_factory):
         assert solo1["output_ids"] != solo2["output_ids"]
     finally:
         eng.shutdown()
+
+
+def test_lora_under_tp2(tmp_path_factory):
+    """LoRA with tensor parallelism: merged-target B columns are
+    interleave-sharded like the base weights, row-parallel A shards
+    ride the layer psum — outputs must equal the tp=1 adapter run."""
+    base_dir = str(tmp_path_factory.mktemp("lora_tp") / "base")
+    adapter_dir = str(tmp_path_factory.mktemp("lora_tp") / "adapter")
+    make_tiny_llama(base_dir)
+    make_adapter(adapter_dir, TINY_LLAMA_CONFIG)
+    prompt = list(range(30, 50))
+
+    eng = engine_for(base_dir)
+    try:
+        ref = eng.generate(
+            input_ids=prompt, sampling_params=SP, lora_path=adapter_dir
+        )
+    finally:
+        eng.shutdown()
+
+    eng = engine_for(base_dir, tp_size=2)
+    try:
+        out = eng.generate(
+            input_ids=prompt, sampling_params=SP, lora_path=adapter_dir
+        )
+        assert out["output_ids"] == ref["output_ids"]
+        # base requests on the same engine stay un-adapted
+        base_out = eng.generate(input_ids=prompt, sampling_params=SP)
+        assert base_out["output_ids"] != ref["output_ids"]
+    finally:
+        eng.shutdown()
