@@ -611,10 +611,19 @@ class ModelRunner:
             return tokens, logprobs, k_pages, v_pages, counts
 
         if self.mesh is not None:
-            assert not eagle and not prompt_lp, (
-                "EAGLE/prompt-logprobs + mesh not wired yet"
-            )
-            step = self._shard_step(step, lora_argnum=9)
+            from jax.sharding import PartitionSpec as P
+
+            out_specs = None
+            if eagle:
+                # (+ ft, x_all): the feature table and all-row hidden
+                # states are replicated (attention output is psum'd)
+                out_specs = (P(), P(), self._kv_pspec, self._kv_pspec,
+                             P(), P(), P())
+            elif prompt_lp:
+                out_specs = (P(), P(), self._kv_pspec, self._kv_pspec,
+                             P(), P())
+            step = self._shard_step(step, out_specs=out_specs,
+                                    lora_argnum=9)
         # donate the KV pool (1, 2), penalty counts (7), feature table (11)
         donate = (1, 2, 7, 11) if eagle else (1, 2, 7)
         fn = jax.jit(step, donate_argnums=donate)

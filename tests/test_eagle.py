@@ -107,3 +107,14 @@ def test_eagle_oracle_draft_accept_length(tiny, ref_outputs):
     assert got == ref_outputs
     avg = sched.spec_accept_sum / sched.spec_verify_count
     assert avg > 1.9, avg
+
+
+def test_eagle_under_tp2(tiny, ref_outputs):
+    """EAGLE speculative decoding on a tp=2 mesh: greedy outputs stay
+    lossless and match the non-speculative reference."""
+    eng = _engine(tiny, speculative_algorithm="EAGLE", tp_size=2)
+    try:
+        outs = eng.generate(prompt=PROMPTS, sampling_params=SP)
+        assert [o["output_ids"] for o in outs] == ref_outputs
+    finally:
+        eng.shutdown()
