@@ -139,3 +139,29 @@ def test_prompt_logprobs_chunked_prefill(tmp_path_factory):
     chunked = run(32)  # 70 tokens -> 3 chunks
     assert len(whole) == len(ids) - 1
     np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-5)
+
+
+def test_prompt_logprobs_under_tp2(tmp_path_factory):
+    """Prompt logprobs run under the tp mesh (chunked logit blocks ride
+    sharding propagation) and match the single-device values."""
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    path = str(tmp_path_factory.mktemp("tiny_lp_tp") / "llama")
+    make_tiny_llama(path)
+    ids = [3, 17, 93, 203, 44, 150, 7, 77, 31]
+    sp = {"temperature": 0.0, "max_new_tokens": 1, "ignore_eos": True,
+          "logprob_start_len": 0}
+    res = {}
+    for tp in (1, 2):
+        e = Engine(ServerArgs(
+            model_path=path, dtype="float32", max_total_tokens=1024,
+            page_size=8, prefill_token_buckets=[64], decode_bs_buckets=[1],
+            max_seq_pages_buckets=[8], random_seed=0, enable_warmup=False,
+            log_level="warning", tp_size=tp))
+        out = e.generate(input_ids=ids, sampling_params=sp,
+                         return_logprob=True)
+        res[tp] = out["meta_info"]["input_token_logprobs"]
+        e.shutdown()
+    np.testing.assert_allclose(res[1], res[2], rtol=1e-4, atol=1e-5)
