@@ -178,7 +178,15 @@ def _int4_kernel(
 
     x = x_ref[...]
     groups_per_half = max(half // group_size, 1)
+    # VPU budget note: the scale term  Σ_g s_g ⊙ d_g  is inherently
+    # elementwise (s varies over both g and n), but the zero-point term
+    #   Σ_g (s_g z_g) ⊙ Σx|_g  ==  [M, Gb] xsums · [Gb, BN] (s·z)
+    # is a tiny MXU matmul — hoisting it out of the group loop removes
+    # ~half the per-group [BM, BN] VPU traffic that made the kernel
+    # VPU-bound (~33% MXU at decode M=128; see PERF_NOTES round 2).
     acc = None
+    xsums = []
+    szs = []
     for part, w_q in ((0, lo), (1, hi)):
         for g in range(groups_per_half):
             if half % group_size == 0:
@@ -192,7 +200,6 @@ def _int4_kernel(
             q_g = w_q[lo_r:hi_r, :]
             x_g = x[:, part * half + lo_r : part * half + hi_r]
             s = s_ref[row, :][None, :]
-            z = z_ref[row, :][None, :]
             if act_int8:
                 d = lax.dot_general(
                     x_g,
@@ -213,9 +220,17 @@ def _int4_kernel(
                 xsum = jnp.sum(
                     x_g.astype(jnp.float32), axis=1, keepdims=True
                 )
-            term = (d - xsum * z) * s
+            xsums.append(xsum)
+            szs.append(s_ref[row, :] * z_ref[row, :])
+            term = d * s
             acc = term if acc is None else acc + term
-    acc_ref[...] += acc
+    zero_fix = lax.dot_general(
+        jnp.concatenate(xsums, axis=1),          # [BM, Gb]
+        jnp.stack(szs, axis=0),                  # [Gb, BN]
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] += acc - zero_fix
 
     @pl.when(k == nk - 1)
     def _store():
