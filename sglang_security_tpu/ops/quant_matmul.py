@@ -184,19 +184,42 @@ def _int4_kernel(
     # is a tiny MXU matmul — hoisting it out of the group loop removes
     # ~half the per-group [BM, BN] VPU traffic that made the kernel
     # VPU-bound (~33% MXU at decode M=128; see PERF_NOTES round 2).
+    # group sums as ONE MXU dot: xsums [BM, Gb] = x · E where
+    # E[kk, g] = 1 iff column kk belongs to quant group g (the block's
+    # groups laid out [lo-half groups..., hi-half groups...] to match
+    # the loop order below)
+    Gb = 2 * groups_per_half
+    gsz = min(group_size, half)
+    col_group = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_k, Gb), 0) // gsz
+    )
+    ind = (
+        col_group == jax.lax.broadcasted_iota(jnp.int32, (block_k, Gb), 1)
+    )
+    if act_int8:
+        xsums = lax.dot_general(
+            x, ind.astype(jnp.int8),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        xsums = lax.dot_general(
+            x, ind.astype(x.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     acc = None
-    xsums = []
     szs = []
     for part, w_q in ((0, lo), (1, hi)):
         for g in range(groups_per_half):
             if half % group_size == 0:
                 row = k * (block_k // group_size) + part * groups_per_half + g
-                lo_r, hi_r = g * group_size, (g + 1) * group_size
             else:
                 # group >= half-block: the half lies inside one quant group
                 assert group_size % half == 0, (group_size, half)
                 row = (k * block_k + part * half) // group_size
-                lo_r, hi_r = 0, half
+            lo_r, hi_r = g * gsz, (g + 1) * gsz
             q_g = w_q[lo_r:hi_r, :]
             x_g = x[:, part * half + lo_r : part * half + hi_r]
             s = s_ref[row, :][None, :]
@@ -207,9 +230,6 @@ def _int4_kernel(
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32)
-                xsum = jnp.sum(
-                    x_g.astype(jnp.int32), axis=1, keepdims=True
-                ).astype(jnp.float32)
             else:
                 d = lax.dot_general(
                     x_g,
@@ -217,15 +237,11 @@ def _int4_kernel(
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                xsum = jnp.sum(
-                    x_g.astype(jnp.float32), axis=1, keepdims=True
-                )
-            xsums.append(xsum)
             szs.append(s_ref[row, :] * z_ref[row, :])
             term = d * s
             acc = term if acc is None else acc + term
     zero_fix = lax.dot_general(
-        jnp.concatenate(xsums, axis=1),          # [BM, Gb]
+        xsums,                                   # [BM, Gb]
         jnp.stack(szs, axis=0),                  # [Gb, BN]
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
