@@ -126,18 +126,38 @@ def run_workload(gen_fn, plans, turns):
     # the PII region of the prefix).
     # the diverging suffix matters: a prompt equal to the cached prefix
     # is never 100% matched (>=1 token must be computed), which would
-    # under-measure the public head by one page
-    base = gen_fn(
-        SYSTEM_PROMPT + "\nUser: baseline cache probe\nAssistant:",
-        "prober-base",
-    )
-    public_head = base.get("cached_tokens", 0)
+    # under-measure the public head by one page.
+    # Privacy verdicts land asynchronously, so the public head GROWS for
+    # a while after the workload: a single baseline taken too early
+    # undercounts the legitimate public span and every later probe would
+    # read as a "leak".  Settle first (fresh user per probe -- a reused
+    # prober would hit its own private insertions), then compare probes
+    # against the max of the settled and a post-probe baseline.  True
+    # leaks still show: a PII page served cross-user sits past the
+    # shared head, so it exceeds both baselines (sensitivity is one
+    # page: a leak of only the boundary page may hide under the head).
+    def _head(tag):
+        meta = gen_fn(
+            SYSTEM_PROMPT + "\nUser: baseline cache probe\nAssistant:",
+            f"prober-base-{tag}",
+        )
+        return meta.get("cached_tokens", 0)
+
+    head = _head(0)
+    for j in range(1, 16):
+        time.sleep(0.25)
+        nxt = _head(j)
+        if nxt == head:
+            break
+        head = nxt
+    probe_hits = []
     for i, p in enumerate(plans):
         if not p["pii"]:
             continue
         meta = gen_fn(p["prefix"], f"prober{i}")
-        if meta.get("cached_tokens", 0) > public_head:
-            cross_leaks += 1
+        probe_hits.append((i, meta.get("cached_tokens", 0)))
+    public_head = max(head, _head("final"))
+    cross_leaks = sum(1 for _, c in probe_hits if c > public_head)
 
     ttfts.sort()
     return {
@@ -149,6 +169,8 @@ def run_workload(gen_fn, plans, turns):
         if ttfts else 0,
         "intra_user_hit_rate": round(intra_hits / max(intra_total, 1), 3),
         "pii_sessions": sum(1 for p in plans if p["pii"]),
+        "public_head_tokens": public_head,
+        "probe_cached_tokens": probe_hits,
         "cross_user_pii_leaks": cross_leaks,
     }
 

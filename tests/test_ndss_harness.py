@@ -56,8 +56,6 @@ def safekv_engine(tmp_path_factory):
 
 
 def test_multiuser_rewrite_workload(safekv_engine):
-    import time
-
     from client_multiuser_rewrite import build_sessions, run_workload
 
     def gen(text, user_id):
@@ -70,9 +68,8 @@ def test_multiuser_rewrite_workload(safekv_engine):
 
     plans = build_sessions(users=3, sessions_per_user=2, turns=3,
                            pii_fraction=0.5, seed=0)
+    # run_workload settles async privacy verdicts before its leak probes
     result = run_workload(gen, plans, turns=3)
-    # give async privacy verdicts a moment, then re-probe for leaks
-    time.sleep(0.5)
     assert result["requests"] == sum(min(3, len(p["turns"])) for p in plans)
     assert result["cross_user_pii_leaks"] == 0, result
     # sessions grow monotonically, so later turns must reuse the prefix
