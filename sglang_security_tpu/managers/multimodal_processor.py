@@ -38,10 +38,12 @@ _IM_HASH_WINDOW = 1 << 24
 class MultimodalDataItem:
     """One processed image (reference MultimodalDataItem)."""
 
-    pixel_values: np.ndarray  # [3, S, S] float32, normalized
+    pixel_values: np.ndarray  # [3, S, S] f32, or [n_patches, pd] (Qwen-VL)
     hash: int  # content hash (feature-cache key)
     num_tokens: int  # language-model tokens this image expands to
     offset: int = -1  # first token index in the expanded prompt
+    grid_thw: Optional[tuple] = None  # (t, h, w) patch grid (Qwen-VL)
+    vis_meta: Optional[dict] = None  # qwen_vision_metadata (Qwen-VL)
 
     def pad_ids(self) -> List[int]:
         h = IM_TOKEN_BASE + (self.hash % _IM_HASH_WINDOW)
@@ -170,6 +172,153 @@ class ImageProcessor:
         return out, mm
 
 
+class Qwen2VLImageProcessor(ImageProcessor):
+    """Qwen2-VL / Qwen2.5-VL dynamic-resolution processing (HF
+    ``Qwen2VLImageProcessor``): smart-resize to multiples of
+    patch*merge keeping total pixels within [min_pixels, max_pixels],
+    flatten to conv3d patches in merged-block order, and emit the
+    (t, h, w) grid the vision tower and M-RoPE need.  Resampling is
+    numpy bilinear (the HF default is PIL bicubic — an image-decode
+    detail, not architecture).  tokens per image = t*h*w / merge^2."""
+
+    def __init__(self, vision_config: dict, image_token_id: int,
+                 mean=None, std=None, min_pixels: int = 56 * 56,
+                 max_pixels: int = 28 * 28 * 1280, v25: bool = False):
+        from sglang_security_tpu.layers.qwen_vision import QwenVisionConfig
+
+        self.vcfg = QwenVisionConfig(vision_config, v25=v25)
+        self.image_token_id = image_token_id
+        self.mean = np.asarray(
+            mean or [0.48145466, 0.4578275, 0.40821073], np.float32
+        ).reshape(1, 1, 3)
+        self.std = np.asarray(
+            std or [0.26862954, 0.26130258, 0.27577711], np.float32
+        ).reshape(1, 1, 3)
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
+        self._meta_cache: dict = {}
+
+    @staticmethod
+    def smart_resize(height, width, factor, min_pixels, max_pixels):
+        """HF smart_resize (image_processing_qwen2_vl.py:54)."""
+        import math
+
+        if max(height, width) / min(height, width) > 200:
+            raise ValueError("aspect ratio must be < 200")
+        h = round(height / factor) * factor
+        w = round(width / factor) * factor
+        if h * w > max_pixels:
+            beta = math.sqrt((height * width) / max_pixels)
+            h = max(factor, math.floor(height / beta / factor) * factor)
+            w = max(factor, math.floor(width / beta / factor) * factor)
+        elif h * w < min_pixels:
+            beta = math.sqrt(min_pixels / (height * width))
+            h = math.ceil(height * beta / factor) * factor
+            w = math.ceil(width * beta / factor) * factor
+        return h, w
+
+    def vision_meta(self, grid_thw: tuple) -> dict:
+        from sglang_security_tpu.layers.qwen_vision import (
+            qwen_vision_metadata,
+        )
+
+        meta = self._meta_cache.get(grid_thw)
+        if meta is None:
+            meta = qwen_vision_metadata(self.vcfg, grid_thw)
+            self._meta_cache[grid_thw] = meta
+        return meta
+
+    def process_one(self, image) -> MultimodalDataItem:
+        cfg = self.vcfg
+        p, m, tp = cfg.patch_size, cfg.spatial_merge_size, cfg.temporal_patch_size
+        arr = _decode_image(image).astype(np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        H, W, _ = arr.shape
+        rh, rw = self.smart_resize(
+            H, W, p * m, self.min_pixels, self.max_pixels
+        )
+        arr = _resize_bilinear_hw(arr, rh, rw)
+        arr = (arr - self.mean) / self.std
+        chw = arr.transpose(2, 0, 1)  # [3, rh, rw]
+        gh, gw = rh // p, rw // p
+        # temporal duplicate then flatten in merged-block order
+        # (HF _preprocess reshape/transpose, image_processing_qwen2_vl.py)
+        pt = np.broadcast_to(chw[None], (tp, 3, rh, rw))
+        pt = pt.reshape(1, tp, 3, gh // m, m, p, gw // m, m, p)
+        pt = pt.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        flat = np.ascontiguousarray(
+            pt.reshape(gh * gw, 3 * tp * p * p)
+        )
+        grid = (1, gh, gw)
+        h = int.from_bytes(
+            hashlib.sha1(flat.tobytes() + bytes(str(grid), "ascii"))
+            .digest()[:8], "little"
+        )
+        return MultimodalDataItem(
+            pixel_values=flat, hash=h,
+            num_tokens=(gh // m) * (gw // m),
+            grid_thw=grid, vis_meta=self.vision_meta(grid),
+        )
+
+
+def compute_mrope_positions(num_tokens: int, items):
+    """3D rope positions for one expanded prompt (host numpy).
+
+    Mirrors HF ``Qwen2VLModel.get_rope_index``
+    (modeling_qwen2_vl.py:925): text runs advance all three components
+    together; each image block places t/h/w grid indices offset by the
+    running position; the next text token resumes at max+1.  Returns
+    (pos3 [3, num_tokens] i64, delta) where decode positions are
+    ``seq_len - 1 + delta`` on all three components.
+    """
+    pos3 = np.zeros((3, num_tokens), np.int64)
+    cur = 0  # next position value
+    idx = 0  # next token index
+    for it in sorted(items, key=lambda x: x.offset):
+        text_len = it.offset - idx
+        if text_len > 0:
+            pos3[:, idx:it.offset] = cur + np.arange(text_len)
+            cur += text_len
+            idx = it.offset
+        t, lh, lw = it.vis_meta["llm_grid"]
+        n = t * lh * lw
+        ti = np.repeat(np.arange(t), lh * lw)
+        hi = np.tile(np.repeat(np.arange(lh), lw), t)
+        wi = np.tile(np.arange(lw), t * lh)
+        pos3[0, idx:idx + n] = cur + ti
+        pos3[1, idx:idx + n] = cur + hi
+        pos3[2, idx:idx + n] = cur + wi
+        cur += max(t, lh, lw)
+        idx += n
+    if idx < num_tokens:
+        pos3[:, idx:] = cur + np.arange(num_tokens - idx)
+    delta = int(pos3.max()) + 1 - num_tokens
+    return pos3, delta
+
+
+def _resize_bilinear_hw(img: np.ndarray, rh: int, rw: int) -> np.ndarray:
+    """[H, W, 3] float -> [rh, rw, 3] bilinear (non-square variant of
+    _resize_bilinear)."""
+    H, W, _ = img.shape
+    if H == rh and W == rw:
+        return img
+    ys = (np.arange(rh) + 0.5) * H / rh - 0.5
+    xs = (np.arange(rw) + 0.5) * W / rw - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
 def get_mm_processor(config) -> Optional[ImageProcessor]:
     """Build the processor for a served model config (None = text-only).
 
@@ -188,5 +337,16 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             mean=vis.get("image_mean") or [0.48145466, 0.4578275, 0.40821073],
             std=vis.get("image_std") or [0.26862954, 0.26130258, 0.27577711],
             image_token_id=raw.get("image_token_index", 32000),
+        )
+    if arch in ("Qwen2VLForConditionalGeneration",
+                "Qwen2_5_VLForConditionalGeneration"):
+        return Qwen2VLImageProcessor(
+            vis,
+            image_token_id=raw.get("image_token_id", 151655),
+            mean=vis.get("image_mean"),
+            std=vis.get("image_std"),
+            min_pixels=vis.get("min_pixels", 56 * 56),
+            max_pixels=vis.get("max_pixels", 28 * 28 * 1280),
+            v25=arch.startswith("Qwen2_5"),
         )
     return None

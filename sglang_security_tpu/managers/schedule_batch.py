@@ -78,6 +78,10 @@ class Req:
         # multimodal inputs (managers.multimodal_processor.MultimodalInputs);
         # image spans in input_ids hold hash-derived pseudo token ids
         self.mm_inputs = None
+        # M-RoPE (Qwen-VL): 3D prompt positions + decode delta
+        # (models/qwen2_vl.py; HF get_rope_index semantics)
+        self.mrope_pos: Optional[np.ndarray] = None  # [3, prompt_len]
+        self.mrope_delta = 0
         self.stream = False
         self.time_stats = TimeStats()
         self.return_logprob = sampling_params.return_logprob

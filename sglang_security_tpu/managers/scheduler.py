@@ -528,6 +528,27 @@ class Scheduler:
                 mm_rows[r] = f
             plan.mm_items = mm_items
             plan.mm_rows = mm_rows
+        if getattr(self.runner.model, "uses_mrope", False) and any(
+            req.mrope_pos is not None or req.mrope_delta for req in reqs
+        ):
+            # 3D prefill positions (models/qwen2_vl.py): text rows keep
+            # their 1D position on all components; image rows take the
+            # request's precomputed t/h/w grid; rows past the prompt
+            # (retract re-prefill of generated tokens) use pos + delta
+            mp = np.tile(np.asarray(positions, np.int64), (3, 1))
+            for i, req in enumerate(reqs):
+                if req.mrope_pos is None and req.mrope_delta == 0:
+                    continue
+                row0, take = int(q_starts[i]), int(takes[i])
+                start = int(kv_lens[i]) - take
+                L = 0 if req.mrope_pos is None else req.mrope_pos.shape[1]
+                for j in range(take):
+                    p = start + j
+                    mp[:, row0 + j] = (
+                        req.mrope_pos[:, p] if p < L
+                        else p + req.mrope_delta
+                    )
+            plan.mrope_positions = mp
         if reqs and reqs[0].is_embedding:
             embs = self.runner.execute_embedding(plan)
             for i, req in enumerate(reqs):
@@ -720,7 +741,9 @@ class Scheduler:
                 pages = self._alloc_pages(need, req.dp_shard)
                 req.pages = np.concatenate([req.pages, pages])
             token_ids.append(req.all_ids()[pos])
-            positions.append(pos)
+            # M-RoPE decode: all 3 components equal pos + delta (delta 0
+            # for text-only requests/models)
+            positions.append(pos + req.mrope_delta)
             slots.append(req.token_slot(pos, self.page_size))
             for k in range(K):
                 slot_mat[k, i] = req.token_slot(pos + k, self.page_size)
@@ -833,7 +856,10 @@ class Scheduler:
             fed = [req.all_ids()[pos]] + draft
             row0 = i * bq
             token_ids.extend(fed + [0] * (bq - q_len))
-            positions.extend(list(range(pos, pos + q_len)) + [0] * (bq - q_len))
+            d = req.mrope_delta
+            positions.extend(
+                list(range(pos + d, pos + d + q_len)) + [0] * (bq - q_len)
+            )
             slots.extend(
                 [req.token_slot(pos + j, self.page_size) for j in range(q_len)]
                 + [-1] * (bq - q_len)
@@ -919,7 +945,10 @@ class Scheduler:
             fed = [req.all_ids()[pos]] + list(draft)
             row0 = i * bq
             token_ids.extend(fed + [0] * (bq - q_len))
-            positions.extend(list(range(pos, pos + q_len)) + [0] * (bq - q_len))
+            d = req.mrope_delta
+            positions.extend(
+                list(range(pos + d, pos + d + q_len)) + [0] * (bq - q_len)
+            )
             slots.extend(
                 [req.token_slot(pos + j, self.page_size) for j in range(q_len)]
                 + [-1] * (bq - q_len)

@@ -170,4 +170,15 @@ class TokenizerManager:
         req.lora_path = t.lora_path
         req.is_embedding = t.is_embedding
         req.mm_inputs = t.mm_inputs
+        if t.mm_inputs and any(
+            it.vis_meta is not None for it in t.mm_inputs.items
+        ):
+            # M-RoPE models (Qwen-VL): 3D prompt positions + decode delta
+            from sglang_security_tpu.managers.multimodal_processor import (
+                compute_mrope_positions,
+            )
+
+            req.mrope_pos, req.mrope_delta = compute_mrope_positions(
+                len(t.input_ids), t.mm_inputs.items
+            )
         return req

@@ -36,6 +36,10 @@ class ForwardBatch(NamedTuple):
     # with mm_embeds[mm_rows[t]] where mm_rows[t] >= 0.
     mm_embeds: Optional[jax.Array] = None  # [M, H]
     mm_rows: Optional[jax.Array] = None  # [T] i32
+    # M-RoPE (Qwen2-VL): 3D (t, h, w) positions for prefill rows. Decode
+    # needs no 3D form — all components are equal there, so the host adds
+    # the request's mrope delta to the 1D positions instead.
+    mrope_positions: Optional[jax.Array] = None  # [3, T] i32
 
     @property
     def num_tokens(self) -> int:

@@ -82,6 +82,7 @@ class BatchPlan:
     # feature-row mapping (-1 = text token)
     mm_items: Optional[list] = None
     mm_rows: Optional[np.ndarray] = None  # [T] i32
+    mrope_positions: Optional[np.ndarray] = None  # [3, T] (Qwen-VL prefill)
     dp_shards: Optional[np.ndarray] = None  # [S] dp-attention shard per seq
     bias_tokens: Optional[np.ndarray] = None  # [S, NB] OpenAI logit_bias ids
     bias_values: Optional[np.ndarray] = None  # [S, NB] additive biases
@@ -680,6 +681,44 @@ class ModelRunner:
             self._step_cache["mm_encode"] = fn
         return fn
 
+    def _get_mm_encode_varlen(self):
+        """Jitted per-image vision encode for dynamic-resolution towers
+        (Qwen-VL); retraces per padded-patch-count bucket."""
+        fn = self._step_cache.get("mm_encode_varlen")
+        if fn is None:
+            model = self.model
+
+            def enc(params, patches, rot_freqs, win_seg, full_seg):
+                return model.encode_image(
+                    params, patches, rot_freqs, win_seg, full_seg
+                )
+
+            fn = jax.jit(enc)
+            self._step_cache["mm_encode_varlen"] = fn
+        return fn
+
+    def _encode_varlen_item(self, it) -> jax.Array:
+        """One dynamic-resolution image: permute patches to the tower's
+        (window) order, pad the sequence to a power-of-two bucket, run
+        the tower, and un-permute the merged output rows."""
+        meta = it.vis_meta
+        n = it.pixel_values.shape[0]
+        Sp = 1 << max(6, (n - 1).bit_length())
+        pd = it.pixel_values.shape[1]
+        patches = np.zeros((Sp, pd), np.float32)
+        patches[:n] = it.pixel_values[meta["perm"]]
+        rot = np.zeros((Sp, meta["rot_freqs"].shape[1]), np.float32)
+        rot[:n] = meta["rot_freqs"]
+        win = np.full(Sp, -1, np.int32)
+        win[:n] = meta["win_seg"]
+        full = np.full(Sp, -1, np.int32)
+        full[:n] = meta["full_seg"]
+        out = self._get_mm_encode_varlen()(
+            self.params, jnp.asarray(patches), jnp.asarray(rot),
+            jnp.asarray(win), jnp.asarray(full),
+        )
+        return out[jnp.asarray(meta["inv_perm"])].astype(self.dtype)
+
     def prepare_mm(self, items) -> List[jax.Array]:
         """Encode any items missing from the feature cache (one bucketed
         vision-jit call for all of them) and return each item's device
@@ -692,7 +731,10 @@ class ModelRunner:
             if it.hash not in self.mm_cache and it.hash not in seen:
                 seen.add(it.hash)
                 uniq.append(it)
-        if uniq:
+        if uniq and getattr(self.model, "varlen_vision", False):
+            for it in uniq:
+                self.mm_cache[it.hash] = self._encode_varlen_item(it)
+        elif uniq:
             n_real = len(uniq)
             n = 1 << (n_real - 1).bit_length()  # bucket to power of 2
             px = np.zeros((n,) + uniq[0].pixel_values.shape, np.float32)
@@ -703,11 +745,11 @@ class ModelRunner:
             for i, it in enumerate(uniq):
                 # slice per image; [n_tok, H] rows stay on device
                 self.mm_cache[it.hash] = feats[i, : it.num_tokens]
-            while len(self.mm_cache) > self.mm_cache_capacity:
-                oldest = next(iter(self.mm_cache))
-                if any(oldest == it.hash for it in items):
-                    break  # everything older is in use this step
-                del self.mm_cache[oldest]
+        while len(self.mm_cache) > self.mm_cache_capacity:
+            oldest = next(iter(self.mm_cache))
+            if any(oldest == it.hash for it in items):
+                break  # everything older is in use this step
+            del self.mm_cache[oldest]
         out = []
         for it in items:
             f = self.mm_cache.pop(it.hash)
@@ -1313,6 +1355,13 @@ class ModelRunner:
             ),
             mm_embeds=mm_embeds,
             mm_rows=mm_rows,
+            mrope_positions=(
+                jnp.asarray(np.stack([
+                    pad1(plan.mrope_positions[c], T) for c in range(3)
+                ]).astype(np.int32))
+                if plan.mrope_positions is not None
+                else None
+            ),
         )
         Rr = R or S
         rep = rows_per_seq

@@ -648,15 +648,7 @@ class LlamaForCausalLM:
         if "q_norm" in lp:  # per-head QK RMSNorm (Qwen3-family)
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        rot = getattr(self, "rotary_dim", hd)
-        if rot < hd:  # partial rotary (GLM-4, StableLM, Phi-class)
-            qr, kr = apply_rope(
-                q[..., :rot], k[..., :rot], fb.positions, self.inv_freq
-            )
-            q = jnp.concatenate([qr, q[..., rot:]], axis=-1)
-            k = jnp.concatenate([kr, k[..., rot:]], axis=-1)
-        else:
-            q, k = apply_rope(q, k, fb.positions, self.inv_freq)
+        q, k = self._rope_qk(q, k, fb)
 
         ds = getattr(self, "ds_cfg", None)
         if (
@@ -721,6 +713,20 @@ class LlamaForCausalLM:
         if tp_axis is not None:
             o = lax.psum(o, tp_axis)
         return o, k_pages, v_pages
+
+    def _rope_qk(self, q, k, fb):
+        """Rotary application hook (M-RoPE models override;
+        models/qwen2_vl.py)."""
+        hd = self.config.head_dim
+        rot = getattr(self, "rotary_dim", hd)
+        if rot < hd:  # partial rotary (GLM-4, StableLM, Phi-class)
+            qr, kr = apply_rope(
+                q[..., :rot], k[..., :rot], fb.positions, self.inv_freq
+            )
+            q = jnp.concatenate([qr, q[..., rot:]], axis=-1)
+            k = jnp.concatenate([kr, k[..., rot:]], axis=-1)
+            return q, k
+        return apply_rope(q, k, fb.positions, self.inv_freq)
 
     def _paged_attention(
         self, q, k_pages, v_pages, fb, li, *, sm_scale, sliding_window,

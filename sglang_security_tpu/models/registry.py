@@ -31,6 +31,10 @@ from sglang_security_tpu.models.phi3 import (
     Phi3ForCausalLM,
 )
 from sglang_security_tpu.models.llava import LlavaForConditionalGeneration
+from sglang_security_tpu.models.qwen2_vl import (
+    Qwen2VLForConditionalGeneration,
+    Qwen2_5_VLForConditionalGeneration,
+)
 from sglang_security_tpu.models.glm4 import Glm4ForCausalLM, GlmForCausalLM
 from sglang_security_tpu.models.olmo2 import Olmo2ForCausalLM
 from sglang_security_tpu.models.stablelm import StableLmForCausalLM
@@ -66,6 +70,8 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
     "InternLM3ForCausalLM": LlamaForCausalLM,
     "LlavaForConditionalGeneration": LlavaForConditionalGeneration,
+    "Qwen2VLForConditionalGeneration": Qwen2VLForConditionalGeneration,
+    "Qwen2_5_VLForConditionalGeneration": Qwen2_5_VLForConditionalGeneration,
     "Glm4ForCausalLM": Glm4ForCausalLM,
     "GlmForCausalLM": GlmForCausalLM,
     "Olmo2ForCausalLM": Olmo2ForCausalLM,

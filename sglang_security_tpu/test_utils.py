@@ -429,6 +429,160 @@ def make_tiny_llava(path: str, config: dict | None = None, seed: int = 0) -> str
     return path
 
 
+TINY_QWEN2VL_CONFIG = {
+    "architectures": ["Qwen2VLForConditionalGeneration"],
+    "model_type": "qwen2_vl",
+    "image_token_id": 490,
+    "video_token_id": 491,
+    "vision_start_token_id": 492,
+    "vision_end_token_id": 493,
+    "text_config": {
+        "model_type": "qwen2_vl_text",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "head_dim": 16,
+        "vocab_size": 512,
+        "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0,
+        "max_position_embeddings": 2048,
+        "tie_word_embeddings": False,
+        "bos_token_id": 1,
+        "eos_token_id": 2,
+        "hidden_act": "silu",
+        "rope_scaling": {"type": "mrope", "mrope_section": [2, 3, 3]},
+    },
+    "vision_config": {
+        "model_type": "qwen2_vl",
+        "depth": 2,
+        "embed_dim": 32,
+        "hidden_size": 64,
+        "num_heads": 2,
+        "mlp_ratio": 4,
+        "patch_size": 2,
+        "temporal_patch_size": 2,
+        "spatial_merge_size": 2,
+        "in_channels": 3,
+        "hidden_act": "quick_gelu",
+        # engine-processor pixel budget (tiny test images)
+        "min_pixels": 16,
+        "max_pixels": 16384,
+    },
+    "torch_dtype": "float32",
+}
+
+TINY_QWEN25VL_VISION = {
+    "model_type": "qwen2_5_vl",
+    "depth": 2,
+    "hidden_size": 32,
+    "out_hidden_size": 64,
+    "intermediate_size": 48,
+    "num_heads": 2,
+    "patch_size": 2,
+    "temporal_patch_size": 2,
+    "spatial_merge_size": 2,
+    "in_channels": 3,
+    "hidden_act": "silu",
+    "window_size": 8,
+    "fullatt_block_indexes": [1],
+    "tokens_per_second": 4,
+    "min_pixels": 16,
+    "max_pixels": 16384,
+}
+
+
+def make_tiny_qwen2vl(path: str, v25: bool = False, seed: int = 0) -> str:
+    """Random-weight HF Qwen2-VL / Qwen2.5-VL checkpoint (modern
+    transformers layout: model.language_model.* / model.visual.* /
+    lm_head.weight)."""
+    from safetensors.numpy import save_file
+
+    cfg = json.loads(json.dumps(TINY_QWEN2VL_CONFIG))
+    if v25:
+        cfg["architectures"] = ["Qwen2_5_VLForConditionalGeneration"]
+        cfg["model_type"] = "qwen2_5_vl"
+        cfg["text_config"]["model_type"] = "qwen2_5_vl_text"
+        cfg["vision_config"] = json.loads(json.dumps(TINY_QWEN25VL_VISION))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+
+    rng = np.random.default_rng(seed)
+    tc, vc = cfg["text_config"], cfg["vision_config"]
+    H, I = tc["hidden_size"], tc["intermediate_size"]
+    hd, Hq, Hkv = tc["head_dim"], tc["num_attention_heads"], tc["num_key_value_heads"]
+    V = tc["vocab_size"]
+    E = vc.get("embed_dim") or vc["hidden_size"]
+    M = (vc["intermediate_size"] if v25
+         else int(E * vc["mlp_ratio"]))
+    p_sz, tp = vc["patch_size"], vc["temporal_patch_size"]
+    mu = vc["spatial_merge_size"] ** 2
+    out_h = vc["out_hidden_size"] if v25 else vc["hidden_size"]
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    lm = "model.language_model."
+    t = {lm + "embed_tokens.weight": r(V, H),
+         lm + "norm.weight": np.ones(H, np.float32),
+         "lm_head.weight": r(V, H)}
+    for i in range(tc["num_hidden_layers"]):
+        p = f"{lm}layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "self_attn.q_proj.weight"] = r(Hq * hd, H)
+        t[p + "self_attn.q_proj.bias"] = r(Hq * hd, scale=0.01)
+        t[p + "self_attn.k_proj.weight"] = r(Hkv * hd, H)
+        t[p + "self_attn.k_proj.bias"] = r(Hkv * hd, scale=0.01)
+        t[p + "self_attn.v_proj.weight"] = r(Hkv * hd, H)
+        t[p + "self_attn.v_proj.bias"] = r(Hkv * hd, scale=0.01)
+        t[p + "self_attn.o_proj.weight"] = r(H, Hq * hd)
+        t[p + "mlp.gate_proj.weight"] = r(I, H)
+        t[p + "mlp.up_proj.weight"] = r(I, H)
+        t[p + "mlp.down_proj.weight"] = r(H, I)
+
+    vt = "model.visual."
+    t[vt + "patch_embed.proj.weight"] = r(E, 3, tp, p_sz, p_sz)
+    for i in range(vc["depth"]):
+        p = f"{vt}blocks.{i}."
+        t[p + "attn.qkv.weight"] = r(3 * E, E)
+        t[p + "attn.qkv.bias"] = r(3 * E, scale=0.01)
+        t[p + "attn.proj.weight"] = r(E, E)
+        t[p + "attn.proj.bias"] = r(E, scale=0.01)
+        if v25:
+            t[p + "norm1.weight"] = np.ones(E, np.float32)
+            t[p + "norm2.weight"] = np.ones(E, np.float32)
+            t[p + "mlp.gate_proj.weight"] = r(M, E)
+            t[p + "mlp.gate_proj.bias"] = r(M, scale=0.01)
+            t[p + "mlp.up_proj.weight"] = r(M, E)
+            t[p + "mlp.up_proj.bias"] = r(M, scale=0.01)
+            t[p + "mlp.down_proj.weight"] = r(E, M)
+            t[p + "mlp.down_proj.bias"] = r(E, scale=0.01)
+        else:
+            t[p + "norm1.weight"] = np.ones(E, np.float32)
+            t[p + "norm1.bias"] = r(E, scale=0.01)
+            t[p + "norm2.weight"] = np.ones(E, np.float32)
+            t[p + "norm2.bias"] = r(E, scale=0.01)
+            t[p + "mlp.fc1.weight"] = r(M, E)
+            t[p + "mlp.fc1.bias"] = r(M, scale=0.01)
+            t[p + "mlp.fc2.weight"] = r(E, M)
+            t[p + "mlp.fc2.bias"] = r(E, scale=0.01)
+    mg = vt + "merger."
+    t[mg + "ln_q.weight"] = np.ones(E, np.float32)
+    if not v25:
+        t[mg + "ln_q.bias"] = r(E, scale=0.01)
+    t[mg + "mlp.0.weight"] = r(mu * E, mu * E)
+    t[mg + "mlp.0.bias"] = r(mu * E, scale=0.01)
+    t[mg + "mlp.2.weight"] = r(out_h, mu * E)
+    t[mg + "mlp.2.bias"] = r(out_h, scale=0.01)
+
+    save_file(t, os.path.join(path, "model.safetensors"))
+    _write_tiny_tokenizer(path, V)
+    return path
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "make-tiny-llama":
         p = make_tiny_llama(sys.argv[2])
