@@ -373,7 +373,10 @@ class ModelRunner:
         layers = self.params["layers"]
         L = phy2log.shape[0]
         rows = np.arange(L)[:, None]
-        for key in ("experts_gate_up", "experts_down"):
+        for key in ("experts_gate_up", "experts_down",
+                    "experts_gate_up_scale", "experts_down_scale"):
+            if key not in layers:
+                continue
             w = layers[key]
             if not initial:
                 first = self._eplb_log2phy_np[:, :, 0]  # [L, E] prev

@@ -29,7 +29,7 @@ import numpy as np
 from jax import lax
 
 from sglang_security_tpu.layers.linear import apply_linear
-from sglang_security_tpu.layers.moe import moe_ffn
+from sglang_security_tpu.layers.moe import moe_ffn, pack_expert_params
 from sglang_security_tpu.layers.norms import rms_norm
 from sglang_security_tpu.layers.rotary import compute_inv_freq
 from sglang_security_tpu.models.llama import LlamaForCausalLM, _act, _scatter_kv
@@ -102,6 +102,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         p["o"] = {"w": rand(Hq * vdim, H).astype(dtype)}
         return p
 
+    def _pack_experts(self, p: dict, gu, down, dtype) -> None:
+        pack_expert_params(p, gu, down, dtype, self.quantization)
+
     def _ffn_params_dummy(self, i, rand, lin, lin_merged, dtype):
         cfg = self.config
         if i < cfg.first_k_dense_layers or cfg.num_experts == 0:
@@ -113,15 +116,13 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         E = cfg.num_experts
         I = cfg.moe_intermediate_size
         H = cfg.hidden_size
-        p = {
-            "router": rand(H, E).astype(jnp.float32),
-            "experts_gate_up": jnp.stack(
-                [rand(H, 2 * I) for _ in range(E)]
-            ).astype(dtype),
-            "experts_down": jnp.stack(
-                [rand(I, H) for _ in range(E)]
-            ).astype(dtype),
-        }
+        p = {"router": rand(H, E).astype(jnp.float32)}
+        self._pack_experts(
+            p,
+            jnp.stack([rand(H, 2 * I) for _ in range(E)]),
+            jnp.stack([rand(I, H) for _ in range(E)]),
+            dtype,
+        )
         if self._noaux_tc:
             p["router_bias"] = jnp.zeros((E,), jnp.float32)
         if cfg.num_shared_experts:
@@ -252,8 +253,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                         )
                     )
                     downs.append(t(ep + "down_proj.weight").T)
-                p["experts_gate_up"] = jnp.stack(gus).astype(dtype)
-                p["experts_down"] = jnp.stack(downs).astype(dtype)
+                self._pack_experts(
+                    p, jnp.stack(gus), jnp.stack(downs), dtype
+                )
                 if cfg.num_shared_experts:
                     sp = m + "shared_experts."
                     p["shared_gate_up"] = {
@@ -437,6 +439,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             log2phy=lp.get("eplb_log2phy"),
             logcnt=lp.get("eplb_logcnt"),
             stats_cb=getattr(self, "eplb_stats_cb", None),
+            s_gate_up=lp.get("experts_gate_up_scale"),
+            s_down=lp.get("experts_down_scale"),
         )
         if "shared_gate_up" in lp:
             gate_up = apply_linear(h, lp["shared_gate_up"])

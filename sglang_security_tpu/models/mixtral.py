@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sglang_security_tpu.layers.linear import apply_linear
-from sglang_security_tpu.layers.moe import moe_ffn
+from sglang_security_tpu.layers.moe import moe_ffn, pack_expert_params
 from sglang_security_tpu.models.llama import LlamaForCausalLM, _act
 
 
@@ -33,20 +33,21 @@ class MixtralForCausalLM(LlamaForCausalLM):
         I = cfg.moe_intermediate_size or cfg.intermediate_size
         return E, I
 
+    def _pack_experts(self, p: dict, gu, down, dtype) -> None:
+        pack_expert_params(p, gu, down, dtype, self.quantization)
+
     # ------------------------------------------------------------- params
     def _ffn_params_dummy(self, i, rand, lin, lin_merged, dtype):
         cfg = self.config
         E, I = self._moe_dims()
         H = cfg.hidden_size
-        p = {
-            "router": rand(H, E).astype(jnp.float32),
-            "experts_gate_up": jnp.stack(
-                [rand(H, 2 * I) for _ in range(E)]
-            ).astype(dtype),
-            "experts_down": jnp.stack(
-                [rand(I, H) for _ in range(E)]
-            ).astype(dtype),
-        }
+        p = {"router": rand(H, E).astype(jnp.float32)}
+        self._pack_experts(
+            p,
+            jnp.stack([rand(H, 2 * I) for _ in range(E)]),
+            jnp.stack([rand(I, H) for _ in range(E)]),
+            dtype,
+        )
         if self.has_shared_expert:
             Is = cfg.intermediate_size
             p["shared_gate_up"] = lin_merged(H, [Is, Is], False)
@@ -69,8 +70,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
                 w2 = t(m + f"experts.{e}.w2.weight").T  # down [I, H]
                 gus.append(jnp.concatenate([w1, w3], axis=1))
                 downs.append(w2)
-            p["experts_gate_up"] = jnp.stack(gus).astype(dtype)
-            p["experts_down"] = jnp.stack(downs).astype(dtype)
+            self._pack_experts(p, jnp.stack(gus), jnp.stack(downs), dtype)
         else:  # qwen2-moe naming
             m = base + "mlp."
             p["router"] = t(m + "gate.weight").T.astype(jnp.float32)
@@ -84,8 +84,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
                     )
                 )
                 downs.append(t(ep + "down_proj.weight").T)
-            p["experts_gate_up"] = jnp.stack(gus).astype(dtype)
-            p["experts_down"] = jnp.stack(downs).astype(dtype)
+            self._pack_experts(p, jnp.stack(gus), jnp.stack(downs), dtype)
             if self.has_shared_expert:
                 sp = m + "shared_expert."
                 p["shared_gate_up"] = lin_merged(
@@ -123,6 +122,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
             log2phy=lp.get("eplb_log2phy"),
             logcnt=lp.get("eplb_logcnt"),
             stats_cb=getattr(self, "eplb_stats_cb", None),
+            s_gate_up=lp.get("experts_gate_up_scale"),
+            s_down=lp.get("experts_down_scale"),
         )
         if self.has_shared_expert:
             gate_up = apply_linear(h, lp["shared_gate_up"])

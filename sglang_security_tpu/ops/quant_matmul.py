@@ -407,6 +407,7 @@ def int8_matmul(
 ) -> jax.Array:
     M, K = x_q.shape
     N = w_q.shape[1]
+    block_k = min(block_k, K)  # tiny test models: one K block
     assert K % block_k == 0
     if interpret is None:
         interpret = use_interpret_mode()

@@ -76,8 +76,10 @@ _ROW_KEYS = ("o", "down", "shared_down")
 _HEAD_STACKED = ("w_uk", "w_uv")
 # column-parallel plain arrays (output columns are head-major)
 _COL_PLAIN = ("q_b", "q_proj")
-# expert-stacked weights: shard experts (EP rides the tp axis)
-_EXPERT_KEYS = ("experts_gate_up", "experts_down")
+# expert-stacked weights: shard experts (EP rides the tp axis);
+# int8-expert scales [E, 1, N] shard the same way
+_EXPERT_KEYS = ("experts_gate_up", "experts_down",
+                "experts_gate_up_scale", "experts_down_scale")
 
 
 def _layer_pspecs(lp: dict, pp: bool = False) -> dict:

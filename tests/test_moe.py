@@ -108,6 +108,67 @@ def test_mixtral_engine_e2e(tiny_mixtral):
     finally:
         eng.shutdown()
 
+def test_moe_int8_experts_match_bf16(rng):
+    """w8a8 grouped path (int8 experts + rowwise act quant) tracks the
+    unquantized output within int8 quantization error, including under
+    adversarial single-expert routing (garbage-row masking)."""
+    from sglang_security_tpu.layers.moe import quantize_experts
+
+    T, H, I, E, K = 16, 32, 64, 4, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    for skew in (False, True):
+        if skew:
+            router = np.zeros((H, E), np.float32)
+            router[:, 2] = 1.0
+            router = jnp.asarray(router)
+        else:
+            router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
+        wgu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1,
+                          jnp.float32)
+        wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+        ref = moe_ffn(x, router, wgu, wd, K)
+        q_gu, s_gu = quantize_experts(wgu)
+        q_d, s_d = quantize_experts(wd)
+        assert q_gu.dtype == jnp.int8 and s_gu.shape == (E, 1, 2 * I)
+        out = moe_ffn(x, router, q_gu, q_d, K, s_gate_up=s_gu, s_down=s_d)
+        # two cascaded w8a8 matmuls: ~2-3% relative error budget
+        err = np.abs(np.asarray(out) - np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).max()
+        assert err.max() <= 0.08 * scale, (skew, err.max(), scale)
+
+
+def test_mixtral_engine_int8_experts(tiny_mixtral):
+    """Engine e2e with quantization on a MoE model: experts ride the
+    int8 grouped path (dense layers int8 w8a8) and still generate."""
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+
+    eng = Engine(
+        ServerArgs(model_path=tiny_mixtral, dtype="float32",
+                   quantization="int8",
+                   max_total_tokens=2048, page_size=8,
+                   prefill_token_buckets=[128], decode_bs_buckets=[1, 4],
+                   max_seq_pages_buckets=[8], random_seed=0)
+    )
+    try:
+        layers = eng.scheduler.runner.params["layers"]
+        lp0 = (layers[0] if isinstance(layers, list) else
+               jax.tree.map(lambda a: a[0], layers))
+        assert lp0["experts_gate_up"].dtype == jnp.int8
+        assert "experts_gate_up_scale" in lp0
+        out = eng.generate(
+            prompt="mixture of experts",
+            sampling_params={"temperature": 0.0, "max_new_tokens": 6,
+                             "ignore_eos": True},
+        )
+        assert out["meta_info"]["completion_tokens"] == 6
+        # greedy output stays close to the bf16 engine's for a tiny model:
+        # not asserted token-for-token (quantization error), just nonempty
+        assert len(out["output_ids"]) == 6
+    finally:
+        eng.shutdown()
+
+
 def test_moe_dropless_under_adversarial_routing(rng):
     """All tokens route to the same expert: capacity-based dispatch would
     drop most of them (VERDICT weak #5); the grouped path must not."""
