@@ -90,6 +90,48 @@ class SafetensorsAccessor:
         return self._index.keys()
 
 
+def _find_gguf(model_path: str, load_format: str) -> Optional[str]:
+    """A .gguf file path, a directory holding exactly one .gguf, or
+    load_format="gguf" selects the GGUF loader (reference:
+    ``GGUFModelLoader``, ``srt/model_loader/loader.py:1173``)."""
+    if model_path.endswith(".gguf") and os.path.isfile(model_path):
+        return model_path
+    if os.path.isdir(model_path):
+        ggufs = sorted(glob.glob(os.path.join(model_path, "*.gguf")))
+        if ggufs and (load_format == "gguf" or not glob.glob(
+            os.path.join(model_path, "*.safetensors")
+        )):
+            return ggufs[0]
+    if load_format == "gguf":
+        raise FileNotFoundError(f"no .gguf file at {model_path}")
+    return None
+
+
+def _load_gguf(
+    gguf_path: str, quantization: Optional[str], dtype: str, tp_size: int
+) -> Tuple[object, dict, ModelConfig]:
+    from sglang_security_tpu.model_loader.gguf import (
+        GGUFAccessor,
+        config_from_gguf,
+    )
+
+    # sibling config.json (HF layout) wins; else synthesize from metadata
+    cfg_path = os.path.join(os.path.dirname(gguf_path), "config.json")
+    if os.path.exists(cfg_path):
+        config = ModelConfig.from_pretrained(os.path.dirname(gguf_path))
+    else:
+        config = ModelConfig.from_hf_dict(config_from_gguf(gguf_path))
+    model_cls = get_model_class(config)
+    model = model_cls(config, quantization=quantization, tp_size=tp_size)
+    accessor = GGUFAccessor(gguf_path)
+    logger.info(
+        "loading %d gguf tensors from %s", len(list(accessor.keys())),
+        gguf_path,
+    )
+    params = model.load_weights(accessor, dtype=get_dtype(dtype))
+    return model, params, config
+
+
 def load_model(
     model_path: str,
     load_format: str = "auto",
@@ -100,6 +142,9 @@ def load_model(
     tp_size: int = 1,
 ) -> Tuple[object, dict, ModelConfig]:
     """Returns (model, params, config)."""
+    gguf_path = _find_gguf(model_path, load_format)
+    if gguf_path is not None:
+        return _load_gguf(gguf_path, quantization, dtype, tp_size)
     model_dir = _resolve_model_path(model_path, download_dir)
     config = ModelConfig.from_pretrained(model_dir)
     from sglang_security_tpu.model_loader.quant_ingest import (
