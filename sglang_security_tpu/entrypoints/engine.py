@@ -31,6 +31,12 @@ class Engine:
         if server_args is None:
             server_args = ServerArgs(**kwargs)
         self.server_args = server_args
+        if server_args.device == "cpu":
+            # must land before any jax backend initialization; the env
+            # var alone is overridden by accelerator plugins
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         configure_logger(server_args.log_level)
         set_random_seed(server_args.random_seed)
 

@@ -46,8 +46,10 @@ from sglang_security_tpu.ops.ragged_paged_attention import (
 
 
 def _act(name: str):
-    return {"silu": jax.nn.silu, "gelu": jax.nn.gelu,
-            "gelu_pytorch_tanh": functools.partial(jax.nn.gelu, approximate=True)}[name]
+    gelu_tanh = functools.partial(jax.nn.gelu, approximate=True)
+    return {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu,
+            "gelu_pytorch_tanh": gelu_tanh, "gelu_new": gelu_tanh,
+            "gelu_fast": gelu_tanh}[name]
 
 
 def _scatter_kv(k_pages, v_pages, k, v, li, safe_slots):
@@ -263,6 +265,11 @@ class LlamaForCausalLM:
     def _apply_final_norm(self, x, w):
         return rms_norm(x, w, self.config.rms_eps)
 
+    def _post_embed(self, params, x, fb):
+        """Hook after token embedding (learned-position families — GPT-2,
+        GPT-BigCode — add ``params["wpe"][fb.positions]`` here)."""
+        return x
+
     def _logit_scale(self) -> float:
         """Multiplier on the lm-head logits (Cohere logit_scale,
         Granite 1/logits_scaling)."""
@@ -377,6 +384,7 @@ class LlamaForCausalLM:
         x = params["embed"][fb.token_ids]  # [T, H]
         if self._embed_scale() != 1.0:
             x = x * jnp.asarray(self._embed_scale(), x.dtype)
+        x = self._post_embed(params, x, fb)
         if fb.mm_embeds is not None and fb.mm_rows is not None:
             # VLM prefill: image-token rows carry hash-derived pseudo ids
             # (>= vocab, gather clamps); substitute the projected vision

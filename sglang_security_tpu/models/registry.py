@@ -42,9 +42,18 @@ from sglang_security_tpu.models.cohere import CohereForCausalLM
 from sglang_security_tpu.models.granite import GraniteForCausalLM
 from sglang_security_tpu.models.starcoder2 import Starcoder2ForCausalLM
 from sglang_security_tpu.models.reward import (
+    LlamaEmbeddingModel,
     LlamaForSequenceClassification,
     Qwen2ForRewardModel,
     Qwen2ForSequenceClassification,
+)
+from sglang_security_tpu.models.olmo import OlmoForCausalLM
+from sglang_security_tpu.models.exaone import ExaoneForCausalLM
+from sglang_security_tpu.models.minicpm import MiniCPMForCausalLM
+from sglang_security_tpu.models.baichuan import BaichuanForCausalLM
+from sglang_security_tpu.models.gpt2 import (
+    GPT2LMHeadModel,
+    GPTBigCodeForCausalLM,
 )
 
 MODEL_REGISTRY: Dict[str, Type] = {
@@ -79,10 +88,22 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "CohereForCausalLM": CohereForCausalLM,
     "GraniteForCausalLM": GraniteForCausalLM,
     "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
+    "OlmoForCausalLM": OlmoForCausalLM,
+    "ExaoneForCausalLM": ExaoneForCausalLM,
+    "MiniCPMForCausalLM": MiniCPMForCausalLM,
+    "BaichuanForCausalLM": BaichuanForCausalLM,
+    "BaiChuanForCausalLM": BaichuanForCausalLM,  # 7B config spelling
+    "XverseForCausalLM": LlamaForCausalLM,  # llama body + naming
+    "GPT2LMHeadModel": GPT2LMHeadModel,
+    "GPTBigCodeForCausalLM": GPTBigCodeForCausalLM,
     "Qwen2ForRewardModel": Qwen2ForRewardModel,
     "LlamaForSequenceClassification": LlamaForSequenceClassification,
     "Qwen2ForSequenceClassification": Qwen2ForSequenceClassification,
     "Qwen3ForSequenceClassification": Qwen2ForSequenceClassification,
+    # bare-decoder embedding exports (e5-mistral class)
+    "LlamaEmbeddingModel": LlamaEmbeddingModel,
+    "LlamaModel": LlamaEmbeddingModel,
+    "MistralModel": LlamaEmbeddingModel,
 }
 
 

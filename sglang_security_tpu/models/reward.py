@@ -72,3 +72,31 @@ class LlamaForSequenceClassification(LlamaForCausalLM):
 
 class Qwen2ForSequenceClassification(LlamaForSequenceClassification):
     pass
+
+
+class LlamaEmbeddingModel(LlamaForCausalLM):
+    """Decoder-as-embedder (e5-mistral class): last-token hidden state,
+    L2-normalized (reference ``srt/models/llama_embedding.py`` with
+    ``Pooler(pooling_type=LAST, normalize=True)``).  Checkpoints are
+    bare ``MistralModel``/``LlamaModel`` exports whose tensor names may
+    lack the ``model.`` prefix."""
+
+    is_pooling_model = True
+
+    def __init__(self, config, quantization=None, tp_size: int = 1):
+        config.tie_word_embeddings = True  # no lm_head in the checkpoint
+        super().__init__(config, quantization, tp_size)
+
+    def load_weights(self, get_tensor, dtype=jnp.bfloat16):
+        try:
+            get_tensor("model.embed_tokens.weight")
+            fetch = get_tensor
+        except KeyError:
+            fetch = lambda name: get_tensor(name.removeprefix("model."))
+        return super().load_weights(fetch, dtype)
+
+    def pool(self, params, hidden):
+        h = hidden.astype(jnp.float32)
+        return h * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(h * h, axis=-1, keepdims=True), 1e-12)
+        )

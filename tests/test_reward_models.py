@@ -133,3 +133,48 @@ def test_reward_model_through_engine_encode(tmp_path):
     out3 = eng.encode("a completely different input text")
     assert out3["embedding"] != score
     eng.shutdown()
+
+
+def test_llama_embedding_model_last_token_normalized(tmp_path):
+    """e5-mistral-class bare MistralModel export (no "model." prefix, no
+    lm_head): pooled output is the L2-normalized last-token hidden of
+    the identical causal-LM checkpoint (reference llama_embedding.py,
+    Pooler LAST + normalize)."""
+    from sglang_security_tpu.model_loader import load_model
+
+    rng = np.random.default_rng(9)
+    t = {"embed_tokens.weight": _r(rng, V, H),
+         "norm.weight": 1 + _r(rng, H)}
+    for i in range(L):
+        p = f"layers.{i}."
+        t[p + "input_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "post_attention_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "self_attn.q_proj.weight"] = _r(rng, Hq * hd, H)
+        t[p + "self_attn.k_proj.weight"] = _r(rng, Hkv * hd, H)
+        t[p + "self_attn.v_proj.weight"] = _r(rng, Hkv * hd, H)
+        t[p + "self_attn.o_proj.weight"] = _r(rng, H, Hq * hd)
+        t[p + "mlp.gate_proj.weight"] = _r(rng, I, H)
+        t[p + "mlp.up_proj.weight"] = _r(rng, I, H)
+        t[p + "mlp.down_proj.weight"] = _r(rng, H, I)
+    cfg = _base_cfg("MistralModel", "mistral", tie_word_embeddings=True)
+    cfg.pop("head_dim", None)
+    path = _write(str(tmp_path / "emb"), cfg, t)
+    model, params, _ = load_model(path, dtype="float32")
+    assert model.is_pooling_model
+    ids = [5, 17, 93, 203, 44]
+    hidden, *_ = run_prefill_hidden(model, params, ids)
+    emb = np.asarray(model.pool(params, hidden))[0]
+    np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-5)
+
+    # same weights as a causal LlamaForCausalLM: hidden must match
+    t2 = {"model." + k: v for k, v in t.items()}
+    t2["lm_head.weight"] = _r(rng, V, H)
+    cfg2 = _base_cfg("LlamaForCausalLM", "llama",
+                     tie_word_embeddings=False)
+    cfg2.pop("head_dim", None)
+    path2 = _write(str(tmp_path / "lm"), cfg2, t2)
+    model2, params2, _ = load_model(path2, dtype="float32")
+    hidden2, *_ = run_prefill_hidden(model2, params2, ids)
+    want = np.asarray(hidden2)[0]
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(emb, want, rtol=1e-5, atol=1e-5)
