@@ -88,6 +88,16 @@ class Engine:
         self.tokenizer_manager.mm_processor = get_mm_processor(
             self.model_runner.config
         )
+        self.tokenizer_manager.model_context_len = (
+            server_args.context_length or self.model_runner.config.max_position
+        )
+        if server_args.enable_safekv and server_args.safekv_epoch_seconds:
+            from sglang_security_tpu.global_epoch import global_epoch
+
+            global_epoch.set_window(server_args.safekv_epoch_seconds)
+        from sglang_security_tpu.metrics import collector as _collector
+
+        _collector.set_enabled(server_args.enable_metrics)
 
         self.privacy_clients = []
         self.schedulers = []

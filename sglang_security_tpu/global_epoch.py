@@ -40,6 +40,14 @@ class GlobalEpoch:
         self._offset += n
         return self.value
 
+    def set_window(self, seconds: float) -> None:
+        """--safekv-epoch-seconds: epoch length for attack-window stats
+        (reference TIME_WINDOW_LENGTH, global_epoch.py:10)."""
+        cur = self.value
+        self.window = float(seconds)
+        self._start = time.monotonic()
+        self._offset = cur  # keep the counter monotonic across the change
+
     def reset(self) -> None:
         self._start = time.monotonic()
         self._offset = 0

@@ -54,17 +54,31 @@ def merge_for_tp(ws, tp_size: int, biases=None):
     return w, b
 
 
+_DEFAULT_GROUP_SIZE = 128
+
+
+def set_default_group_size(n: int) -> None:
+    """--quantization-group-size: group width for quantize-at-load int4
+    (reference per-group quant schemes take the group size from the
+    checkpoint config; ours is a serve-time knob for on-the-fly quant)."""
+    global _DEFAULT_GROUP_SIZE
+    if n & (n - 1) or n < 32:
+        raise ValueError(f"quantization_group_size must be a power of two"
+                         f" >= 32, got {n}")
+    _DEFAULT_GROUP_SIZE = int(n)
+
+
 def make_linear_params(
     w: jax.Array,  # [K, N]
     bias: Optional[jax.Array] = None,
     quantization: Optional[str] = None,
-    group_size: int = 128,
+    group_size: int = 0,  # 0 = the serve-time default
     dtype=jnp.bfloat16,
 ) -> dict:
     if quantization in (None, "none", "bf16"):
         p = {"w": w.astype(dtype)}
     elif quantization in ("int4", "awq", "gptq", "int4-a8", "w4a8"):
-        q, s, z = quantize_int4(w, group_size)
+        q, s, z = quantize_int4(w, group_size or _DEFAULT_GROUP_SIZE)
         key = "packed_a8" if quantization in ("int4-a8", "w4a8") else "packed"
         p = {key: pack_int4(q), "scale": s, "zero": z}
     elif quantization in ("int8", "w8a8", "fp8"):

@@ -91,6 +91,9 @@ class Req:
         self.read_offset = 0
         self.surr_offset = 0
         self.decoded_text = ""
+        # --stream-interval: tokens/text held back until the next chunk
+        self.pending_tokens: List[int] = []
+        self.pending_text = ""
 
     # ------------------------------------------------------------------
     def needs_penalties(self) -> bool:

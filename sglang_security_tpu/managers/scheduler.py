@@ -94,7 +94,31 @@ class Scheduler:
         self._penalty_free = list(range(self.runner.max_penalty_slots))
         self._init_rest(server_args)
 
+    def _make_kv_event_fn(self, server_args):
+        """--kv-events-config '{"endpoint": "tcp://*:5557", ...}' wires
+        cache-op events to an external ZMQ subscriber (reference
+        ZmqEventPublisher, disaggregation/kv_events.py)."""
+        if not server_args.kv_events_config:
+            return None
+        if getattr(self, "_kv_event_pub", None) is None:
+            import json as _json
+
+            from sglang_security_tpu.disaggregation.kv_events import (
+                ZmqEventPublisher,
+                tree_event_hook,
+            )
+
+            cfg = _json.loads(server_args.kv_events_config)
+            self._kv_event_pub = ZmqEventPublisher(
+                cfg["endpoint"],
+                replay_endpoint=cfg.get("replay_endpoint"),
+                buffer_size=int(cfg.get("buffer_size", 4096)),
+            )
+            self._kv_event_hook = tree_event_hook(self._kv_event_pub)
+        return self._kv_event_hook
+
     def _build_tree_cache(self, server_args, allocator, privacy_client):
+        kv_event_fn = self._make_kv_event_fn(server_args)
         if server_args.disable_radix_cache:
             return ChunkCache(self.page_size, allocator.free)
         else:
@@ -131,9 +155,11 @@ class Scheduler:
                     alloc_pages_fn=lambda n: self._alloc_pages(n),
                     safekv=safekv,
                     write_policy=server_args.hicache_write_policy,
+                    kv_event_fn=kv_event_fn,
                 )
             return RadixCache(
-                self.page_size, allocator.free, safekv=safekv
+                self.page_size, allocator.free, safekv=safekv,
+                kv_event_fn=kv_event_fn,
             )
 
     def _init_rest(self, server_args) -> None:
@@ -180,7 +206,19 @@ class Scheduler:
             )
         self._steps = 0
         self._last_decode_log = time.monotonic()
+        self._last_decode_log_ct = 0
         self._decode_tokens_since_log = 0
+        # dynamic decode-output reservation (reference scheduler.py
+        # new_token_ratio machinery): start conservative, decay toward
+        # the floor while healthy, reset on retract.
+        # schedule_conservativeness scales both ends (reference
+        # server_args.schedule_conservativeness).
+        c = float(server_args.schedule_conservativeness)
+        self._init_ntr = min(1.0, server_args.new_token_ratio * c)
+        self._min_ntr = min(
+            self._init_ntr, server_args.min_new_token_ratio * c
+        )
+        self.new_token_ratio = self._init_ntr
         # ---- hung-scheduler watchdog (reference scheduler.py:1907) ----
         # counts completed device batches; if work is pending and no
         # batch completes within watchdog_timeout, dump all stacks and
@@ -433,12 +471,16 @@ class Scheduler:
 
     def _make_adder(self) -> PrefillAdder:
         sa = self.server_args
+        ratio = self.new_token_ratio
+        self.new_token_ratio = max(
+            self._min_ntr, self.new_token_ratio * 0.995
+        )
         return PrefillAdder(
             self.page_size,
             sa.max_prefill_tokens,
             sa.chunked_prefill_size,
             self._available_pages,
-            new_token_ratio=sa.new_token_ratio,
+            new_token_ratio=ratio,
         )
 
     def _run_prefill(self, reqs: List[Req]) -> None:
@@ -1021,6 +1063,7 @@ class Scheduler:
             )
             self.running.remove(victim)
             self._retract_req(victim)
+            self.new_token_ratio = self._init_ntr  # back to conservative
             logger.warning("retracted %s due to KV OOM", victim.rid)
 
     def _retract_req(self, req: Req) -> None:
@@ -1164,6 +1207,16 @@ class Scheduler:
         )
 
     def _append_token(self, req: Req, token: int, logprob: float) -> None:
+        if self.server_args.enable_nan_detection and logprob != logprob:
+            # NaN sampled-token logprob => NaN logits this step
+            # (reference --enable-nan-detection, eagle_worker.py:723)
+            logger.error(
+                "NaN logits detected for %s at output token %d; aborting"
+                " the request", req.rid, len(req.output_ids),
+            )
+            req.finished_reason = FinishReason.ABORT
+            self._emit(req, [], finished=True, reason=FinishReason.ABORT)
+            return
         req.output_ids.append(token)
         if req.return_logprob:
             req.output_logprobs.append(logprob)
@@ -1229,8 +1282,33 @@ class Scheduler:
         return False
 
     def _emit(self, req, new_tokens, new_text="", finished=False, reason=None):
+        # --stream-interval N: batch stream chunks every N tokens
+        # (reference stream_interval gating in stream_output)
+        si = self.server_args.stream_interval
+        if si > 1:
+            req.pending_tokens.extend(new_tokens)
+            req.pending_text += new_text
+            if not finished and len(req.pending_tokens) < si:
+                return
+            new_tokens = req.pending_tokens
+            new_text = req.pending_text
+            req.pending_tokens = []
+            req.pending_text = ""
         if finished:
             req.time_stats.finished = time.monotonic()
+            if self.server_args.enable_request_time_stats_logging:
+                ts = req.time_stats
+                logger.info(
+                    "req %s time stats: queue %.3fs, ttft %.3fs, "
+                    "decode %.3fs, e2e %.3fs (%d in, %d out)",
+                    req.rid,
+                    (ts.queued - ts.created) if ts.queued else 0.0,
+                    (ts.first_token - ts.created) if ts.first_token else 0.0,
+                    (ts.finished - ts.first_token) if ts.first_token else 0.0,
+                    ts.finished - ts.created,
+                    len(req.input_ids),
+                    len(req.output_ids),
+                )
             try:
                 from sglang_security_tpu.metrics import collector
 
@@ -1368,7 +1446,12 @@ class Scheduler:
 
     def _log_decode_stats(self) -> None:
         now = time.monotonic()
-        if now - self._last_decode_log > 10:
+        if (
+            self.forward_ct - self._last_decode_log_ct
+            >= self.server_args.decode_log_interval
+            and now > self._last_decode_log
+        ):
+            self._last_decode_log_ct = self.forward_ct
             dt = now - self._last_decode_log
             logger.info(
                 "decode: %d reqs, %.0f tok/s, pages free %d/%d, cache %d pages",

@@ -24,11 +24,19 @@ from sglang_security_tpu.sampling.sampling_params import SamplingParams
 logger = logging.getLogger(__name__)
 
 
-def get_tokenizer(tokenizer_path: str, trust_remote_code: bool = False):
+def get_tokenizer(
+    tokenizer_path: str,
+    trust_remote_code: bool = False,
+    tokenizer_mode: str = "auto",
+    revision: Optional[str] = None,
+):
     from transformers import AutoTokenizer
 
     return AutoTokenizer.from_pretrained(
-        tokenizer_path, trust_remote_code=trust_remote_code, use_fast=True
+        tokenizer_path,
+        trust_remote_code=trust_remote_code,
+        use_fast=tokenizer_mode != "slow",
+        revision=revision,
     )
 
 
@@ -58,9 +66,16 @@ class TokenizerManager:
             None
             if server_args.skip_tokenizer_init
             else get_tokenizer(
-                server_args.tokenizer_path, server_args.trust_remote_code
+                server_args.tokenizer_path,
+                server_args.trust_remote_code,
+                server_args.tokenizer_mode,
+                server_args.revision,
             )
         )
+        # set by the Engine once the model config is known; requests
+        # longer than this are truncated (--allow-auto-truncate) or
+        # rejected (reference tokenizer_manager._validate_one_request)
+        self.model_context_len: Optional[int] = None
         # set by the Engine once the model config is known (None =
         # text-only model); reference get_mm_processor dispatch
         # (srt/managers/multimodal_processor.py)
@@ -117,6 +132,18 @@ class TokenizerManager:
             input_ids, mm_inputs = self.mm_processor.expand_prompt(
                 list(input_ids), images
             )
+        ctx = self.model_context_len
+        if ctx is not None and len(input_ids) >= ctx:
+            if self.server_args.allow_auto_truncate:
+                # keep the tail (the reference truncates to
+                # context_len - 1, tokenizer_manager validation)
+                input_ids = list(input_ids)[-(ctx - 1):]
+            else:
+                raise ValueError(
+                    f"prompt is {len(input_ids)} tokens but the model "
+                    f"context length is {ctx}; pass --allow-auto-truncate"
+                    " to truncate instead of rejecting"
+                )
         if text is None and self.tokenizer is not None:
             # raw-input_ids request: decode so the SafeKV privacy
             # detector judges real content (with no text, nodes stay

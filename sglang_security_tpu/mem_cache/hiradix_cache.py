@@ -182,8 +182,10 @@ class HiRadixCache(RadixCache):
     def __init__(self, page_size: int, free_pages_fn, controller: HiCacheController,
                  alloc_pages_fn: Callable[[int], Optional[np.ndarray]],
                  safekv: Optional[SafeKVConfig] = None,
-                 write_policy: str = "write_back"):
-        super().__init__(page_size, free_pages_fn, safekv=safekv)
+                 write_policy: str = "write_back",
+                 kv_event_fn=None):
+        super().__init__(page_size, free_pages_fn, safekv=safekv,
+                         kv_event_fn=kv_event_fn)
         self.controller = controller
         self.alloc_pages_fn = alloc_pages_fn
         self.write_policy = write_policy

@@ -66,8 +66,21 @@ e2e_latency_seconds = Histogram(
 )
 
 
+_ENABLED = True
+
+
+def set_enabled(on: bool) -> None:
+    """--enable-metrics gate (reference enable_metrics,
+    ``server_args.py``): when off, collection becomes a no-op (the
+    /metrics endpoint then serves zeros)."""
+    global _ENABLED
+    _ENABLED = bool(on)
+
+
 def observe_request(time_stats, prompt_tokens: int, completion_tokens: int,
                     cached_tokens: int) -> None:
+    if not _ENABLED:
+        return
     prompt_tokens_total.inc(prompt_tokens)
     generation_tokens_total.inc(completion_tokens)
     cached_tokens_total.inc(cached_tokens)
@@ -84,6 +97,8 @@ def observe_request(time_stats, prompt_tokens: int, completion_tokens: int,
 
 def set_scheduler_stats(running: int, waiting: int, usage: float,
                         hit_rate: float) -> None:
+    if not _ENABLED:
+        return
     num_running_reqs.set(running)
     num_waiting_reqs.set(waiting)
     token_usage.set(usage)

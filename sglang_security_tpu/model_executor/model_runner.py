@@ -156,16 +156,22 @@ class ModelRunner:
             jax.config.update("jax_compilation_cache_dir", path)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         t0 = time.time()
+        from sglang_security_tpu.layers.linear import set_default_group_size
+
+        set_default_group_size(server_args.quantization_group_size)
         self.model, self.params, self.config = load_model(
             server_args.model_path,
-            load_format=(
-                "dummy" if server_args.load_format == "dummy" else "auto"
-            ),
+            load_format=server_args.load_format,
             quantization=server_args.quantization,
             dtype=server_args.dtype,
             download_dir=server_args.download_dir,
             tp_size=self.tp_size,
+            revision=server_args.revision,
         )
+        if server_args.context_length:
+            # --context-length overrides the checkpoint's max positions
+            # (reference model_config context_length handling)
+            self.config.max_position = server_args.context_length
         logger.info("model loaded in %.1fs", time.time() - t0)
         self.eplb_manager = None
         self.eplb_recorder = None

@@ -25,7 +25,11 @@ from sglang_security_tpu.utils import get_dtype
 logger = logging.getLogger(__name__)
 
 
-def _resolve_model_path(model_path: str, download_dir: Optional[str]) -> str:
+def _resolve_model_path(
+    model_path: str,
+    download_dir: Optional[str],
+    revision: Optional[str] = None,
+) -> str:
     if os.path.isdir(model_path):
         return model_path
     # HF hub id -> snapshot download (cached); gated behind network access
@@ -34,6 +38,7 @@ def _resolve_model_path(model_path: str, download_dir: Optional[str]) -> str:
     return snapshot_download(
         model_path,
         cache_dir=download_dir,
+        revision=revision,
         allow_patterns=["*.json", "*.safetensors", "*.model", "*.txt"],
     )
 
@@ -140,12 +145,13 @@ def load_model(
     download_dir: Optional[str] = None,
     seed: int = 0,
     tp_size: int = 1,
+    revision: Optional[str] = None,
 ) -> Tuple[object, dict, ModelConfig]:
     """Returns (model, params, config)."""
     gguf_path = _find_gguf(model_path, load_format)
     if gguf_path is not None:
         return _load_gguf(gguf_path, quantization, dtype, tp_size)
-    model_dir = _resolve_model_path(model_path, download_dir)
+    model_dir = _resolve_model_path(model_path, download_dir, revision)
     config = ModelConfig.from_pretrained(model_dir)
     from sglang_security_tpu.model_loader.quant_ingest import (
         detect_checkpoint_quant,

@@ -33,7 +33,7 @@ class ServerArgs:
     tokenizer_mode: str = "auto"
     chat_template: Optional[str] = None  # named template or .jinja path
     completion_template: Optional[str] = None  # FIM template name/json
-    load_format: str = "auto"  # auto | safetensors | dummy
+    load_format: str = "auto"  # auto | safetensors | gguf | dummy
     trust_remote_code: bool = False
     dtype: str = "bfloat16"  # activation dtype: bfloat16 | float32
     quantization: Optional[str] = None  # int4 | int8 | fp8 | awq | gptq | None
@@ -118,7 +118,7 @@ class ServerArgs:
     speculative_algorithm: Optional[str] = None  # EAGLE | NGRAM | None
     speculative_draft_model_path: Optional[str] = None
     speculative_num_steps: int = 5
-    speculative_eagle_topk: int = 4
+    speculative_eagle_topk: int = 1  # >1 (tree drafting) not implemented
     speculative_num_draft_tokens: int = 8
 
     # ---- LoRA ----
@@ -200,8 +200,23 @@ class ServerArgs:
         if self.speculative_algorithm is not None:
             # overlap scheduling composes poorly with draft/verify loops
             self.disable_overlap_schedule = True
+        if self.disable_overlap_schedule:
+            # overlap on TPU = device-chained multi-step decode; disabling
+            # it means one host round-trip per token
+            self.decode_steps_per_batch = 1
         if self.enable_safekv and self.disable_radix_cache:
             raise ValueError("SafeKV requires the radix cache to be enabled")
+        if self.radix_eviction_policy != "lru":
+            raise ValueError(
+                f"radix_eviction_policy={self.radix_eviction_policy!r}: only"
+                " 'lru' is implemented (epoch-ordered leaf heap)"
+            )
+        if self.tokenizer_mode not in ("auto", "slow"):
+            raise ValueError("tokenizer_mode must be 'auto' or 'slow'")
+        if self.enable_ep_moe and self.ep_size <= 1:
+            # reference --enable-ep-moe shards experts over the TP group
+            # (ep_moe/layer.py); our ep axis rides the tp axis the same way
+            self.ep_size = self.tp_size
 
     # ------------------------------------------------------------------ CLI
     @staticmethod

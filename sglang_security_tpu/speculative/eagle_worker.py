@@ -50,6 +50,13 @@ class EagleWorker:
         self.runner = runner
         self.sa = server_args
         self.num_steps = server_args.speculative_num_steps
+        if server_args.speculative_eagle_topk > 1:
+            # chain drafting: one candidate per step (no top-k tree yet;
+            # reference builds a topk tree, eagle_utils.py:793)
+            logger.warning(
+                "speculative_eagle_topk=%d ignored: the TPU drafter is a "
+                "linear chain (topk=1)", server_args.speculative_eagle_topk,
+            )
         t0 = time.time()
         if server_args.speculative_draft_model_path:
             from sglang_security_tpu.model_loader.loader import (
