@@ -148,6 +148,7 @@ def load_model(
     revision: Optional[str] = None,
 ) -> Tuple[object, dict, ModelConfig]:
     """Returns (model, params, config)."""
+    model_path = str(model_path)  # tolerate pathlib.Path
     gguf_path = _find_gguf(model_path, load_format)
     if gguf_path is not None:
         return _load_gguf(gguf_path, quantization, dtype, tp_size)

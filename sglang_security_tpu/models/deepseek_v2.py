@@ -41,13 +41,20 @@ MLA_PREFILL_BLOCK_Q = 16  # Hq is large; keep rows = block_q * Hq bounded
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    """Also serves DeepSeek v1 MoE checkpoints (``DeepseekForCausalLM``,
+    reference ``srt/models/deepseek.py``): same first-k-dense + shared
+    -expert MoE FFN, with standard GQA attention instead of MLA
+    (``config.use_mla`` selects the branch)."""
+
     def __init__(self, config, quantization=None, tp_size: int = 1):
         super().__init__(config, quantization, tp_size)
-        self.inv_freq = jnp.asarray(
-            compute_inv_freq(
-                config.qk_rope_head_dim, config.rope_theta, config.rope_scaling
+        if config.use_mla:
+            self.inv_freq = jnp.asarray(
+                compute_inv_freq(
+                    config.qk_rope_head_dim, config.rope_theta,
+                    config.rope_scaling,
+                )
             )
-        )
 
     # ------------------------------------------------------------- helpers
     @property
@@ -70,6 +77,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     def _sm_scale(self) -> float:
         cfg = self.config
+        if not cfg.use_mla:
+            return cfg.head_dim**-0.5
         scale = (cfg.qk_nope_head_dim + cfg.qk_rope_head_dim) ** -0.5
         rs = cfg.rope_scaling or {}
         if rs.get("type") == "yarn" or rs.get("rope_type") == "yarn":
@@ -86,6 +95,26 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     def _make_attn_params_dummy(self, rand, dtype):
         cfg = self.config
         H = cfg.hidden_size
+        if not cfg.use_mla:  # DeepSeek v1: plain GQA qkv/o
+            from sglang_security_tpu.layers.linear import (
+                make_linear_params,
+                merge_for_tp,
+            )
+
+            hd = cfg.head_dim
+            ws = [rand(H, n) for n in
+                  (cfg.num_q_heads * hd, cfg.num_kv_heads * hd,
+                   cfg.num_kv_heads * hd)]
+            w, _ = merge_for_tp(ws, self.tp_size, None)
+            return {
+                "qkv": make_linear_params(
+                    w, quantization=self.quantization, dtype=dtype
+                ),
+                "o": make_linear_params(
+                    rand(cfg.num_q_heads * hd, H),
+                    quantization=self.quantization, dtype=dtype,
+                ),
+            }
         c, nope, rope, vdim, _ = self._dims
         Hq = cfg.num_q_heads
         p = {}
@@ -196,6 +225,49 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             )
         return params
 
+    def _load_ffn_into(self, p, i, t, dtype) -> None:
+        """DeepSeek MoE FFN tensors (shared across the MLA/v2 and plain
+        -attention/v1 load paths): first_k_dense dense layers, routed
+        experts, optional gateless shared experts."""
+        cfg = self.config
+        m = f"model.layers.{i}.mlp."
+        if cfg.num_experts == 0 or i < cfg.first_k_dense_layers:
+            p["gate_up"] = {
+                "w": jnp.concatenate(
+                    [t(m + "gate_proj.weight").T, t(m + "up_proj.weight").T],
+                    axis=1,
+                ).astype(dtype)
+            }
+            p["down"] = {"w": t(m + "down_proj.weight").T.astype(dtype)}
+            return
+        p["router"] = t(m + "gate.weight").T.astype(jnp.float32)
+        if self._noaux_tc:
+            p["router_bias"] = t(
+                m + "gate.e_score_correction_bias"
+            ).astype(jnp.float32)
+        gus, downs = [], []
+        for e in range(cfg.num_experts):
+            ep = m + f"experts.{e}."
+            gus.append(
+                jnp.concatenate(
+                    [t(ep + "gate_proj.weight").T,
+                     t(ep + "up_proj.weight").T], axis=1,
+                )
+            )
+            downs.append(t(ep + "down_proj.weight").T)
+        self._pack_experts(p, jnp.stack(gus), jnp.stack(downs), dtype)
+        if cfg.num_shared_experts:
+            sp = m + "shared_experts."
+            p["shared_gate_up"] = {
+                "w": jnp.concatenate(
+                    [t(sp + "gate_proj.weight").T,
+                     t(sp + "up_proj.weight").T], axis=1,
+                ).astype(dtype)
+            }
+            p["shared_down"] = {
+                "w": t(sp + "down_proj.weight").T.astype(dtype)
+            }
+
     def load_weights(self, get_tensor, dtype=jnp.bfloat16):
         cfg = self.config
         c, nope, rope, vdim, _ = self._dims
@@ -204,6 +276,15 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         def t(name):
             return jnp.asarray(get_tensor(name)).astype(jnp.float32)
 
+        def lin_merged(names, bias_names):
+            from sglang_security_tpu.layers.linear import load_merged_linear
+
+            return load_merged_linear(
+                get_tensor, names, bias_names,
+                quantization=self.quantization,
+                tp_size=self.tp_size, dtype=dtype,
+            )
+
         def layer_params(i):
             b = f"model.layers.{i}."
             a = b + "self_attn."
@@ -211,6 +292,14 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 "input_norm": t(b + "input_layernorm.weight").astype(dtype),
                 "post_norm": t(b + "post_attention_layernorm.weight").astype(dtype),
             }
+            if not cfg.use_mla:  # DeepSeek v1: plain GQA
+                p["qkv"] = lin_merged(
+                    [a + "q_proj.weight", a + "k_proj.weight",
+                     a + "v_proj.weight"], None,
+                )
+                p["o"] = lin_merged([a + "o_proj.weight"], None)
+                self._load_ffn_into(p, i, t, dtype)
+                return p
             if cfg.q_lora_rank:
                 p["q_a"] = t(a + "q_a_proj.weight").T.astype(dtype)
                 p["q_a_norm"] = t(a + "q_a_layernorm.weight").astype(dtype)
@@ -224,49 +313,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             p["w_uk"] = kv_b[:, :nope, :].astype(dtype)  # [Hq, nope, c]
             p["w_uv"] = kv_b[:, nope:, :].transpose(0, 2, 1).astype(dtype)
             p["o"] = {"w": t(a + "o_proj.weight").T.astype(dtype)}
-            # FFN
-            m = b + "mlp."
-            is_dense = (
-                cfg.num_experts == 0 or i < cfg.first_k_dense_layers
-            )
-            if is_dense:
-                p["gate_up"] = {
-                    "w": jnp.concatenate(
-                        [t(m + "gate_proj.weight").T, t(m + "up_proj.weight").T],
-                        axis=1,
-                    ).astype(dtype)
-                }
-                p["down"] = {"w": t(m + "down_proj.weight").T.astype(dtype)}
-            else:
-                p["router"] = t(m + "gate.weight").T.astype(jnp.float32)
-                if self._noaux_tc:
-                    p["router_bias"] = t(
-                        m + "gate.e_score_correction_bias"
-                    ).astype(jnp.float32)
-                gus, downs = [], []
-                for e in range(cfg.num_experts):
-                    ep = m + f"experts.{e}."
-                    gus.append(
-                        jnp.concatenate(
-                            [t(ep + "gate_proj.weight").T,
-                             t(ep + "up_proj.weight").T], axis=1,
-                        )
-                    )
-                    downs.append(t(ep + "down_proj.weight").T)
-                self._pack_experts(
-                    p, jnp.stack(gus), jnp.stack(downs), dtype
-                )
-                if cfg.num_shared_experts:
-                    sp = m + "shared_experts."
-                    p["shared_gate_up"] = {
-                        "w": jnp.concatenate(
-                            [t(sp + "gate_proj.weight").T,
-                             t(sp + "up_proj.weight").T], axis=1,
-                        ).astype(dtype)
-                    }
-                    p["shared_down"] = {
-                        "w": t(sp + "down_proj.weight").T.astype(dtype)
-                    }
+            self._load_ffn_into(p, i, t, dtype)
             return p
 
         k_dense = cfg.first_k_dense_layers if cfg.num_experts else 0
@@ -303,6 +350,13 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         lora_lp=None, lora_ids=None, lora_scale=None,
     ):
         cfg = self.config
+        if not cfg.use_mla:  # DeepSeek v1: standard GQA path
+            return LlamaForCausalLM._attn_apply(
+                self, lp, h, fb, k_pages, v_pages, li, safe_slots,
+                block_q=block_q, pages_per_block=pages_per_block,
+                interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
+                lora_lp=lora_lp, lora_ids=lora_ids, lora_scale=lora_scale,
+            )
         T = h.shape[0]
         c, nope, rope, vdim, hd_pad = self._dims
         Hq = cfg.num_q_heads // tp_size

@@ -646,6 +646,9 @@ class LlamaForCausalLM:
             qkv = qkv + apply_lora(
                 h, lora_lp, "qkv", lora_ids, lora_scale
             ).astype(qkv.dtype)
+        clip = getattr(self, "clip_qkv", None)
+        if clip:  # OLMo-0424 / DBRX qkv clamping
+            qkv = jnp.clip(qkv, -clip, clip)
         q, k, v = jnp.split(qkv, [Hq * hd, (Hq + Hkv) * hd], axis=-1)
         if "q_norm_flat" in lp:  # whole-projection RMSNorm (OLMo2)
             q = rms_norm(q, lp["q_norm_flat"], cfg.rms_eps)

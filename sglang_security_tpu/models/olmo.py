@@ -3,8 +3,7 @@
 Capability parity with the reference's ``srt/models/olmo.py``: llama
 body with OLMo's differences — NON-parametric LayerNorm (no weight or
 bias tensors in the checkpoint; plain standardization) on both branch
-inputs and the final norm.  ``clip_qkv`` (used by some 0424 variants)
-is not supported and rejected at init.
+inputs and the final norm, plus ``clip_qkv`` clamping (0424 variants).
 """
 
 from __future__ import annotations
@@ -24,8 +23,7 @@ def _standardize(x, eps):
 class OlmoForCausalLM(LlamaForCausalLM):
     def __init__(self, config, quantization=None, tp_size: int = 1):
         super().__init__(config, quantization, tp_size)
-        if config.raw.get("clip_qkv"):
-            raise NotImplementedError("OLMo clip_qkv is not supported")
+        self.clip_qkv = config.raw.get("clip_qkv")  # 0424 variants
         self.ln_eps = 1e-5
 
     def _load_norm(self, t, prefix, dtype):

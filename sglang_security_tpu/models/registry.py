@@ -55,6 +55,9 @@ from sglang_security_tpu.models.gpt2 import (
     GPT2LMHeadModel,
     GPTBigCodeForCausalLM,
 )
+from sglang_security_tpu.models.qwen import QWenLMHeadModel
+from sglang_security_tpu.models.chatglm import ChatGLMForCausalLM
+from sglang_security_tpu.models.dbrx import DbrxForCausalLM
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -69,6 +72,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
     "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
     "OlmoeForCausalLM": OlmoeForCausalLM,
+    "DeepseekForCausalLM": DeepseekV2ForCausalLM,  # v1: GQA + same MoE
     "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
     "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
     "GemmaForCausalLM": GemmaForCausalLM,
@@ -96,6 +100,10 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "XverseForCausalLM": LlamaForCausalLM,  # llama body + naming
     "GPT2LMHeadModel": GPT2LMHeadModel,
     "GPTBigCodeForCausalLM": GPTBigCodeForCausalLM,
+    "QWenLMHeadModel": QWenLMHeadModel,
+    "ChatGLMModel": ChatGLMForCausalLM,
+    "ChatGLMForConditionalGeneration": ChatGLMForCausalLM,
+    "DbrxForCausalLM": DbrxForCausalLM,
     "Qwen2ForRewardModel": Qwen2ForRewardModel,
     "LlamaForSequenceClassification": LlamaForSequenceClassification,
     "Qwen2ForSequenceClassification": Qwen2ForSequenceClassification,

@@ -1,0 +1,232 @@
+"""Model-zoo batch 4: DBRX (MoE, LayerNorm, fused Wqkv + clip_qkv),
+ChatGLM legacy format (fused MQA qkv, interleaved half rotary, fused
+gate_up), Qwen-1 (GPT-style naming, w2/w1 gate/up swap), DeepSeek v1
+(GQA attention + the V2 MoE FFN)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sglang_security_tpu.model_loader import load_model
+from tests.test_model_parity import hf_logits, run_prefill
+from tests.test_more_families import (
+    H, I, hd, Hq, Hkv, V, L, _ids, _llama_cfg, _llama_tensors, _logits,
+)
+from tests.test_new_families import _r, _write
+
+
+def test_dbrx_hf_parity(tmp_path):
+    rng = np.random.default_rng(0)
+    E, topk, ffn = 4, 2, 192
+    kd = Hkv * (H // Hq)
+    t = {"transformer.wte.weight": _r(rng, V, H),
+         "transformer.norm_f.weight": 1 + _r(rng, H),
+         "lm_head.weight": _r(rng, V, H)}
+    for i in range(L):
+        p = f"transformer.blocks.{i}."
+        t[p + "norm_attn_norm.norm_1.weight"] = 1 + _r(rng, H)
+        t[p + "norm_attn_norm.norm_2.weight"] = 1 + _r(rng, H)
+        t[p + "norm_attn_norm.attn.Wqkv.weight"] = _r(rng, H + 2 * kd, H)
+        t[p + "norm_attn_norm.attn.out_proj.weight"] = _r(rng, H, H)
+        t[p + "ffn.router.layer.weight"] = _r(rng, E, H)
+        t[p + "ffn.experts.mlp.w1"] = _r(rng, E * ffn, H)
+        t[p + "ffn.experts.mlp.v1"] = _r(rng, E * ffn, H)
+        t[p + "ffn.experts.mlp.w2"] = _r(rng, E * ffn, H)
+    cfg = {
+        "architectures": ["DbrxForCausalLM"], "model_type": "dbrx",
+        "d_model": H, "n_heads": Hq, "n_layers": L, "max_seq_len": 256,
+        "vocab_size": V, "resid_pdrop": 0.0, "emb_pdrop": 0.0,
+        "attn_config": {"kv_n_heads": Hkv, "clip_qkv": 8.0,
+                        "rope_theta": 10000.0, "attn_pdrop": 0.0},
+        "ffn_config": {"ffn_hidden_size": ffn, "moe_num_experts": E,
+                       "moe_top_k": topk,
+                       "moe_normalize_expert_weights": 1.0},
+        "tie_word_embeddings": False, "torch_dtype": "float32",
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    path = _write(str(tmp_path / "dbrx"), cfg, t)
+    ours = _logits(path)
+    ref = hf_logits(path, _ids())
+    np.testing.assert_allclose(ours, ref[-1], rtol=3e-3, atol=3e-3)
+
+
+def test_qwen1_equals_llama_body(tmp_path):
+    rng = np.random.default_rng(1)
+    # MHA variant of the llama tensors (Qwen-1 has no GQA)
+    lt = _llama_tensors(rng)
+    for i in range(L):
+        p = f"model.layers.{i}.self_attn."
+        lt[p + "k_proj.weight"] = _r(rng, Hq * hd, H)
+        lt[p + "v_proj.weight"] = _r(rng, Hq * hd, H)
+    lcfg = _llama_cfg(num_key_value_heads=Hq)
+    ref = _logits(_write(str(tmp_path / "llama"), lcfg, dict(lt)))
+
+    qt = {"transformer.wte.weight": lt["model.embed_tokens.weight"],
+          "transformer.ln_f.weight": lt["model.norm.weight"],
+          "lm_head.weight": lt["lm_head.weight"]}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        q = f"transformer.h.{i}."
+        qt[q + "ln_1.weight"] = lt[p + "input_layernorm.weight"]
+        qt[q + "ln_2.weight"] = lt[p + "post_attention_layernorm.weight"]
+        qt[q + "attn.c_attn.weight"] = np.concatenate(
+            [lt[p + "self_attn.q_proj.weight"],
+             lt[p + "self_attn.k_proj.weight"],
+             lt[p + "self_attn.v_proj.weight"]], axis=0)
+        qt[q + "attn.c_attn.bias"] = np.zeros(3 * Hq * hd, np.float32)
+        qt[q + "attn.c_proj.weight"] = lt[p + "self_attn.o_proj.weight"]
+        qt[q + "mlp.w2.weight"] = lt[p + "mlp.gate_proj.weight"]
+        qt[q + "mlp.w1.weight"] = lt[p + "mlp.up_proj.weight"]
+        qt[q + "mlp.c_proj.weight"] = lt[p + "mlp.down_proj.weight"]
+    qcfg = {
+        "architectures": ["QWenLMHeadModel"], "model_type": "qwen",
+        "hidden_size": H, "intermediate_size": 2 * I,  # doubled, qwen-style
+        "num_hidden_layers": L, "num_attention_heads": Hq,
+        "vocab_size": V, "layer_norm_epsilon": 1e-5,
+        "rotary_emb_base": 10000.0, "seq_length": 2048,
+        "no_bias": True, "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2, "torch_dtype": "float32",
+    }
+    ours = _logits(_write(str(tmp_path / "qwen1"), qcfg, qt))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def _interleave_rotary_rows(w, num_heads, head_dim, rot):
+    """Inverse of glm4.deinterleave_rotary_rows (build checkpoints that
+    store interleaved rotary pairs)."""
+    perm = np.arange(head_dim)
+    perm[: rot // 2] = np.arange(0, rot, 2)
+    perm[rot // 2 : rot] = np.arange(1, rot, 2)
+    inv = np.argsort(perm)
+    full = (np.arange(num_heads)[:, None] * head_dim + inv[None, :]).ravel()
+    return w[full]
+
+
+def test_chatglm_equals_llama_body(tmp_path):
+    rng = np.random.default_rng(2)
+    lt = _llama_tensors(rng)
+    # reference run: llama body with half-width rotary
+    import jax.numpy as jnp
+
+    from sglang_security_tpu.layers.rotary import compute_inv_freq
+
+    lpath = _write(str(tmp_path / "llama"), _llama_cfg(), dict(lt))
+    model, params, _ = load_model(lpath, dtype="float32")
+    model.rotary_dim = hd // 2
+    model.inv_freq = jnp.asarray(compute_inv_freq(hd // 2, 10000.0, None))
+    ref, *_ = run_prefill(model, params, _ids(), dtype=jnp.float32)
+    ref = np.asarray(ref)[0]
+
+    gt = {
+        "transformer.embedding.word_embeddings.weight":
+            lt["model.embed_tokens.weight"],
+        "transformer.encoder.final_layernorm.weight":
+            lt["model.norm.weight"],
+        "transformer.output_layer.weight": lt["lm_head.weight"],
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        g = f"transformer.encoder.layers.{i}."
+        gt[g + "input_layernorm.weight"] = lt[p + "input_layernorm.weight"]
+        gt[g + "post_attention_layernorm.weight"] = (
+            lt[p + "post_attention_layernorm.weight"])
+        q = _interleave_rotary_rows(
+            lt[p + "self_attn.q_proj.weight"], Hq, hd, hd // 2)
+        k = _interleave_rotary_rows(
+            lt[p + "self_attn.k_proj.weight"], Hkv, hd, hd // 2)
+        gt[g + "self_attention.query_key_value.weight"] = np.concatenate(
+            [q, k, lt[p + "self_attn.v_proj.weight"]], axis=0)
+        gt[g + "self_attention.query_key_value.bias"] = np.zeros(
+            (Hq + 2 * Hkv) * hd, np.float32)
+        gt[g + "self_attention.dense.weight"] = (
+            lt[p + "self_attn.o_proj.weight"])
+        gt[g + "mlp.dense_h_to_4h.weight"] = np.concatenate(
+            [lt[p + "mlp.gate_proj.weight"], lt[p + "mlp.up_proj.weight"]],
+            axis=0)
+        gt[g + "mlp.dense_4h_to_h.weight"] = lt[p + "mlp.down_proj.weight"]
+    gcfg = {
+        "architectures": ["ChatGLMModel"], "model_type": "chatglm",
+        "hidden_size": H, "ffn_hidden_size": I, "num_layers": L,
+        "num_attention_heads": Hq, "multi_query_attention": True,
+        "multi_query_group_num": Hkv, "kv_channels": hd,
+        "padded_vocab_size": V, "layernorm_epsilon": 1e-5,
+        "add_qkv_bias": True, "add_bias_linear": False,
+        "apply_residual_connection_post_layernorm": False,
+        "rope_ratio": 1.0, "seq_length": 2048, "rmsnorm": True,
+        "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2, "torch_dtype": "float32",
+    }
+    ours = _logits(_write(str(tmp_path / "chatglm"), gcfg, gt))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_deepseek_v1_dense_equals_llama(tmp_path):
+    """v1 with num_experts=0 is exactly the llama body through the
+    DeepseekV2 class's non-MLA branch."""
+    rng = np.random.default_rng(3)
+    lt = _llama_tensors(rng)
+    ref = _logits(_write(str(tmp_path / "llama"), _llama_cfg(), dict(lt)))
+    dcfg = _llama_cfg(architectures=["DeepseekForCausalLM"],
+                      model_type="deepseek")
+    ours = _logits(_write(str(tmp_path / "ds1"), dcfg, dict(lt)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_deepseek_v1_moe_engine(tmp_path):
+    """v1 MoE (first dense layer + routed + gateless shared experts)
+    serves end-to-end and is deterministic."""
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import _write_tiny_tokenizer
+
+    rng = np.random.default_rng(4)
+    E, K, mi = 4, 2, 64
+    t = {"model.embed_tokens.weight": _r(rng, V, H),
+         "model.norm.weight": 1 + _r(rng, H),
+         "lm_head.weight": _r(rng, V, H)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "post_attention_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "self_attn.q_proj.weight"] = _r(rng, Hq * hd, H)
+        t[p + "self_attn.k_proj.weight"] = _r(rng, Hkv * hd, H)
+        t[p + "self_attn.v_proj.weight"] = _r(rng, Hkv * hd, H)
+        t[p + "self_attn.o_proj.weight"] = _r(rng, H, Hq * hd)
+        if i == 0:  # first_k_dense_replace=1
+            t[p + "mlp.gate_proj.weight"] = _r(rng, I, H)
+            t[p + "mlp.up_proj.weight"] = _r(rng, I, H)
+            t[p + "mlp.down_proj.weight"] = _r(rng, H, I)
+        else:
+            t[p + "mlp.gate.weight"] = _r(rng, E, H)
+            for e in range(E):
+                ep = p + f"mlp.experts.{e}."
+                t[ep + "gate_proj.weight"] = _r(rng, mi, H)
+                t[ep + "up_proj.weight"] = _r(rng, mi, H)
+                t[ep + "down_proj.weight"] = _r(rng, H, mi)
+            sp = p + "mlp.shared_experts."
+            t[sp + "gate_proj.weight"] = _r(rng, mi, H)
+            t[sp + "up_proj.weight"] = _r(rng, mi, H)
+            t[sp + "down_proj.weight"] = _r(rng, H, mi)
+    cfg = _llama_cfg(
+        architectures=["DeepseekForCausalLM"], model_type="deepseek",
+        n_routed_experts=E, num_experts_per_tok=K,
+        moe_intermediate_size=mi, n_shared_experts=1,
+        first_k_dense_replace=1, norm_topk_prob=False,
+        scoring_func="softmax",
+    )
+    path = _write(str(tmp_path / "ds1moe"), cfg, t)
+    eng = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=1024,
+        page_size=8, prefill_token_buckets=[64], decode_bs_buckets=[1],
+        max_seq_pages_buckets=[8], random_seed=0, enable_warmup=False,
+        log_level="warning",
+    ))
+    try:
+        sp = {"temperature": 0.0, "max_new_tokens": 6, "ignore_eos": True}
+        out1 = eng.generate(prompt="deepseek v one", sampling_params=sp)
+        out2 = eng.generate(prompt="deepseek v one", sampling_params=sp)
+        assert out1["output_ids"] == out2["output_ids"]
+        assert len(out1["output_ids"]) == 6
+    finally:
+        eng.shutdown()
