@@ -58,6 +58,7 @@ from sglang_security_tpu.models.gpt2 import (
 from sglang_security_tpu.models.qwen import QWenLMHeadModel
 from sglang_security_tpu.models.chatglm import ChatGLMForCausalLM
 from sglang_security_tpu.models.dbrx import DbrxForCausalLM
+from sglang_security_tpu.models.bert import BertModel, XLMRobertaModel
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -112,6 +113,11 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaEmbeddingModel": LlamaEmbeddingModel,
     "LlamaModel": LlamaEmbeddingModel,
     "MistralModel": LlamaEmbeddingModel,
+    # bidirectional encoders (embedding path)
+    "BertModel": BertModel,
+    "Contriever": BertModel,
+    "RobertaModel": XLMRobertaModel,
+    "XLMRobertaModel": XLMRobertaModel,
 }
 
 

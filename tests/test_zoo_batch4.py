@@ -230,3 +230,134 @@ def test_deepseek_v1_moe_engine(tmp_path):
         assert len(out1["output_ids"]) == 6
     finally:
         eng.shutdown()
+
+
+def _bert_ckpt(tmp_path, rng, arch="BertModel", model_type="bert"):
+    t = {
+        "embeddings.word_embeddings.weight": _r(rng, V, H),
+        "embeddings.position_embeddings.weight": _r(rng, 128, H),
+        "embeddings.token_type_embeddings.weight": _r(rng, 2, H),
+        "embeddings.LayerNorm.weight": 1 + _r(rng, H),
+        "embeddings.LayerNorm.bias": _r(rng, H),
+    }
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        a = p + "attention."
+        for nm in ("self.query", "self.key", "self.value", "output.dense"):
+            t[a + nm + ".weight"] = _r(rng, H, H)
+            t[a + nm + ".bias"] = _r(rng, H)
+        t[a + "output.LayerNorm.weight"] = 1 + _r(rng, H)
+        t[a + "output.LayerNorm.bias"] = _r(rng, H)
+        t[p + "intermediate.dense.weight"] = _r(rng, I, H)
+        t[p + "intermediate.dense.bias"] = _r(rng, I)
+        t[p + "output.dense.weight"] = _r(rng, H, I)
+        t[p + "output.dense.bias"] = _r(rng, H)
+        t[p + "output.LayerNorm.weight"] = 1 + _r(rng, H)
+        t[p + "output.LayerNorm.bias"] = _r(rng, H)
+    # HF BertModel also has a pooler head; unused by our LAST pooling
+    t["pooler.dense.weight"] = _r(rng, H, H)
+    t["pooler.dense.bias"] = _r(rng, H)
+    cfg = {
+        "architectures": [arch], "model_type": model_type,
+        "hidden_size": H, "intermediate_size": I, "num_hidden_layers": L,
+        "num_attention_heads": Hq, "vocab_size": V,
+        "max_position_embeddings": 128, "hidden_act": "gelu",
+        "layer_norm_eps": 1e-12, "pad_token_id": 0,
+        "type_vocab_size": 2, "torch_dtype": "float32",
+    }
+    return _write(str(tmp_path / "bert"), cfg, t)
+
+
+def test_bert_hf_parity(tmp_path):
+    import jax.numpy as jnp
+    import torch
+    from transformers import AutoModel
+
+    rng = np.random.default_rng(7)
+    path = _bert_ckpt(tmp_path, rng)
+    from tests.test_reward_models import run_prefill_hidden
+
+    model, params, _ = load_model(path, dtype="float32")
+    assert model.is_pooling_model
+    ids = _ids(12)
+    hidden, *_ = run_prefill_hidden(model, params, ids)
+    emb = np.asarray(model.pool(params, hidden))[0]
+
+    m = AutoModel.from_pretrained(path, torch_dtype=torch.float32)
+    m.eval()
+    with torch.no_grad():
+        last = m(torch.tensor([ids])).last_hidden_state[0, -1].numpy()
+    want = last / np.linalg.norm(last)
+    np.testing.assert_allclose(emb, want, rtol=2e-3, atol=2e-3)
+
+
+def test_bert_packed_batch_isolation(tmp_path):
+    """Two sequences packed in one prefill attend only within
+    themselves (block-diagonal bidirectional mask)."""
+    import jax.numpy as jnp
+
+    from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
+
+    rng = np.random.default_rng(8)
+    path = _bert_ckpt(tmp_path, rng)
+    model, params, _ = load_model(path, dtype="float32")
+    a = _ids(9)
+    b = list(reversed(_ids(7)))
+
+    from tests.test_reward_models import run_prefill_hidden
+
+    def solo(ids):
+        h, *_ = run_prefill_hidden(model, params, ids)
+        return np.asarray(model.pool(params, h))[0]
+
+    ea, eb = solo(a), solo(b)
+
+    n = len(a) + len(b)
+    T = 32
+    ids = np.zeros(T, np.int32)
+    ids[:n] = a + b
+    pos = np.zeros(T, np.int32)
+    pos[: len(a)] = np.arange(len(a))
+    pos[len(a) : n] = np.arange(len(b))
+    fb = ForwardBatch(
+        token_ids=jnp.asarray(ids),
+        positions=jnp.asarray(pos),
+        slots=jnp.full((T,), -1, jnp.int32),
+        q_starts=jnp.asarray([0, len(a)], jnp.int32),
+        q_lens=jnp.asarray([len(a), len(b)], jnp.int32),
+        kv_lens=jnp.asarray([len(a), len(b)], jnp.int32),
+        page_indices=jnp.zeros((2, 8), jnp.int32),
+        out_rows=jnp.asarray([len(a) - 1, n - 1], jnp.int32),
+    )
+    kshape = (model.config.num_layers, model.config.kv_cache_num_heads,
+              64, model.config.kv_cache_head_dim)
+    h, *_ = model.forward(
+        params, jnp.zeros(kshape, jnp.float32),
+        jnp.zeros(kshape, jnp.float32), fb, block_q=16,
+    )
+    packed = np.asarray(model.pool(params, h))
+    np.testing.assert_allclose(packed[0], ea, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(packed[1], eb, rtol=1e-4, atol=1e-4)
+
+
+def test_bert_through_engine_encode(tmp_path):
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+
+    rng = np.random.default_rng(9)
+    path = _bert_ckpt(tmp_path, rng)
+    eng = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=1024,
+        page_size=8, prefill_token_buckets=[64], decode_bs_buckets=[1],
+        max_seq_pages_buckets=[8], random_seed=0, enable_warmup=False,
+        log_level="warning", is_embedding=True,
+    ))
+    try:
+        out = eng.encode(prompt=["embed this text", "and also this"])
+        assert len(out) == 2
+        for o in out:
+            v = np.asarray(o["embedding"])
+            assert v.shape == (H,)
+            np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-4)
+    finally:
+        eng.shutdown()
