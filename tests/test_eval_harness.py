@@ -125,3 +125,47 @@ def test_mmlu_loglikelihood_against_tiny_engine(tmp_path):
     assert res["num_questions"] == 2
     assert res["invalid_rate"] == 0.0
     assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_humaneval_check_and_run(tmp_path):
+    from sglang_security_tpu.eval.humaneval import (
+        check_one, run_humaneval,
+    )
+
+    problems = [
+        {
+            "task_id": "Tiny/0",
+            "prompt": "def add(a, b):\n    \"\"\"Add two numbers.\"\"\"\n",
+            "entry_point": "add",
+            "test": ("def check(f):\n    assert f(1, 2) == 3\n"
+                     "    assert f(-1, 1) == 0\n"),
+        },
+        {
+            "task_id": "Tiny/1",
+            "prompt": "def mul(a, b):\n    \"\"\"Multiply.\"\"\"\n",
+            "entry_point": "mul",
+            "test": "def check(f):\n    assert f(3, 4) == 12\n",
+        },
+    ]
+    assert check_one(problems[0], "    return a + b\n")
+    assert not check_one(problems[0], "    return a - b\n")
+    assert not check_one(problems[0], "    while True: pass\n", timeout=2)
+
+    class FakeEngine:
+        def generate(self, prompt, sampling_params):
+            outs = []
+            for p in prompt:
+                if "add" in p:
+                    outs.append({"text": "    return a + b\n"})
+                else:
+                    outs.append({"text": "    return a + b\n"})  # wrong
+            return outs
+
+    data = tmp_path / "he.jsonl"
+    with open(data, "w") as f:
+        for p in problems:
+            f.write(json.dumps(p) + "\n")
+    res = run_humaneval(FakeEngine(), str(data))
+    assert res["num_questions"] == 2
+    assert res["pass@1"] == 0.5
+    assert res["failed_task_ids"] == ["Tiny/1"]
