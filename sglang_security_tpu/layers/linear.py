@@ -78,7 +78,9 @@ def make_linear_params(
     if quantization in (None, "none", "bf16"):
         p = {"w": w.astype(dtype)}
     elif quantization in ("int4", "awq", "gptq", "int4-a8", "w4a8"):
-        q, s, z = quantize_int4(w, group_size or _DEFAULT_GROUP_SIZE)
+        g = group_size or _DEFAULT_GROUP_SIZE
+        g = min(g, w.shape[0])  # tiny test models: one group over K
+        q, s, z = quantize_int4(w, g)
         key = "packed_a8" if quantization in ("int4-a8", "w4a8") else "packed"
         p = {key: pack_int4(q), "scale": s, "zero": z}
     elif quantization in ("int8", "w8a8", "fp8"):

@@ -159,6 +159,11 @@ def load_model(
     )
 
     ckpt_quant = detect_checkpoint_quant(config.raw)
+    bnb = ckpt_quant == "bitsandbytes"
+    if bnb:
+        # 4-bit BnB tensors are dequantized by the accessor wrapper and
+        # re-quantized onto the int4 serving kernels
+        ckpt_quant = "int4"
     if ckpt_quant is not None and quantization is None:
         logger.info("checkpoint carries %s quantization", ckpt_quant)
         quantization = ckpt_quant
@@ -170,6 +175,12 @@ def load_model(
         params = model.init_dummy_params(seed=seed, dtype=jdtype)
     else:
         accessor = SafetensorsAccessor(model_dir)
+        if bnb:
+            from sglang_security_tpu.model_loader.bnb import (
+                BnbDequantAccessor,
+            )
+
+            accessor = BnbDequantAccessor(accessor)
         logger.info(
             "loading %d tensors from %s", len(list(accessor.keys())), model_dir
         )

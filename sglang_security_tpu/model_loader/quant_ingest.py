@@ -153,6 +153,10 @@ def detect_checkpoint_quant(config_raw: dict) -> Optional[str]:
         return "gptq"
     if method in ("fp8", "fbgemm_fp8", "modelopt"):
         return "fp8"
+    if method == "bitsandbytes":
+        # BnB 4-bit is dequantized at load (model_loader/bnb.py) and
+        # re-quantized onto the int4 serving kernels
+        return "bitsandbytes"
     if method == "compressed-tensors":
         fmt = str(qc.get("format", "")).lower()
         if "fp8" in fmt or "float8" in fmt:

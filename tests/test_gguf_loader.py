@@ -316,3 +316,128 @@ def test_load_model_gguf_parity_with_safetensors(tmp_path):
         )
 
     jax.tree.map(cmp, params_g, params_s)
+
+
+# ---------------------------------------------------------------- BnB NF4
+
+NF4 = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0], np.float32)
+
+
+def encode_nf4(x: np.ndarray, blocksize=64):
+    """Valid BnB NF4 double-quant encoder for round-trip tests."""
+    flat = x.reshape(-1).astype(np.float32)
+    pad = (-len(flat)) % blocksize
+    flat = np.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, blocksize)
+    absmax = np.abs(blocks).max(axis=1)
+    absmax = np.maximum(absmax, 1e-8)
+    normed = blocks / absmax[:, None]
+    idx = np.abs(normed[..., None] - NF4[None, None, :]).argmin(-1)
+    idx = idx.reshape(-1).astype(np.uint8)
+    packed = (idx[0::2] << 4) | idx[1::2]
+    # nested 8-bit quant of absmax with a linear 256-entry map
+    offset = float(absmax.mean())
+    shifted = absmax - offset
+    nblocks = -(-len(shifted) // 256)
+    shifted = np.pad(shifted, (0, nblocks * 256 - len(shifted)))
+    nested_absmax = np.maximum(
+        np.abs(shifted.reshape(nblocks, 256)).max(axis=1), 1e-8
+    ).astype(np.float32)
+    nested_map = np.linspace(-1, 1, 256).astype(np.float32)
+    normed2 = shifted.reshape(nblocks, 256) / nested_absmax[:, None]
+    u8 = np.abs(normed2[..., None] - nested_map[None, None, :]).argmin(-1)
+    u8 = u8.reshape(-1)[: len(absmax)].astype(np.uint8)
+    meta = {"blocksize": blocksize, "quant_type": "nf4",
+            "shape": list(x.shape), "nested_blocksize": 256,
+            "nested_offset": offset, "dtype": "float32"}
+    return {
+        "": packed.reshape(-1, 1),
+        ".absmax": u8,
+        ".quant_map": NF4,
+        ".nested_quant_map": nested_map,
+        ".nested_absmax": nested_absmax,
+        ".quant_state.bitsandbytes__nf4": np.frombuffer(
+            json.dumps(meta).encode(), np.uint8
+        ).copy(),
+    }
+
+
+def test_bnb_nf4_dequant(tmp_path):
+    from sglang_security_tpu.model_loader.bnb import (
+        BnbDequantAccessor, dequantize_bnb_weight, is_bnb_weight,
+    )
+
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((48, 96)).astype(np.float32) * 0.1
+    tensors = {"x.weight" + k: v for k, v in encode_nf4(w).items()}
+    tensors["plain.weight"] = w
+
+    def get(name):
+        if name not in tensors:
+            raise KeyError(name)
+        return tensors[name]
+
+    assert is_bnb_weight(get, "x.weight")
+    assert not is_bnb_weight(get, "plain.weight")
+    deq = dequantize_bnb_weight(get, "x.weight")
+    assert deq.shape == w.shape
+    # NF4 worst-case codebook gap is ~0.28*absmax -> half-gap ~0.14
+    err = np.abs(deq - w)
+    assert err.max() / np.abs(w).max() < 0.15, err.max()
+    assert err.mean() / np.abs(w).mean() < 0.10, err.mean()
+    acc = BnbDequantAccessor(get)
+    np.testing.assert_array_equal(acc("x.weight"), deq)
+    np.testing.assert_array_equal(acc("plain.weight"), w)
+
+
+def test_bnb_checkpoint_load_model(tmp_path):
+    """Tiny llama stored in BnB 4-bit serves through the int4 path."""
+    from safetensors.numpy import save_file
+
+    from sglang_security_tpu.model_loader.loader import load_model
+
+    rng = np.random.default_rng(12)
+    H, I, V, L = 64, 128, 256, 2
+    t = {"model.embed_tokens.weight":
+             rng.standard_normal((V, H)).astype(np.float32) * 0.05,
+         "model.norm.weight": np.ones(H, np.float32)}
+    lm = rng.standard_normal((V, H)).astype(np.float32) * 0.05
+    t["lm_head.weight"] = lm
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        for nm, shape in (("self_attn.q_proj", (H, H)),
+                          ("self_attn.k_proj", (H // 2, H)),
+                          ("self_attn.v_proj", (H // 2, H)),
+                          ("self_attn.o_proj", (H, H)),
+                          ("mlp.gate_proj", (I, H)),
+                          ("mlp.up_proj", (I, H)),
+                          ("mlp.down_proj", (H, I))):
+            w = rng.standard_normal(shape).astype(np.float32) * 0.05
+            for k, v in encode_nf4(w).items():
+                t[p + nm + ".weight" + k] = v
+    cfg = {
+        "architectures": ["LlamaForCausalLM"], "model_type": "llama",
+        "hidden_size": H, "intermediate_size": I, "num_hidden_layers": L,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "vocab_size": V, "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "max_position_embeddings": 512, "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+        "quantization_config": {"quant_method": "bitsandbytes",
+                                "load_in_4bit": True},
+    }
+    d = tmp_path / "bnb"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    save_file(t, str(d / "model.safetensors"))
+    model, params, config = load_model(str(d), dtype="bfloat16")
+    assert model.quantization == "int4"
+    lp0 = __import__("jax").tree.map(lambda a: a, params["layers"])
+    assert "packed" in lp0["qkv"]  # int4-served
