@@ -183,6 +183,7 @@ def moe_ffn(
     stats_cb=None,  # host callback([E_log] i32 counts) for EPLB recording
     s_gate_up: Optional[jax.Array] = None,  # int8-expert scales (w8a8)
     s_down: Optional[jax.Array] = None,
+    scale_inputs: bool = False,  # llama4: weight the expert INPUT
 ) -> jax.Array:
     del capacity_factor  # dispatch is always dropless now
     T, H = x.shape
@@ -240,13 +241,23 @@ def moe_ffn(
         flat_ids, length=E_local + 1
     )[:E_local].astype(jnp.int32)
 
+    w_flat = jnp.where(local_sel, weights, 0.0).reshape(T * top_k)
+    w_sorted = w_flat[order]
+    if scale_inputs:
+        # llama4 semantics (Llama4TextMoe): routed_in = h * score, expert
+        # outputs summed unweighted; the zero weight of invalid/garbage
+        # rows doubles as the output mask
+        x_sorted = x_sorted * w_sorted[:, None].astype(x_sorted.dtype)
+
     out_sorted = grouped_ffn(
         x_sorted, group_sizes, w_gate_up, w_down, act,
         s_gate_up=s_gate_up, s_down=s_down,
     )  # [T*k, H] f32 (rows past sum(group_sizes) = garbage)
 
-    w_flat = jnp.where(local_sel, weights, 0.0).reshape(T * top_k)
-    contrib = out_sorted * w_flat[order][:, None]
+    if scale_inputs:
+        contrib = out_sorted * (w_sorted != 0.0)[:, None]
+    else:
+        contrib = out_sorted * w_sorted[:, None]
     out = (
         jnp.zeros((T, H), jnp.float32).at[token_of].add(contrib)
         * routed_scaling

@@ -227,7 +227,7 @@ class LlamaForCausalLM:
 
         if unique_layers:
             layers = [one_layer(i) for i in range(cfg.num_layers)]
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+            stacked = self._stack_layers(layers)
         else:
             one = one_layer(0)
             L = cfg.num_layers
@@ -333,7 +333,7 @@ class LlamaForCausalLM:
                 lp["k_norm"] = t(a + "k_norm.weight").astype(dtype)
             self._layer_extra_load(i, t, lp, dtype)
             layers.append(lp)
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        stacked = self._stack_layers(layers)
         params = {
             "embed": t("model.embed_tokens.weight").astype(dtype),
             "final_norm": self._load_norm(t, "model.norm", dtype),
@@ -591,6 +591,12 @@ class LlamaForCausalLM:
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]
         return sel, k_pages, v_pages
 
+    def _stack_layers(self, layers):
+        """Stack homogeneous per-layer dicts for lax.scan; heterogeneous
+        families (Llama4's dense/MoE interleave) override to keep the
+        per-layer list (forward()'s unrolled path handles either)."""
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
     def unroll_params(self, params):
         """Convert stacked layer groups to per-layer buffer lists (the
         serving fast path; see forward()). One-time device copy at load."""
@@ -659,7 +665,7 @@ class LlamaForCausalLM:
         if "q_norm" in lp:  # per-head QK RMSNorm (Qwen3-family)
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        q, k = self._rope_qk(q, k, fb)
+        q, k = self._rope_qk_lp(lp, q, k, fb)
 
         ds = getattr(self, "ds_cfg", None)
         if (
@@ -724,6 +730,11 @@ class LlamaForCausalLM:
         if tp_axis is not None:
             o = lax.psum(o, tp_axis)
         return o, k_pages, v_pages
+
+    def _rope_qk_lp(self, lp, q, k, fb):
+        """Layer-param-aware rotary hook (families with per-layer rope
+        behavior — Llama4 NoPE layers — override this one)."""
+        return self._rope_qk(q, k, fb)
 
     def _rope_qk(self, q, k, fb):
         """Rotary application hook (M-RoPE models override;

@@ -59,6 +59,7 @@ from sglang_security_tpu.models.qwen import QWenLMHeadModel
 from sglang_security_tpu.models.chatglm import ChatGLMForCausalLM
 from sglang_security_tpu.models.dbrx import DbrxForCausalLM
 from sglang_security_tpu.models.bert import BertModel, XLMRobertaModel
+from sglang_security_tpu.models.llama4 import Llama4ForCausalLM
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -105,6 +106,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "ChatGLMModel": ChatGLMForCausalLM,
     "ChatGLMForConditionalGeneration": ChatGLMForCausalLM,
     "DbrxForCausalLM": DbrxForCausalLM,
+    "Llama4ForCausalLM": Llama4ForCausalLM,
     "Qwen2ForRewardModel": Qwen2ForRewardModel,
     "LlamaForSequenceClassification": LlamaForSequenceClassification,
     "Qwen2ForSequenceClassification": Qwen2ForSequenceClassification,

@@ -361,3 +361,94 @@ def test_bert_through_engine_encode(tmp_path):
             np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-4)
     finally:
         eng.shutdown()
+
+
+def test_llama4_hf_parity(tmp_path):
+    """Llama4 text: NoPE/rope interleave, L2 qk-norm, attention
+    temperature tuning, input-scaled sigmoid MoE + shared expert,
+    dense/MoE layer interleave."""
+    rng = np.random.default_rng(13)
+    L4, E, Ie, Im = 4, 4, 64, 96
+    t = {"model.embed_tokens.weight": _r(rng, V, H),
+         "model.norm.weight": 1 + _r(rng, H),
+         "lm_head.weight": _r(rng, V, H)}
+    for i in range(L4):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "post_attention_layernorm.weight"] = 1 + _r(rng, H)
+        t[p + "self_attn.q_proj.weight"] = _r(rng, Hq * hd, H)
+        t[p + "self_attn.k_proj.weight"] = _r(rng, Hkv * hd, H)
+        t[p + "self_attn.v_proj.weight"] = _r(rng, Hkv * hd, H)
+        t[p + "self_attn.o_proj.weight"] = _r(rng, H, Hq * hd)
+        f = p + "feed_forward."
+        if i % 2 == 0:  # dense (interleave_moe_layer_step=2)
+            t[f + "gate_proj.weight"] = _r(rng, Im, H)
+            t[f + "up_proj.weight"] = _r(rng, Im, H)
+            t[f + "down_proj.weight"] = _r(rng, H, Im)
+        else:
+            t[f + "router.weight"] = _r(rng, E, H)
+            t[f + "experts.gate_up_proj"] = _r(rng, E, H, 2 * Ie)
+            t[f + "experts.down_proj"] = _r(rng, E, Ie, H)
+            t[f + "shared_expert.gate_proj.weight"] = _r(rng, Ie, H)
+            t[f + "shared_expert.up_proj.weight"] = _r(rng, Ie, H)
+            t[f + "shared_expert.down_proj.weight"] = _r(rng, H, Ie)
+    cfg = {
+        "architectures": ["Llama4ForCausalLM"], "model_type": "llama4_text",
+        "hidden_size": H, "intermediate_size": Ie,
+        "intermediate_size_mlp": Im, "num_hidden_layers": L4,
+        "num_attention_heads": Hq, "num_key_value_heads": Hkv,
+        "head_dim": hd, "vocab_size": V, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "max_position_embeddings": 256,
+        "num_local_experts": E, "num_experts_per_tok": 1,
+        "interleave_moe_layer_step": 2, "use_qk_norm": True,
+        "attn_temperature_tuning": True, "floor_scale": 8.0,
+        "attn_scale": 0.1, "attention_chunk_size": 64,
+        "hidden_act": "silu", "tie_word_embeddings": False,
+        "attention_bias": False,
+        "bos_token_id": 1, "eos_token_id": 2, "torch_dtype": "float32",
+    }
+    path = _write(str(tmp_path / "llama4"), cfg, t)
+    ours = _logits(path)
+    ref = hf_logits(path, _ids())
+    np.testing.assert_allclose(ours, ref[-1], rtol=3e-3, atol=3e-3)
+
+
+def test_llama4_engine_e2e(tmp_path):
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import _write_tiny_tokenizer
+
+    rng = np.random.default_rng(14)
+    cfgj = {
+        "architectures": ["Llama4ForCausalLM"], "model_type": "llama4_text",
+        "hidden_size": 64, "intermediate_size": 64,
+        "intermediate_size_mlp": 96, "num_hidden_layers": 4,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "head_dim": 16, "vocab_size": 256, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "max_position_embeddings": 256,
+        "num_local_experts": 4, "num_experts_per_tok": 1,
+        "interleave_moe_layer_step": 2, "use_qk_norm": True,
+        "attn_temperature_tuning": True, "floor_scale": 8.0,
+        "attn_scale": 0.1, "attention_chunk_size": 256,
+        "hidden_act": "silu", "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    d = tmp_path / "l4"
+    d.mkdir()
+    with open(d / "config.json", "w") as f:
+        json.dump(cfgj, f)
+    _write_tiny_tokenizer(str(d), 256)
+    eng = Engine(ServerArgs(
+        model_path=str(d), load_format="dummy", dtype="float32",
+        max_total_tokens=1024, page_size=8, prefill_token_buckets=[64],
+        decode_bs_buckets=[1, 2], max_seq_pages_buckets=[8],
+        random_seed=0, enable_warmup=False, log_level="warning",
+    ))
+    try:
+        sp = {"temperature": 0.0, "max_new_tokens": 6, "ignore_eos": True}
+        out = eng.generate(prompt="llama four", sampling_params=sp)
+        out2 = eng.generate(prompt="llama four", sampling_params=sp)
+        assert out["output_ids"] == out2["output_ids"]
+        assert len(out["output_ids"]) == 6
+    finally:
+        eng.shutdown()
