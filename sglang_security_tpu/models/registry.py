@@ -49,7 +49,10 @@ from sglang_security_tpu.models.reward import (
 )
 from sglang_security_tpu.models.olmo import OlmoForCausalLM
 from sglang_security_tpu.models.exaone import ExaoneForCausalLM
-from sglang_security_tpu.models.minicpm import MiniCPMForCausalLM
+from sglang_security_tpu.models.minicpm import (
+    MiniCPM3ForCausalLM,
+    MiniCPMForCausalLM,
+)
 from sglang_security_tpu.models.baichuan import BaichuanForCausalLM
 from sglang_security_tpu.models.gpt2 import (
     GPT2LMHeadModel,
@@ -97,6 +100,8 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "OlmoForCausalLM": OlmoForCausalLM,
     "ExaoneForCausalLM": ExaoneForCausalLM,
     "MiniCPMForCausalLM": MiniCPMForCausalLM,
+    "MiniCPM3ForCausalLM": MiniCPM3ForCausalLM,
+    "MiMoForCausalLM": LlamaForCausalLM,  # qwen2 body (reference mimo.py)
     "BaichuanForCausalLM": BaichuanForCausalLM,
     "BaiChuanForCausalLM": BaichuanForCausalLM,  # 7B config spelling
     "XverseForCausalLM": LlamaForCausalLM,  # llama body + naming

@@ -452,3 +452,58 @@ def test_llama4_engine_e2e(tmp_path):
         assert len(out["output_ids"]) == 6
     finally:
         eng.shutdown()
+
+
+def test_minicpm3_equals_folded_deepseek_mla(tmp_path):
+    """MiniCPM3 = DeepSeek MLA attention + MiniCPM muP scalers; the
+    scalers fold exactly into the DeepseekV2 class's weights."""
+    rng = np.random.default_rng(15)
+    Hc, Hqn = 64, 4
+    nope, rope_d, c, vdim = 16, 8, 32, 16
+    Ic = 96
+    Lc = 2
+    t = {"model.embed_tokens.weight": _r(rng, V, Hc),
+         "model.norm.weight": 1 + _r(rng, Hc),
+         "lm_head.weight": _r(rng, V, Hc)}
+    for i in range(Lc):
+        p = f"model.layers.{i}."
+        a = p + "self_attn."
+        t[p + "input_layernorm.weight"] = 1 + _r(rng, Hc)
+        t[p + "post_attention_layernorm.weight"] = 1 + _r(rng, Hc)
+        t[a + "q_proj.weight"] = _r(rng, Hqn * (nope + rope_d), Hc)
+        t[a + "kv_a_proj_with_mqa.weight"] = _r(rng, c + rope_d, Hc)
+        t[a + "kv_a_layernorm.weight"] = 1 + _r(rng, c)
+        t[a + "kv_b_proj.weight"] = _r(rng, Hqn * (nope + vdim), c)
+        t[a + "o_proj.weight"] = _r(rng, Hc, Hqn * vdim)
+        m = p + "mlp."
+        t[m + "gate_proj.weight"] = _r(rng, Ic, Hc)
+        t[m + "up_proj.weight"] = _r(rng, Ic, Hc)
+        t[m + "down_proj.weight"] = _r(rng, Hc, Ic)
+    dims = {
+        "hidden_size": Hc, "intermediate_size": Ic, "num_hidden_layers": Lc,
+        "num_attention_heads": Hqn, "num_key_value_heads": Hqn,
+        "qk_nope_head_dim": nope, "qk_rope_head_dim": rope_d,
+        "kv_lora_rank": c, "v_head_dim": vdim, "vocab_size": V,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "max_position_embeddings": 2048, "hidden_act": "silu",
+        "tie_word_embeddings": False, "bos_token_id": 1, "eos_token_id": 2,
+        "torch_dtype": "float32",
+    }
+    scale_emb, scale_depth, dim_model_base = 4.0, 1.4, 16
+    mcfg = dict(dims, architectures=["MiniCPM3ForCausalLM"],
+                model_type="minicpm3", scale_emb=scale_emb,
+                scale_depth=scale_depth, dim_model_base=dim_model_base)
+    ours = _logits(_write(str(tmp_path / "m3"), mcfg, dict(t)))
+
+    s = scale_depth / np.sqrt(Lc)
+    ft = dict(t)
+    ft["model.embed_tokens.weight"] = t["model.embed_tokens.weight"] * scale_emb
+    ft["lm_head.weight"] = t["lm_head.weight"] / (Hc / dim_model_base)
+    for i in range(Lc):
+        p = f"model.layers.{i}."
+        ft[p + "self_attn.o_proj.weight"] = t[p + "self_attn.o_proj.weight"] * s
+        ft[p + "mlp.down_proj.weight"] = t[p + "mlp.down_proj.weight"] * s
+    dcfg = dict(dims, architectures=["DeepseekV2ForCausalLM"],
+                model_type="deepseek_v2")
+    ref = _logits(_write(str(tmp_path / "dsv2"), dcfg, ft))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
