@@ -30,6 +30,13 @@ def _resolve_model_path(
     download_dir: Optional[str],
     revision: Optional[str] = None,
 ) -> str:
+    from sglang_security_tpu.model_loader.connector import (
+        is_remote_url,
+        pull_remote_model,
+    )
+
+    if is_remote_url(model_path):
+        return pull_remote_model(model_path)
     if os.path.isdir(model_path):
         return model_path
     # HF hub id -> snapshot download (cached); gated behind network access

@@ -441,3 +441,50 @@ def test_bnb_checkpoint_load_model(tmp_path):
     assert model.quantization == "int4"
     lp0 = __import__("jax").tree.map(lambda a: a, params["layers"])
     assert "packed" in lp0["qkv"]  # int4-served
+
+
+# ------------------------------------------------------- remote connectors
+
+
+def test_file_connector_serves_model(tmp_path):
+    """file:// URI pulls the checkpoint into the cache dir and serves
+    (the test double for redis:// and s3://; reference RemoteModelLoader,
+    loader.py:1271)."""
+    import shutil
+    import tempfile
+
+    from sglang_security_tpu.model_loader.connector import (
+        create_remote_connector, is_remote_url,
+    )
+    from sglang_security_tpu.model_loader.loader import load_model
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    src = str(tmp_path / "src")
+    make_tiny_llama(src)
+    url = "file://" + src
+    assert is_remote_url(url)
+    assert not is_remote_url(src)
+
+    conn = create_remote_connector(url)
+    shutil.rmtree(conn.local_dir, ignore_errors=True)
+    model, params, cfg = load_model(url, dtype="float32")
+    assert cfg.architecture == "LlamaForCausalLM"
+    # second load hits the local cache (no re-fetch errors)
+    model2, params2, _ = load_model(url, dtype="float32")
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        np.asarray(params["embed"]), np.asarray(params2["embed"])
+    )
+
+
+def test_remote_scheme_errors():
+    from sglang_security_tpu.model_loader.connector import (
+        create_remote_connector,
+    )
+
+    with pytest.raises(ValueError, match="unsupported remote scheme"):
+        create_remote_connector("ftp://nope/model")
+    for url in ("redis://localhost:6379/m", "s3://bucket/m"):
+        with pytest.raises(ImportError, match="pip install"):
+            create_remote_connector(url)
