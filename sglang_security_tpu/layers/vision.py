@@ -193,3 +193,92 @@ class ClipVisionTower:
         sliced = jax.tree.map(lambda a: a[:n_blocks], params["layers"])
         x, _ = jax.lax.scan(block, x, sliced)
         return x[:, 1:]  # drop CLS
+
+
+class SiglipVisionTower(ClipVisionTower):
+    """SigLIP ViT encoder (Gemma3-class VLMs): no CLS token, biased
+    patch embedding, no pre-LN, post_layernorm on the final hidden
+    states (HF ``SiglipVisionModel`` under vision_tower.vision_model)."""
+
+    def load_weights(self, t, prefix: str, dtype=jnp.float32) -> dict:
+        cfg = self.config
+        params = {}
+        layers = []
+        for i in range(cfg.num_layers):
+            a = f"{prefix}encoder.layers.{i}."
+            layers.append({
+                "ln1_w": t(a + "layer_norm1.weight").astype(dtype),
+                "ln1_b": t(a + "layer_norm1.bias").astype(dtype),
+                "ln2_w": t(a + "layer_norm2.weight").astype(dtype),
+                "ln2_b": t(a + "layer_norm2.bias").astype(dtype),
+                "q_w": t(a + "self_attn.q_proj.weight").T.astype(dtype),
+                "q_b": t(a + "self_attn.q_proj.bias").astype(dtype),
+                "k_w": t(a + "self_attn.k_proj.weight").T.astype(dtype),
+                "k_b": t(a + "self_attn.k_proj.bias").astype(dtype),
+                "v_w": t(a + "self_attn.v_proj.weight").T.astype(dtype),
+                "v_b": t(a + "self_attn.v_proj.bias").astype(dtype),
+                "o_w": t(a + "self_attn.out_proj.weight").T.astype(dtype),
+                "o_b": t(a + "self_attn.out_proj.bias").astype(dtype),
+                "fc1_w": t(a + "mlp.fc1.weight").T.astype(dtype),
+                "fc1_b": t(a + "mlp.fc1.bias").astype(dtype),
+                "fc2_w": t(a + "mlp.fc2.weight").T.astype(dtype),
+                "fc2_b": t(a + "mlp.fc2.bias").astype(dtype),
+            })
+        e = f"{prefix}embeddings."
+        pw = np.asarray(t(e + "patch_embedding.weight"), np.float32)
+        D = pw.shape[0]
+        params.update({
+            "patch_w": jnp.asarray(pw.reshape(D, -1).T, dtype),
+            "patch_b": t(e + "patch_embedding.bias").astype(dtype),
+            "pos": t(e + "position_embedding.weight").astype(dtype),
+            "post_ln_w": t(prefix + "post_layernorm.weight").astype(dtype),
+            "post_ln_b": t(prefix + "post_layernorm.bias").astype(dtype),
+            "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        })
+        return params
+
+    def init_dummy_params(self, rng: np.random.Generator, dtype=jnp.float32):
+        cfg = self.config
+        params = super().init_dummy_params(rng, dtype)
+        D = cfg.hidden_size
+        del params["cls"], params["pre_ln_w"], params["pre_ln_b"]
+        params["patch_b"] = jnp.zeros(D, dtype)
+        params["pos"] = params["pos"][: cfg.num_patches]
+        params["post_ln_w"] = jnp.ones(D, dtype)
+        params["post_ln_b"] = jnp.zeros(D, dtype)
+        return params
+
+    def forward(self, params, pixel_values: jax.Array,
+                feature_layer: int = -1) -> jax.Array:
+        """[N, 3, S, S] -> [N, num_patches, D] post-LN hidden states."""
+        cfg = self.config
+        x = self.patchify(pixel_values).astype(params["patch_w"].dtype)
+        x = x @ params["patch_w"] + params["patch_b"]
+        x = x + params["pos"][None]
+        act = _ACTS[cfg.act]
+        nh = cfg.num_heads
+        hd = cfg.hidden_size // nh
+        scale = hd**-0.5
+        N = x.shape[0]
+
+        def block(x, lp):
+            h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
+            q = (h @ lp["q_w"] + lp["q_b"]).reshape(N, -1, nh, hd)
+            k = (h @ lp["k_w"] + lp["k_b"]).reshape(N, -1, nh, hd)
+            v = (h @ lp["v_w"] + lp["v_b"]).reshape(N, -1, nh, hd)
+            att = jnp.einsum("nqhd,nkhd->nhqk", q, k) * scale
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(
+                x.dtype
+            )
+            o = jnp.einsum("nhqk,nkhd->nqhd", att, v).reshape(
+                N, -1, cfg.hidden_size
+            )
+            x = x + o @ lp["o_w"] + lp["o_b"]
+            h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
+            h = act(h @ lp["fc1_w"] + lp["fc1_b"]) @ lp["fc2_w"] + lp["fc2_b"]
+            return x + h, None
+
+        x, _ = jax.lax.scan(block, x, params["layers"])
+        return layer_norm(
+            x, params["post_ln_w"], params["post_ln_b"], cfg.layer_norm_eps
+        )

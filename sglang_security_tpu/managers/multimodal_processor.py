@@ -338,6 +338,15 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             std=vis.get("image_std") or [0.26862954, 0.26130258, 0.27577711],
             image_token_id=raw.get("image_token_index", 32000),
         )
+    if arch == "Gemma3ForConditionalGeneration":
+        return ImageProcessor(
+            image_size=vis.get("image_size", 896),
+            patch_size=vis.get("patch_size", 14),
+            mean=vis.get("image_mean") or [0.5, 0.5, 0.5],
+            std=vis.get("image_std") or [0.5, 0.5, 0.5],
+            image_token_id=raw.get("image_token_index", 262144),
+            tokens_per_image=raw.get("mm_tokens_per_image", 256),
+        )
     if arch in ("Qwen2VLForConditionalGeneration",
                 "Qwen2_5_VLForConditionalGeneration"):
         return Qwen2VLImageProcessor(

@@ -64,7 +64,9 @@ class ModelConfig:
             d.setdefault("vision_config", d["_outer"].get("vision_config"))
             for k in ("image_token_index", "vision_feature_layer",
                       "projector_hidden_act", "image_token_id",
-                      "vision_start_token_id", "vision_end_token_id"):
+                      "vision_start_token_id", "vision_end_token_id",
+                      "mm_tokens_per_image", "boi_token_index",
+                      "eoi_token_index"):
                 if k in d["_outer"]:
                     d.setdefault(k, d["_outer"][k])
         nq = d.get("num_attention_heads", 32)

@@ -63,6 +63,9 @@ from sglang_security_tpu.models.chatglm import ChatGLMForCausalLM
 from sglang_security_tpu.models.dbrx import DbrxForCausalLM
 from sglang_security_tpu.models.bert import BertModel, XLMRobertaModel
 from sglang_security_tpu.models.llama4 import Llama4ForCausalLM
+from sglang_security_tpu.models.gemma3_mm import (
+    Gemma3ForConditionalGeneration,
+)
 
 MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLM": LlamaForCausalLM,
@@ -83,6 +86,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "GemmaForCausalLM": GemmaForCausalLM,
     "Gemma2ForCausalLM": Gemma2ForCausalLM,
     "Gemma3ForCausalLM": Gemma3ForCausalLM,
+    "Gemma3ForConditionalGeneration": Gemma3ForConditionalGeneration,
     "Phi3ForCausalLM": Phi3ForCausalLM,
     "Phi4ForCausalLM": Phi3ForCausalLM,
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
