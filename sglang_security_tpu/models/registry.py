@@ -46,6 +46,7 @@ from sglang_security_tpu.models.reward import (
     LlamaForSequenceClassification,
     Qwen2ForRewardModel,
     Qwen2ForSequenceClassification,
+    _make_score_head,
 )
 from sglang_security_tpu.models.olmo import OlmoForCausalLM
 from sglang_security_tpu.models.exaone import ExaoneForCausalLM
@@ -124,6 +125,11 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaEmbeddingModel": LlamaEmbeddingModel,
     "LlamaModel": LlamaEmbeddingModel,
     "MistralModel": LlamaEmbeddingModel,
+    # reward / classification heads on non-llama bodies
+    "Gemma2ForSequenceClassification": _make_score_head(Gemma2ForCausalLM),
+    "InternLM2ForRewardModel": _make_score_head(
+        InternLM2ForCausalLM, head_name="v_head"
+    ),
     # bidirectional encoders (embedding path)
     "BertModel": BertModel,
     "Contriever": BertModel,

@@ -74,6 +74,33 @@ class Qwen2ForSequenceClassification(LlamaForSequenceClassification):
     pass
 
 
+def _make_score_head(base_cls, head_name: str = "score"):
+    """Bolt a bias-free linear head + last-token pooling onto any body
+    (reference gemma2_reward.py / internlm2_reward.py pattern)."""
+
+    class ScoreHead(base_cls):
+        is_pooling_model = True
+
+        def __init__(self, config, quantization=None, tp_size: int = 1):
+            config.tie_word_embeddings = True
+            super().__init__(config, quantization, tp_size)
+
+        def load_weights(self, get_tensor, dtype=jnp.bfloat16):
+            params = super().load_weights(get_tensor, dtype)
+            params["score"] = {
+                "w": jnp.asarray(
+                    get_tensor(f"{head_name}.weight")
+                ).T.astype(dtype),
+            }
+            return params
+
+        def pool(self, params, hidden):
+            h = hidden.astype(jnp.float32)
+            return h @ params["score"]["w"].astype(jnp.float32)
+
+    return ScoreHead
+
+
 class LlamaEmbeddingModel(LlamaForCausalLM):
     """Decoder-as-embedder (e5-mistral class): last-token hidden state,
     L2-normalized (reference ``srt/models/llama_embedding.py`` with

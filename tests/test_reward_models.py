@@ -178,3 +178,41 @@ def test_llama_embedding_model_last_token_normalized(tmp_path):
     want = np.asarray(hidden2)[0]
     want = want / np.linalg.norm(want)
     np.testing.assert_allclose(emb, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gemma2_and_internlm2_reward_heads(tmp_path):
+    """Score heads on non-llama bodies (reference gemma2_reward.py /
+    internlm2_reward.py): registry classes load and pool."""
+    import jax.numpy as jnp
+
+    from sglang_security_tpu.model_loader import load_model
+    from sglang_security_tpu.models.registry import MODEL_REGISTRY
+
+    assert "Gemma2ForSequenceClassification" in MODEL_REGISTRY
+    assert "InternLM2ForRewardModel" in MODEL_REGISTRY
+
+    # tiny gemma2 classification checkpoint
+    rng = np.random.default_rng(21)
+    cfg = _base_cfg("Gemma2ForSequenceClassification", "gemma2",
+                    num_labels=2, tie_word_embeddings=True,
+                    query_pre_attn_scalar=32, attn_logit_softcapping=None,
+                    final_logit_softcapping=None, sliding_window=4096,
+                    hidden_act="gelu_pytorch_tanh",
+                    hidden_activation="gelu_pytorch_tanh")
+    t = {"model.embed_tokens.weight": _r(rng, V, H),
+         "model.norm.weight": np.zeros(H, np.float32),
+         "score.weight": _r(rng, 2, H)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        for n in ("input_layernorm", "post_attention_layernorm",
+                  "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            t[p + n + ".weight"] = np.zeros(H, np.float32)
+        _std_attn(rng, t, p)
+        _gated_mlp(rng, t, p)
+    path = _write(str(tmp_path / "g2cls"), cfg, t)
+    model, params, _ = load_model(path, dtype="float32")
+    assert model.is_pooling_model
+    params = model.unroll_params(params)  # gemma2: per-layer windows
+    hidden, *_ = run_prefill_hidden(model, params, [5, 17, 93])
+    out = np.asarray(model.pool(params, hidden))
+    assert out.shape == (1, 2) and np.isfinite(out).all()
