@@ -177,7 +177,9 @@ class Scheduler:
             else None
         )
         self.eagle = None
-        if self.spec_algorithm == SpeculativeAlgorithm.EAGLE:
+        if self.spec_algorithm in (
+            SpeculativeAlgorithm.EAGLE, SpeculativeAlgorithm.EAGLE3
+        ):
             from sglang_security_tpu.speculative.eagle_worker import (
                 EagleWorker,
             )

@@ -613,8 +613,16 @@ class ModelRunner:
                 counts = counts.at[drop, tokens].add(1, mode="drop")
             if eagle:
                 # stash this step's features in the flat feature table so
-                # the draft phase reads them without a host round-trip
-                ft = ft.at[ft_rows].set(hidden.astype(ft.dtype), mode="drop")
+                # the draft phase reads them without a host round-trip.
+                # EAGLE-1 features = post-norm selected hidden; EAGLE3
+                # features = the 3-layer aux concat rows (x_all)
+                if getattr(model, "eagle3_aux_layers", None):
+                    feats = x_all[
+                        jnp.clip(fb.out_rows, 0, x_all.shape[0] - 1)
+                    ]
+                else:
+                    feats = hidden
+                ft = ft.at[ft_rows].set(feats.astype(ft.dtype), mode="drop")
                 return tokens, logprobs, k_pages, v_pages, counts, ft, x_all
             if prompt_lp:
                 return tokens, logprobs, k_pages, v_pages, counts, x_all

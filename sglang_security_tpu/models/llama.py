@@ -411,14 +411,28 @@ class LlamaForCausalLM:
 
         lora_scale = lora["scale"] if lora is not None else None
         lora_ids = fb.lora_ids
+        # EAGLE3: capture the residual stream before 3 target layers
+        # (set by EagleWorker; reference capture_aux_hidden_states,
+        # llama.py:329-332 + set_eagle3_layers_to_capture :700)
+        aux_layers = (
+            getattr(self, "eagle3_aux_layers", None) if return_all else None
+        )
 
         def body(carry, xs):
-            x, k_pages, v_pages = carry
+            if aux_layers is not None:
+                x, k_pages, v_pages, aux = carry
+            else:
+                x, k_pages, v_pages = carry
             if lora is not None:
                 lp, li, lora_lp = xs
             else:
                 lp, li = xs
                 lora_lp = None
+            if aux_layers is not None:
+                aux = tuple(
+                    jnp.where(jnp.equal(li, al), x, a)
+                    for al, a in zip(aux_layers, aux)
+                )
 
             x, k_pages, v_pages = self._layer_apply(
                 lp, x,
@@ -435,8 +449,13 @@ class LlamaForCausalLM:
                     lora_scale=lora_scale,
                 ),
             )
+            if aux_layers is not None:
+                return (x, k_pages, v_pages, aux), None
             return (x, k_pages, v_pages), None
 
+        carry = (x, k_pages, v_pages)
+        if aux_layers is not None:
+            carry += (tuple(jnp.zeros_like(x) for _ in aux_layers),)
         li0 = 0
         for group in self._param_groups(params):
             if isinstance(group, list):
@@ -455,9 +474,7 @@ class LlamaForCausalLM:
                         xs_j = (lp, li, lora_lp)
                     else:
                         xs_j = (lp, li)
-                    (x, k_pages, v_pages), _ = body(
-                        (x, k_pages, v_pages), xs_j
-                    )
+                    carry, _ = body(carry, xs_j)
                 li0 += len(group)
                 continue
             n_layers = jax.tree.leaves(group)[0].shape[0]
@@ -468,10 +485,9 @@ class LlamaForCausalLM:
                 xs = (group, li0 + jnp.arange(n_layers), lora_layers)
             else:
                 xs = (group, li0 + jnp.arange(n_layers))
-            (x, k_pages, v_pages), _ = lax.scan(
-                body, (x, k_pages, v_pages), xs
-            )
+            carry, _ = lax.scan(body, carry, xs)
             li0 += n_layers
+        x, k_pages, v_pages = carry[:3]
         x = self._apply_final_norm(x, params["final_norm"])
         sel = x[jnp.clip(fb.out_rows, 0, T - 1)]  # [S, H]
         if dp_axis is not None:
@@ -484,6 +500,10 @@ class LlamaForCausalLM:
             assert lora is None and not return_all
             sel = lax.all_gather(sel, dp_axis, axis=0, tiled=True)
         if return_all:
+            if aux_layers is not None:
+                # EAGLE3 features: concat of the captured residual
+                # streams [T, 3*H] (reference aux_hidden_states)
+                x = jnp.concatenate(carry[3], axis=-1)
             return sel, x, k_pages, v_pages
         return sel, k_pages, v_pages
 

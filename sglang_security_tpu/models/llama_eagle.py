@@ -141,3 +141,10 @@ class EagleLlamaForCausalLM(LlamaForCausalLM):
         features approximate the target's post-final-norm hidden (what
         feeds its lm_head), so no extra norm is applied."""
         return target_model.compute_logits(target_params, features)
+
+    def draft_greedy(self, tmodel, tparams, params, features) -> jax.Array:
+        """Greedy next token (EAGLE3 overrides with its own reduced-vocab
+        head + d2t mapping)."""
+        return jnp.argmax(
+            self.draft_logits(tmodel, tparams, features), axis=-1
+        ).astype(jnp.int32)

@@ -11,6 +11,8 @@ from typing import Dict, Type
 
 from sglang_security_tpu.models.config import ModelConfig
 from sglang_security_tpu.models.llama import LlamaForCausalLM
+from sglang_security_tpu.models.llama_eagle import EagleLlamaForCausalLM
+from sglang_security_tpu.models.llama_eagle3 import Eagle3LlamaForCausalLM
 from sglang_security_tpu.models.gemma2 import (
     Gemma2ForCausalLM,
     Gemma3ForCausalLM,
@@ -77,6 +79,8 @@ MODEL_REGISTRY: Dict[str, Type] = {
     # same body + config switches (bias/rope/tie all come from config.json)
     "YiForCausalLM": LlamaForCausalLM,
     "SmolLMForCausalLM": LlamaForCausalLM,
+    "LlamaForCausalLMEagle": EagleLlamaForCausalLM,
+    "LlamaForCausalLMEagle3": Eagle3LlamaForCausalLM,
     "MixtralForCausalLM": MixtralForCausalLM,
     "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
     "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,

@@ -115,7 +115,7 @@ class ServerArgs:
     constrained_json_whitespace_pattern: Optional[str] = None
 
     # ---- speculative decoding ----
-    speculative_algorithm: Optional[str] = None  # EAGLE | NGRAM | None
+    speculative_algorithm: Optional[str] = None  # EAGLE | EAGLE3 | NGRAM
     speculative_draft_model_path: Optional[str] = None
     speculative_num_steps: int = 5
     speculative_eagle_topk: int = 1  # >1 (tree drafting) not implemented

@@ -46,9 +46,16 @@ class EagleWorker:
     def __init__(self, runner, server_args):
         from sglang_security_tpu.models.config import ModelConfig
         from sglang_security_tpu.models.llama_eagle import EagleLlamaForCausalLM
+        from sglang_security_tpu.models.llama_eagle3 import (
+            Eagle3LlamaForCausalLM,
+            eagle3_aux_layer_ids,
+        )
 
         self.runner = runner
         self.sa = server_args
+        self.is_eagle3 = (
+            (server_args.speculative_algorithm or "").upper() == "EAGLE3"
+        )
         self.num_steps = server_args.speculative_num_steps
         if server_args.speculative_eagle_topk > 1:
             # chain drafting: one candidate per step (no top-k tree yet;
@@ -64,12 +71,21 @@ class EagleWorker:
                 _resolve_model_path,
             )
 
+        draft_cls = (
+            Eagle3LlamaForCausalLM if self.is_eagle3 else EagleLlamaForCausalLM
+        )
+        if server_args.speculative_draft_model_path:
             path = _resolve_model_path(
                 server_args.speculative_draft_model_path,
                 server_args.download_dir,
             )
             cfg = ModelConfig.from_pretrained(path)
-            self.model = EagleLlamaForCausalLM(cfg)
+            if self.is_eagle3:
+                self.model = draft_cls(
+                    cfg, target_hidden_size=runner.config.hidden_size
+                )
+            else:
+                self.model = draft_cls(cfg)
             if server_args.load_format == "dummy":
                 self.params = self.model.init_dummy_params(
                     seed=1, dtype=runner.dtype
@@ -86,9 +102,20 @@ class EagleWorker:
             cfg = ModelConfig.from_hf_dict(
                 {**runner.config.raw, "num_hidden_layers": 1}
             )
-            self.model = EagleLlamaForCausalLM(cfg)
+            if self.is_eagle3:
+                self.model = draft_cls(
+                    cfg, target_hidden_size=runner.config.hidden_size
+                )
+            else:
+                self.model = draft_cls(cfg)
             self.params = self.model.init_dummy_params(
                 seed=1, dtype=runner.dtype
+            )
+        if self.is_eagle3:
+            # the target's eagle steps must capture + stash aux hidden
+            # states (reference set_eagle3_layers_to_capture)
+            runner.model.eagle3_aux_layers = eagle3_aux_layer_ids(
+                runner.config.num_layers
             )
         self.model.kv_page_size = runner.page_size
         logger.info("EAGLE draft model ready in %.1fs", time.time() - t0)
@@ -107,7 +134,9 @@ class EagleWorker:
             "speculative_num_steps must be <= 7 for the block-8 draft batch"
         )
         self.rows_per_slot = DRAFT_BLOCK_Q
-        H = runner.config.hidden_size
+        # feature rows: target post-norm hidden (EAGLE-1) or the concat
+        # of 3 captured residual streams (EAGLE3)
+        H = runner.config.hidden_size * (3 if self.is_eagle3 else 1)
         self.ft = jnp.zeros(
             (self.max_slots * self.rows_per_slot, H), runner.dtype
         )
@@ -247,8 +276,7 @@ class EagleWorker:
                 def body(carry, xs):
                     g, kd, vd, step_i = carry
                     slots_k = xs
-                    logits = model.draft_logits(tmodel, tparams, g)
-                    d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    d = model.draft_greedy(tmodel, tparams, params, g)
                     # chain pair p = n+i at draft position n-1+i
                     fb = ForwardBatch(
                         token_ids=d,

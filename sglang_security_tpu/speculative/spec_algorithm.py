@@ -20,6 +20,7 @@ class SpeculativeAlgorithm(str, enum.Enum):
     NONE = "NONE"
     NGRAM = "NGRAM"
     EAGLE = "EAGLE"
+    EAGLE3 = "EAGLE3"
 
     @classmethod
     def from_string(cls, s: Optional[str]) -> "SpeculativeAlgorithm":

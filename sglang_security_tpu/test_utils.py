@@ -77,6 +77,61 @@ def make_tiny_llama(path: str, config: dict | None = None, seed: int = 0) -> str
     return path
 
 
+def make_tiny_eagle3(path: str, target_config: dict, draft_vocab: int = 64,
+                     seed: int = 3) -> str:
+    """Write a random-weight EAGLE3 draft checkpoint in the HF layout
+    (reference llama_eagle3.py key names: no ``model.`` prefix,
+    ``midlayer.*`` single layer, ``fc`` [H, 3*Ht], reduced-vocab
+    ``lm_head`` + ``d2t`` offsets)."""
+    from safetensors.numpy import save_file
+
+    cfg = dict(TINY_LLAMA_CONFIG)
+    cfg.update({k: target_config[k] for k in (
+        "hidden_size", "intermediate_size", "num_attention_heads",
+        "num_key_value_heads", "head_dim", "vocab_size",
+    ) if k in target_config})
+    cfg["architectures"] = ["LlamaForCausalLMEagle3"]
+    cfg["num_hidden_layers"] = 1
+    cfg["draft_vocab_size"] = draft_vocab
+    cfg["target_hidden_size"] = cfg["hidden_size"]
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+
+    rng = np.random.default_rng(seed)
+    H, I = cfg["hidden_size"], cfg["intermediate_size"]
+    hd, Hq, Hkv = cfg["head_dim"], cfg["num_attention_heads"], cfg["num_key_value_heads"]
+    V, Vd = cfg["vocab_size"], draft_vocab
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    # d2t: monotone draft->target id offsets (targets spread over [0, V))
+    tgt_ids = np.sort(rng.choice(V, size=Vd, replace=False)).astype(np.int64)
+    d2t = tgt_ids - np.arange(Vd, dtype=np.int64)
+    t = {
+        "embed_tokens.weight": r(V, H),
+        "norm.weight": np.ones(H, np.float32),
+        "fc.weight": r(H, 3 * H),
+        "fc.bias": np.zeros(H, np.float32),
+        "lm_head.weight": r(Vd, H),
+        "d2t": d2t,
+        "midlayer.input_layernorm.weight": np.ones(H, np.float32),
+        "midlayer.hidden_norm.weight": np.ones(H, np.float32),
+        "midlayer.post_attention_layernorm.weight": np.ones(H, np.float32),
+        "midlayer.self_attn.q_proj.weight": r(Hq * hd, 2 * H),
+        "midlayer.self_attn.k_proj.weight": r(Hkv * hd, 2 * H),
+        "midlayer.self_attn.v_proj.weight": r(Hkv * hd, 2 * H),
+        "midlayer.self_attn.o_proj.weight": r(H, Hq * hd),
+        "midlayer.mlp.gate_proj.weight": r(I, H),
+        "midlayer.mlp.up_proj.weight": r(I, H),
+        "midlayer.mlp.down_proj.weight": r(H, I),
+    }
+    save_file(t, os.path.join(path, "model.safetensors"))
+    _write_tiny_tokenizer(path, V)
+    return path
+
+
 def _write_tiny_tokenizer(path: str, vocab_size: int) -> None:
     """A minimal, valid HF `tokenizers` byte-level BPE tokenizer."""
     vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
