@@ -1,0 +1,85 @@
+"""Decompose the bench wall time into prefill / decode / host phases.
+
+Monkeypatches ModelRunner.execute (prefill) and execute_decode_multi
+(decode) with wall-clock accumulation, then runs the exact bench.py
+workload. SLOPES rule does not apply here: we time *many* chained calls
+end-to-end, so the per-call tunnel overhead is amortized and visible as
+what it really costs the serving loop.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from sglang_security_tpu.model_executor import model_runner as mr_mod
+from bench import LLAMA3_8B_CONFIG
+
+ACC = {"prefill": [0.0, 0], "decode": [0.0, 0], "embed": [0.0, 0]}
+
+_orig_exec = mr_mod.ModelRunner.execute
+_orig_multi = mr_mod.ModelRunner.execute_decode_multi
+
+
+def timed(name, orig):
+    def wrap(self, *a, **kw):
+        t0 = time.perf_counter()
+        out = orig(self, *a, **kw)
+        ACC[name][0] += time.perf_counter() - t0
+        ACC[name][1] += 1
+        return out
+    return wrap
+
+
+mr_mod.ModelRunner.execute = timed("prefill", _orig_exec)
+mr_mod.ModelRunner.execute_decode_multi = timed("decode", _orig_multi)
+
+from sglang_security_tpu.entrypoints.engine import Engine
+from sglang_security_tpu.server_args import ServerArgs
+
+model_dir = "/tmp/bench_llama3_8b"
+os.makedirs(model_dir, exist_ok=True)
+with open(os.path.join(model_dir, "config.json"), "w") as f:
+    json.dump(LLAMA3_8B_CONFIG, f)
+
+n_reqs, page_size, in_len, out_len = 128, 64, 128, 128
+eng = Engine(ServerArgs(
+    model_path=model_dir, load_format="dummy", quantization="int4",
+    dtype="bfloat16", skip_tokenizer_init=True, max_total_tokens=49152,
+    page_size=page_size, max_running_requests=n_reqs,
+    max_prefill_tokens=4096, chunked_prefill_size=4096,
+    decode_bs_buckets=[n_reqs], prefill_token_buckets=[4096],
+    max_seq_pages_buckets=[512 // page_size], decode_steps_per_batch=16,
+    enable_warmup=False, random_seed=0, log_level="warning",
+))
+rng = np.random.default_rng(0)
+prompts = [rng.integers(10, 120000, in_len).tolist() for _ in range(n_reqs)]
+sp = {"temperature": 0.0, "max_new_tokens": out_len, "ignore_eos": True}
+
+eng.generate(input_ids=prompts, sampling_params=sp)  # warm/compile
+eng.flush_cache()
+for k in ACC:
+    ACC[k] = [0.0, 0]
+
+t0 = time.perf_counter()
+outs = eng.generate(input_ids=prompts, sampling_params=sp)
+wall = time.perf_counter() - t0
+toks = sum(o["meta_info"]["completion_tokens"] for o in outs)
+
+dev = ACC["prefill"][0] + ACC["decode"][0]
+print(f"wall {wall*1e3:.0f} ms  toks {toks}  ({toks/wall:.0f} tok/s)")
+for k, (t, n) in ACC.items():
+    if n:
+        print(f"  {k:8s} {t*1e3:8.0f} ms  {n:4d} calls  {t/n*1e3:7.2f} ms/call")
+print(f"  host     {(wall-dev)*1e3:8.0f} ms  (wall - device calls)")
+# per-decode-step: each execute_decode_multi call runs K=16 steps
+K = 16
+dn = ACC["decode"][1]
+if dn:
+    print(f"  decode per-step: {ACC['decode'][0]/(dn*K)*1e3:.2f} ms "
+          f"({128/(ACC['decode'][0]/(dn*K)):.0f} tok/s decode-only at B=128)")
+eng.shutdown()
