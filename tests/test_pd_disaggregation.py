@@ -26,8 +26,18 @@ def make(path, mode, backend, port):
     )
 
 
-@pytest.mark.parametrize("backend,port", [("fake", 0), ("tcp", 18998)])
-def test_pd_split_matches_monolithic(tmp_path_factory, backend, port):
+def _free_port():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.parametrize("backend", ["fake", "tcp"])
+def test_pd_split_matches_monolithic(tmp_path_factory, backend):
+    # dynamic port: a fixed one collides under pytest-xdist workers
+    port = 0 if backend == "fake" else _free_port()
     path = str(tmp_path_factory.mktemp(f"tiny_pd_{backend}") / "llama")
     make_tiny_llama(path)
     prompt = list(range(40, 72))

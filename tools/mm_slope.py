@@ -22,7 +22,7 @@ from sglang_security_tpu.ops.quant_matmul import (
 )
 from sglang_security_tpu.ops.ragged_paged_attention import paged_decode_attention
 
-ITER_LO, ITER_HI = 64, 576
+ITER_LO, ITER_HI = 16, 272
 REPEATS = 3
 
 
@@ -35,13 +35,11 @@ def slope(make_chain):
     ts = {}
     for n in (ITER_LO, ITER_HI):
         fn, args = make_chain(n)
-        r = fn(*args)
-        jax.block_until_ready(r)  # compile+warm
+        float(fn(*args))  # compile+warm
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            r = fn(*args)
-            jax.block_until_ready(r)
+            float(fn(*args))  # scalar host fetch = the only true sync on axon
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
     return (ts[ITER_HI] - ts[ITER_LO]) / (ITER_HI - ITER_LO)
@@ -66,11 +64,10 @@ def mm_chain(M, K, N, act, quant="int4"):
         def chain(x, *wa):
             def body(c, _):
                 y = mm(c, *wa)  # [M, N]
-                # fold output back into the input (serial dependency)
-                c = c.at[:, 0].add(y[:, 0].astype(c.dtype) * 1e-6)
-                return c, ()
+                # full-output dependency (mean) so nothing can be elided
+                return c * (1 + 1e-9 * jnp.mean(y).astype(c.dtype)), ()
             c, _ = jax.lax.scan(body, x, None, length=n)
-            return c
+            return jnp.sum(c)
         return chain, (x0, *wargs)
     return make
 
@@ -133,9 +130,9 @@ if __name__ == "__main__":
             def chain(x, w):
                 def body(c, _):
                     y = c @ w
-                    return c.at[:, 0].add(y[:, 0] * 1e-6), ()
+                    return c * (1 + 1e-9 * jnp.mean(y).astype(c.dtype)), ()
                 c, _ = jax.lax.scan(body, x, None, length=n)
-                return c
+                return jnp.sum(c)
             return chain, (x0, wd)
         report(f"bf16 dense {tag} M={M}", slope(dense_make), fl, 2 * K * N)
 
