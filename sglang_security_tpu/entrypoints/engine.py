@@ -155,6 +155,15 @@ class Engine:
         self.session_controller = (
             SessionController() if server_args.enable_session else None
         )
+        # multi-host lockstep: node 0 broadcasts each iteration's op
+        # batch; follower nodes run the same scheduler over that stream
+        # (distributed/control_plane.py; reference broadcast_pyobj,
+        # scheduler.py:830-906)
+        from sglang_security_tpu.distributed.control_plane import (
+            make_control_plane,
+        )
+
+        self._control_plane = make_control_plane(server_args)
         self._in_queues = [queue.Queue() for _ in self.schedulers]
         self._in_queue = self._in_queues[0]
         self._rid_queues: Dict[str, queue.Queue] = {}
@@ -171,10 +180,12 @@ class Engine:
         ]
         for t in self._loop_threads:
             t.start()
-        self._warmup()
+        if self._control_plane is None or self._control_plane.is_leader:
+            self._warmup()
         logger.info(
-            "Engine ready (model=%s, dp=%d, tp=%d)",
+            "Engine ready (model=%s, dp=%d, tp=%d, node=%d/%d)",
             server_args.model_path, dp, tp,
+            server_args.node_rank, server_args.nnodes,
         )
 
     def _warmup(self) -> None:
@@ -206,40 +217,96 @@ class Engine:
         logger.info("warmup compiles done in %.1fs", time.time() - t0)
 
     # ------------------------------------------------------------ the loop
+    def _apply_op(self, scheduler, runner, kind, payload, reply=None):
+        """Apply one control-stream op.  On the leader ``reply`` is the
+        caller's reply queue; followers pass None and discard results."""
+        ok = True
+        if kind == "req":
+            scheduler.add_request(payload)
+        elif kind == "abort":
+            scheduler.abort_request(payload)
+        elif kind == "flush":
+            ok = scheduler.flush_cache()
+        elif kind == "update_weights_disk":
+            runner.update_weights_from_disk(payload)
+        elif kind == "update_weights_tensor":
+            runner.update_weights_from_tensor(*payload)
+        elif kind == "release_memory":
+            scheduler.flush_cache()
+            runner.release_memory_occupation()
+        elif kind == "resume_memory":
+            runner.resume_memory_occupation()
+        if reply is not None:
+            reply.put(ok)
+
+    def _step_guarded(self, scheduler) -> None:
+        try:
+            scheduler.step()
+        except Exception:
+            logger.exception("scheduler step failed; aborting batch")
+            doomed = (
+                scheduler.running + scheduler.waiting
+                + getattr(scheduler, "inflight", [])
+            )
+            for r in doomed:
+                scheduler.abort_request(r.rid)
+                self._fail_rid(r.rid)
+            scheduler.running.clear()
+            scheduler.waiting.clear()
+            scheduler.inflight = []
+
     def _event_loop(self, idx: int = 0) -> None:
         scheduler = self.schedulers[idx]
+        runner = self.model_runners[idx]
         in_queue = self._in_queues[idx]
         work_event = self._work_events[idx]
+        cp = self._control_plane if idx == 0 else None
+        if cp is not None and not cp.is_leader:
+            # follower node: lockstep with the leader's op stream — one
+            # recv per scheduler iteration while there is work
+            while not self._shutdown.is_set():
+                try:
+                    ops = cp.recv()
+                except (ConnectionError, OSError):
+                    return
+                if ops == ("__shutdown__",):
+                    return
+                for kind, payload in ops:
+                    self._apply_op(scheduler, runner, kind, payload)
+                while scheduler.has_work():
+                    self._step_guarded(scheduler)
+                    if self._shutdown.is_set():
+                        return
+                    # stay aligned: the leader sends one message per
+                    # iteration while work exists
+                    try:
+                        ops = cp.recv()
+                    except (ConnectionError, OSError):
+                        return
+                    if ops == ("__shutdown__",):
+                        return
+                    for kind, payload in ops:
+                        self._apply_op(scheduler, runner, kind, payload)
+            return
         while not self._shutdown.is_set():
             drained = False
+            ops = []  # queue items: (kind, payload, reply_queue_or_None)
             while True:
                 try:
                     item = in_queue.get_nowait()
                 except queue.Empty:
                     break
-                kind, payload = item
-                if kind == "req":
-                    scheduler.add_request(payload)
-                elif kind == "abort":
-                    scheduler.abort_request(payload)
-                elif kind == "flush":
-                    payload.put(scheduler.flush_cache())
+                ops.append(item)
                 drained = True
+            if cp is not None and (ops or scheduler.has_work()):
+                # wire form drops the reply queues (followers discard
+                # results); one broadcast per scheduler iteration keeps
+                # every node's step sequence identical
+                cp.broadcast([(k, p) for k, p, _ in ops])
+            for kind, payload, reply in ops:
+                self._apply_op(scheduler, runner, kind, payload, reply)
             if scheduler.has_work():
-                try:
-                    scheduler.step()
-                except Exception:
-                    logger.exception("scheduler step failed; aborting batch")
-                    doomed = (
-                        scheduler.running + scheduler.waiting
-                        + getattr(scheduler, "inflight", [])
-                    )
-                    for r in doomed:
-                        scheduler.abort_request(r.rid)
-                        self._fail_rid(r.rid)
-                    scheduler.running.clear()
-                    scheduler.waiting.clear()
-                    scheduler.inflight = []
+                self._step_guarded(scheduler)
             elif not drained:
                 work_event.wait(timeout=0.005)
                 work_event.clear()
@@ -348,6 +415,10 @@ class Engine:
         )
 
     def _submit(self, treq) -> queue.Queue:
+        if self._control_plane is not None and not self._control_plane.is_leader:
+            raise RuntimeError(
+                "follower nodes serve no API; submit requests to node 0"
+            )
         if treq.session_id and self.session_controller is not None:
             sess = self.session_controller.get(treq.session_id)
             if sess is not None:
@@ -369,7 +440,7 @@ class Engine:
                 + len(self.schedulers[i].running)
                 + self._in_queues[i].qsize(),
             )
-        self._in_queues[idx].put(("req", req))
+        self._in_queues[idx].put(("req", req, None))
         self._work_events[idx].set()
         return q
 
@@ -453,29 +524,33 @@ class Engine:
         return self.session_controller.close_session(session_id)
 
     # ------------------------------------------------------------- control
-    def abort_request(self, rid: str) -> None:
-        for q, ev in zip(self._in_queues, self._work_events):
-            q.put(("abort", rid))
-            ev.set()
-
-    def flush_cache(self) -> bool:
+    def _control_op(self, kind, payload, wait: bool = True,
+                    timeout: float = 600.0) -> bool:
+        """Route a control op through every scheduler's op stream so it
+        applies in iteration order on this node AND (via the control
+        plane broadcast) on every follower node."""
         ok = True
         for q, ev in zip(self._in_queues, self._work_events):
-            reply: queue.Queue = queue.Queue()
-            q.put(("flush", reply))
+            reply: queue.Queue = queue.Queue() if wait else None
+            q.put((kind, payload, reply))
             ev.set()
-            # generous: the scheduler thread may be mid-compile on a cold
-            # bucket (minutes through the axon tunnel)
-            ok = reply.get(timeout=600) and ok
+            if wait:
+                # generous: the scheduler thread may be mid-compile on a
+                # cold bucket (minutes through the axon tunnel)
+                ok = reply.get(timeout=timeout) and ok
         return ok
+
+    def abort_request(self, rid: str) -> None:
+        self._control_op("abort", rid, wait=False)
+
+    def flush_cache(self) -> bool:
+        return self._control_op("flush", None)
 
     def update_weights_from_disk(self, model_path: str) -> bool:
         # pause between batches, swap params, resume
         while any(s.has_work() for s in self.schedulers):
             time.sleep(0.05)
-        for runner in self.model_runners:
-            runner.update_weights_from_disk(model_path)
-        return True
+        return self._control_op("update_weights_disk", model_path)
 
     def update_weights_from_tensor(self, named_tensors,
                                    load_format=None) -> bool:
@@ -483,9 +558,9 @@ class Engine:
         pairs; missing tensors fall back to the original checkpoint."""
         while any(s.has_work() for s in self.schedulers):
             time.sleep(0.05)
-        for runner in self.model_runners:
-            runner.update_weights_from_tensor(named_tensors, load_format)
-        return True
+        return self._control_op(
+            "update_weights_tensor", (named_tensors, load_format)
+        )
 
     def get_weights_by_name(self, name: str, truncate_size: int = 100):
         return self.model_runner.get_weights_by_name(name, truncate_size)
@@ -496,15 +571,10 @@ class Engine:
         KV content is dropped, so the radix caches flush first."""
         if any(s.has_work() for s in self.schedulers):
             return False
-        self.flush_cache()
-        for runner in self.model_runners:
-            runner.release_memory_occupation()
-        return True
+        return self._control_op("release_memory", None)
 
     def resume_memory_occupation(self) -> bool:
-        for runner in self.model_runners:
-            runner.resume_memory_occupation()
-        return True
+        return self._control_op("resume_memory", None)
 
     def save_sharded_checkpoint(self, path: str) -> int:
         """TPU-native sharded save of the serving-layout params
@@ -564,6 +634,8 @@ class Engine:
 
     def shutdown(self) -> None:
         self._shutdown.set()
+        if self._control_plane is not None:
+            self._control_plane.close()
         for ev in self._work_events:
             ev.set()
         for t in self._loop_threads:

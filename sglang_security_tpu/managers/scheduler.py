@@ -27,6 +27,7 @@ import os
 import sys
 import threading
 import time
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -47,6 +48,26 @@ from sglang_security_tpu.utils import cdiv
 logger = logging.getLogger(__name__)
 
 PREFILL_ALIGN = 128  # aligned-ragged query packing unit (= kernel block_q)
+
+# debug knob: force a commit before every decode dispatch (serial rounds),
+# isolating the round-chaining pipeline's effect in A/B measurements
+_DISABLE_DECODE_PIPELINE = bool(
+    int(os.environ.get("SGLANG_TPU_DISABLE_DECODE_PIPELINE", "0"))
+)
+
+
+@dataclass
+class PendingDecode:
+    """A dispatched-but-uncommitted multi-step decode round (the overlap
+    scheduler's in-flight batch; reference tp_worker_overlap_thread.py)."""
+
+    reqs: tuple  # running-batch snapshot at dispatch, in row order
+    num_steps: int
+    handle: object  # model_runner.DecodeHandle
+
+    @property
+    def last_tokens(self):
+        return self.handle.last_tokens
 
 
 class Scheduler:
@@ -85,6 +106,7 @@ class Scheduler:
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
         self.waiting: List[Req] = []
         self.running: List[Req] = []
+        self._pending_decode: Optional[PendingDecode] = None
         self.inflight: List[Req] = []
         self.chunked_req: Optional[Req] = None
         self.max_running = server_args.max_running_requests or 256
@@ -766,25 +788,65 @@ class Scheduler:
             for r in self.running
         )
         if self.eagle is not None and spec_ok:
+            self._drain_decode()
             if self._run_eagle_decode():
                 return
         if self.spec_drafter is not None and spec_ok:
+            self._drain_decode()
             if self._run_spec_decode():
                 return
         K = self._decode_steps()
-        self._maybe_retract(K)
+        if K == 1:
+            # single-step variants (grammar / custom logit processors)
+            # need the sampled token on host every step — no pipelining
+            self._drain_decode()
+
+        # ---- overlap scheduling (reference tp_worker_overlap_thread.py:
+        # 43-76 future-token-ids pipeline, re-created on jax async
+        # dispatch): a previous multi-step round may still be running on
+        # device.  We dispatch THIS round before materializing it, feeding
+        # step 0 from the previous round's on-device final tokens, so all
+        # host bookkeeping below overlaps device compute.
+        if _DISABLE_DECODE_PIPELINE:
+            self._drain_decode()
+        pend = self._pending_decode
+        offset = pend.num_steps if pend is not None else 0
+        self._maybe_retract(offset + K)  # drains first if it must retract
+        pend = self._pending_decode  # retract may have drained
+        if pend is not None and (
+            pend.reqs != tuple(self.running) or K == 1
+        ):
+            self._drain_decode()
+            pend = None
         if not self.running:
             return
+        offset = pend.num_steps if pend is not None else 0
+        if pend is not None and all(
+            len(r.output_ids) + offset
+            >= r.sampling_params.max_new_tokens
+            for r in self.running
+        ):
+            # every request exhausts its budget within the in-flight
+            # round — dispatching another would be pure waste
+            self._drain_decode()
+            return
+
         reqs = self.running
         token_ids, positions, slots, kv_lens, page_lists = [], [], [], [], []
         slot_mat = np.empty((K, len(reqs)), np.int32)
         for i, req in enumerate(reqs):
-            pos = req.seq_len - 1  # position of the token being fed
+            # position of the token fed at step 0 of THIS round; with a
+            # pending round in flight the host has not seen its tokens
+            # yet, but lengths advance deterministically by `offset`
+            pos = req.seq_len - 1 + offset
             need = cdiv(pos + K, self.page_size) - len(req.pages)
             if need > 0:
                 pages = self._alloc_pages(need, req.dp_shard)
                 req.pages = np.concatenate([req.pages, pages])
-            token_ids.append(req.all_ids()[pos])
+            if offset:
+                token_ids.append(0)  # replaced by device tokens below
+            else:
+                token_ids.append(req.all_ids()[pos])
             # M-RoPE decode: all 3 components equal pos + delta (delta 0
             # for text-only requests/models)
             positions.append(pos + req.mrope_delta)
@@ -806,14 +868,44 @@ class Scheduler:
         )
         if K == 1:
             tokens, logprobs = self.runner.execute(plan)
-            tokens, logprobs = tokens[None], logprobs[None]
+            self._commit_decode(reqs, tokens[None], logprobs[None])
+            return
+        handle = self.runner.dispatch_decode_multi(
+            plan, slot_mat, K,
+            token_ids_dev=pend.last_tokens if pend is not None else None,
+        )
+        new_pend = PendingDecode(
+            reqs=tuple(reqs), num_steps=K, handle=handle
+        )
+        if pend is not None:
+            # blocks on the PREVIOUS round only; the round dispatched
+            # above keeps the device busy while we commit/detokenize
+            tokens, logprobs = self.runner.wait_decode(pend.handle)
+            self._pending_decode = new_pend
+            self._commit_decode(list(pend.reqs), tokens, logprobs)
         else:
-            tokens, logprobs = self.runner.execute_decode_multi(
-                plan, slot_mat, K
-            )
+            self._pending_decode = new_pend
+
+    def _drain_decode(self) -> None:
+        """Materialize and commit the in-flight decode round, if any."""
+        pend = self._pending_decode
+        if pend is None:
+            return
+        self._pending_decode = None
+        tokens, logprobs = self.runner.wait_decode(pend.handle)
+        self._commit_decode(list(pend.reqs), tokens, logprobs)
+
+    def _commit_decode(self, reqs, tokens, logprobs) -> None:
+        """Apply one decode round's sampled tokens ([K, B]) to `reqs`."""
+        K = tokens.shape[0]
         finished: List[Req] = []
         produced = 0
+        running_ids = {id(r) for r in self.running}
         for i, req in enumerate(reqs):
+            if req.finished() and id(req) not in running_ids:
+                # committed (and removed) in an earlier round — this
+                # round's rows for it are overshoot, discard
+                continue
             for k in range(K):
                 if req.finished():
                     break
@@ -839,6 +931,11 @@ class Scheduler:
                            reason=FinishReason.ABORT)
         self._decode_tokens_since_log += produced
         self._log_decode_stats()
+        if not self.running and self._pending_decode is not None:
+            # every request finished mid-pipeline: the in-flight round is
+            # pure overshoot — drain it now so the engine goes truly idle
+            # (weight updates / release wait on has_work, not on us)
+            self._drain_decode()
 
     def _run_eagle_decode(self) -> bool:
         """One EAGLE round: draft-extend + K-step chain (one draft-model
@@ -846,6 +943,8 @@ class Scheduler:
         eagle_worker.py:273 forward_batch_speculative_generation)."""
         from sglang_security_tpu.speculative.spec_algorithm import accept_draft
 
+        if self.eagle.topk > 1:
+            return self._run_eagle_tree_decode()
         worker = self.eagle
         K = worker.num_steps
         rows = K + 1
@@ -961,6 +1060,165 @@ class Scheduler:
         self._log_decode_stats()
         return True
 
+    def _run_eagle_tree_decode(self) -> bool:
+        """EAGLE top-k TREE round (reference ``select_top_k_tokens``
+        eagle_utils.py:793 + ``build_eagle_tree.py`` + tree-mask verify):
+        draft-extend + k-wide frontier expansion (eagle_worker.draft_tree),
+        tree-mask verification on the target (prefix ⊕ dense merge,
+        models/llama.py _tree_attn), greedy-path accept, then a batched
+        scratch→canonical KV commit (eagle_tree_commit)."""
+        worker = self.eagle
+        K = worker.num_steps
+        k = worker.topk
+        W = worker.tree_width
+        rows = 1 + W
+        bq = worker.verify_block_q
+        self._maybe_retract(K + 1)
+        if not self.running:
+            return True
+        reqs = self.running
+        B = len(reqs)
+        R = worker.rows_per_slot
+        for req in reqs:
+            need = cdiv(req.seq_len + K, self.page_size) - len(req.pages)
+            if need > 0:
+                pages = self._alloc_pages(need)
+                req.pages = np.concatenate([req.pages, pages])
+        pend_counts = np.zeros(B, np.int32)
+        pend_tokens = np.zeros((B, R), np.int32)
+        extend_slots = np.full((B, R), -1, np.int32)
+        positions0 = np.zeros(B, np.int32)
+        page_lists = []
+        for i, req in enumerate(reqs):
+            n = req.seq_len
+            pend = req.spec_pending[-min(len(req.spec_pending), R) :]
+            A = len(pend)
+            pend_counts[i] = A
+            pend_tokens[i, :A] = pend
+            for j in range(A):
+                p = n - A + j
+                extend_slots[i, j] = req.token_slot(p - 1, self.page_size)
+            positions0[i] = n
+            page_lists.append(req.pages)
+        ft_slots = np.asarray([r.spec_slot for r in reqs], np.int32)
+        tokens_tree, parents = worker.draft_tree(
+            pend_counts, pend_tokens, ft_slots, positions0, page_lists,
+            extend_slots,
+        )  # [B, W] draft tokens, [B, W] parent VERIFY rows
+
+        # ---- tree-mask verify (root row + W node rows per request) ----
+        scratch_base = self.runner.num_pages * self.page_size
+        token_ids, positions, slots = [], [], []
+        q_starts, q_lens, kv_lens, out_rows, ft_rows = [], [], [], [], []
+        tree_mask = np.zeros((B, bq, bq), bool)
+        tree_prefix = np.zeros(B, np.int32)
+        for i, req in enumerate(reqs):
+            pos = req.seq_len - 1
+            row0 = i * bq
+            d = req.mrope_delta
+            fed = [req.all_ids()[pos]] + [int(t) for t in tokens_tree[i]]
+            pos_rows = [pos] + [pos + 1 + (j // k) for j in range(W)]
+            # root writes its committed KV at the canonical slot; tree
+            # nodes write to the request's scratch block (row 1+j)
+            slot_rows = [req.token_slot(pos, self.page_size)] + [
+                scratch_base + req.spec_slot * bq + 1 + j for j in range(W)
+            ]
+            token_ids.extend(fed + [0] * (bq - rows))
+            positions.extend(
+                [p + d for p in pos_rows] + [0] * (bq - rows)
+            )
+            slots.extend(slot_rows + [-1] * (bq - rows))
+            q_starts.append(row0)
+            q_lens.append(rows)
+            kv_lens.append(pos + rows)
+            tree_prefix[i] = pos
+            m = np.eye(bq, dtype=bool)
+            for j in range(W):
+                m[1 + j] |= m[int(parents[i, j])]
+            tree_mask[i] = m
+            out_rows.extend(row0 + min(j, rows - 1) for j in range(rows))
+            ft_rows.extend(
+                worker.ft_row(req.spec_slot, j) for j in range(rows)
+            )
+        plan = self._make_plan(
+            is_decode=False, token_ids=token_ids, positions=positions,
+            slots=slots, q_starts=q_starts, q_lens=q_lens,
+            kv_lens=kv_lens, page_lists=page_lists, reqs=reqs,
+        )
+        plan.out_rows = np.asarray(out_rows, np.int32)
+        plan.ft_rows = np.asarray(ft_rows, np.int32)
+        plan.tree_mask = tree_mask
+        plan.tree_prefix_kv_lens = tree_prefix
+        tokens, logprobs = self.runner.execute_spec_verify(
+            plan, rows, block_q=bq
+        )
+
+        # ---- greedy-path accept + batched commit ----
+        finished: List[Req] = []
+        produced = 0
+        src_all, dst_all, fsrc_all, fdst_all = [], [], [], []
+        for i, req in enumerate(reqs):
+            sampled = tokens[i * rows : (i + 1) * rows]
+            lps = logprobs[i * rows : (i + 1) * rows]
+            pos = req.seq_len - 1
+            committed = [int(sampled[0])]
+            lp_list = [float(lps[0])]
+            acc_rows = [0]
+            cur_row = 0
+            for depth in range(K):
+                want = committed[-1]
+                nxt = -1
+                for j in range(depth * k, depth * k + k):
+                    if (
+                        int(parents[i, j]) == cur_row
+                        and int(tokens_tree[i, j]) == want
+                    ):
+                        nxt = 1 + j
+                        break
+                if nxt < 0:
+                    break
+                committed.append(int(sampled[nxt]))
+                lp_list.append(float(lps[nxt]))
+                acc_rows.append(nxt)
+                cur_row = nxt
+            self.spec_accept_sum += len(committed)
+            self.spec_verify_count += 1
+            req.spec_pending = committed
+            for t, r in enumerate(acc_rows[1:]):
+                src_all.append(scratch_base + req.spec_slot * bq + r)
+                dst_all.append(
+                    req.token_slot(pos + 1 + t, self.page_size)
+                )
+            for t, r in enumerate(acc_rows):
+                if r != t:
+                    fsrc_all.append(worker.ft_row(req.spec_slot, r))
+                    fdst_all.append(worker.ft_row(req.spec_slot, t))
+            for j, tok in enumerate(committed):
+                if req.finished():
+                    break
+                self._append_token(req, int(tok), lp_list[j])
+                produced += 1
+            req.computed_len = req.seq_len - 1
+            if req.finished():
+                finished.append(req)
+        if src_all or fsrc_all:
+            self.runner.eagle_tree_commit(
+                np.asarray(src_all or [0], np.int32),
+                np.asarray(dst_all or [-1], np.int32),
+                np.asarray(fsrc_all or [0], np.int32),
+                np.asarray(fdst_all or [-1], np.int32),
+            )
+        for req in finished:
+            self.running.remove(req)
+            self._cache_finished(req)
+            self._release_penalty_slot(req)
+            if req.finished_reason == FinishReason.ABORT:
+                self._emit(req, [], finished=True,
+                           reason=FinishReason.ABORT)
+        self._decode_tokens_since_log += produced
+        self._log_decode_stats()
+        return True
+
     def _run_spec_decode(self) -> bool:
         """Draft + single-verify speculative decode round (reference
         eagle_worker.py:273 capability, NGRAM drafter). Returns False to
@@ -1060,6 +1318,13 @@ class Scheduler:
             )
             if need <= self._available_pages():
                 return
+            if self._pending_decode is not None:
+                # commit the in-flight round first: retracting resets a
+                # victim's host state, which would corrupt a later
+                # commit.  Then re-evaluate — the commit may have
+                # finished requests and freed their pages.
+                self._drain_decode()
+                continue
             victim = max(
                 self.running, key=lambda r: (len(r.output_ids), r.time_stats.queued)
             )
@@ -1427,6 +1692,7 @@ class Scheduler:
 
     # ------------------------------------------------------------- control
     def flush_cache(self) -> bool:
+        self._drain_decode()
         if self.running or self.waiting:
             return False
         for cache in self.tree_caches:
@@ -1438,6 +1704,7 @@ class Scheduler:
 
     def check_memory(self) -> bool:
         """Idle leak assertion (reference scheduler.py:1314-1361)."""
+        self._drain_decode()
         if self.running or self.waiting or self.chunked_req:
             return True
         for tree, alloc in zip(self.tree_caches, self.allocators):

@@ -40,6 +40,15 @@ class ForwardBatch(NamedTuple):
     # needs no 3D form — all components are equal there, so the host adds
     # the request's mrope delta to the 1D positions instead.
     mrope_positions: Optional[jax.Array] = None  # [3, T] i32
+    # EAGLE tree mode (speculative top-k tree draft/verify): arrays-only
+    # dict switching attention to prefix(paged, non-causal) ⊕ tree(dense
+    # masked) with softmax-state merge (ops/tree_attention.py).  Keys:
+    #   mask [S, R, *] bool — dense-block attention mask per sequence
+    #   prefix_kv_lens [S] i32 — committed prefix length (paged part)
+    # draft-tree mode additionally passes the draft pool for the prefix
+    # part while k_pages/v_pages thread the [L, S, W, Hkv, hd] tree KV
+    # carry:  k_pool / v_pool.
+    tree: Optional[dict] = None
 
     @property
     def num_tokens(self) -> int:

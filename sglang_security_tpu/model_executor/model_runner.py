@@ -89,6 +89,32 @@ class BatchPlan:
     lp_targets: Optional[np.ndarray] = None  # [T] prompt-logprob targets
     # custom logit processors: [(name, row_mask [S], {param: [S]})]
     custom_procs: Optional[list] = None
+    # EAGLE tree verify: per-seq dense-block attention mask over the
+    # verify rows (ancestor closure + self) and the committed prefix
+    # length for the paged non-causal pass
+    tree_mask: Optional[np.ndarray] = None  # [S, bq, bq] bool
+    tree_prefix_kv_lens: Optional[np.ndarray] = None  # [S] i32
+
+
+@dataclass
+class DecodeHandle:
+    """A dispatched (not yet materialized) multi-step decode round.
+
+    ``toks``/``lps`` are on-device [num_steps, S] arrays in the padded
+    (dp-remapped) row layout; ``last_tokens`` feeds the next chained
+    round's step 0 (the overlap scheduler's device-resident future
+    token ids, reference ``tp_worker_overlap_thread.py:71-76``)."""
+
+    toks: object  # jax.Array [K, S]
+    lps: object  # jax.Array [K, S]
+    out_slot: Optional[np.ndarray]
+    S_real: int
+    S: int
+    num_steps: int
+
+    @property
+    def last_tokens(self):
+        return self.toks[self.num_steps - 1]
 
 
 class ModelRunner:
@@ -229,6 +255,25 @@ class ModelRunner:
             if server_args.kv_cache_dtype in ("int8", "fp8")
             else None
         )
+        # EAGLE tree verify: scratch rows after the paged region hold
+        # draft-node K/V (one verify block per running request); the
+        # accepted path is copied to canonical slots post-accept
+        self.spec_scratch_rows = 0
+        if (
+            server_args.speculative_algorithm is not None
+            and server_args.speculative_eagle_topk > 1
+        ):
+            rows = (
+                1 + server_args.speculative_eagle_topk
+                * server_args.speculative_num_steps
+            )
+            vbq = max(8, 1 << (rows - 1).bit_length())
+            self.spec_scratch_rows = (
+                server_args.max_running_requests or 256
+            ) * vbq
+            # stay inside the profiled HBM budget: scratch comes out of
+            # the paged region
+            self.num_pages -= cdiv(self.spec_scratch_rows, self.page_size)
         self.kv_pool = KVCachePool(
             num_layers=self.config.num_layers,
             num_kv_heads=self.config.kv_cache_num_heads,
@@ -238,6 +283,7 @@ class ModelRunner:
             dtype=self.dtype,
             kv_quant_dtype=kv_quant,
             sharding=kv_sharding if kv_quant is None else None,
+            extra_rows=self.spec_scratch_rows,
         )
         if kv_quant is not None and self.mesh is not None:
             raise NotImplementedError(
@@ -554,9 +600,9 @@ class ModelRunner:
     def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
                   penalized: bool = False, mode: str = "topk",
                   eagle: bool = False, prompt_lp: bool = False,
-                  proc_names: tuple = ()):
+                  proc_names: tuple = (), tree: bool = False):
         key = (T, S, PPS, block_q, masked, penalized, mode, eagle,
-               prompt_lp, proc_names)
+               prompt_lp, proc_names, tree)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -940,14 +986,17 @@ class ModelRunner:
     SPEC_BLOCK_Q = 8
 
     def execute_spec_verify(
-        self, plan: BatchPlan, rows_per_seq: int
+        self, plan: BatchPlan, rows_per_seq: int,
+        block_q: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Target verify pass for speculative decoding: each sequence feeds
         [last_committed, *draft] (q_len = rows_per_seq) and logits are
-        sampled at every fed position.  Returns ([R] tokens, logprobs)
-        reshaped host-side by the caller."""
+        sampled at every fed position.  Chain verify is causal; tree
+        verify (plan.tree_mask set) runs the prefix ⊕ dense-tree merged
+        attention.  Returns ([R] tokens, logprobs) reshaped host-side by
+        the caller."""
         sa = self.server_args
-        bq = self.SPEC_BLOCK_Q
+        bq = block_q or self.SPEC_BLOCK_Q
         assert rows_per_seq <= bq
         S_real = len(plan.q_lens)
         S = next_bucket(S_real, sa.decode_bs_buckets)
@@ -964,6 +1013,7 @@ class ModelRunner:
         fn = self._get_step(
             T, R, PPS, bq, plan.vocab_mask is not None, penalized,
             self._sampling_mode(plan), eagle=eagle_on,
+            tree=plan.tree_mask is not None,
         )
         args = [
             self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
@@ -988,6 +1038,61 @@ class ModelRunner:
             np.asarray(jax.device_get(logprobs))[:R_real],
         )
 
+    def eagle_tree_commit(
+        self,
+        src_rows: np.ndarray,  # [N] scratch KV rows of accepted tree nodes
+        dst_slots: np.ndarray,  # [N] canonical position slots (-1 = pad)
+        ft_src: np.ndarray,  # [M] feature-table rows of accepted path
+        ft_dst: np.ndarray,  # [M] compacted destination rows (-1 = pad)
+    ) -> None:
+        """Post-accept commit for tree verify: copy accepted draft-node
+        K/V from the scratch region into canonical position slots (the
+        paged kernels address KV strictly by position), and compact the
+        captured features to rows 0..A-1 of each slot so the next round's
+        draft-extend reads them contiguously.  One jit, a few hundred
+        rows — noise next to a decode step."""
+        fn = self._step_cache.get("tree_commit")
+        if fn is None:
+
+            def commit(k_pages, v_pages, ft, src, dst, fsrc, fdst):
+                def cp(a):
+                    n = a.shape[2]
+                    d = jnp.where(dst < 0, n, dst)
+                    return a.at[:, :, d].set(
+                        a[:, :, src], mode="drop"
+                    )
+
+                k_pages = jax.tree.map(cp, k_pages)
+                v_pages = jax.tree.map(cp, v_pages)
+                fd = jnp.where(fdst < 0, ft.shape[0], fdst)
+                ft = ft.at[fd].set(ft[fsrc], mode="drop")
+                return k_pages, v_pages, ft
+
+            fn = jax.jit(commit, donate_argnums=(0, 1, 2))
+            self._step_cache["tree_commit"] = fn
+
+        def padded(a, n, fill):
+            out = np.full(n, fill, np.int32)
+            out[: len(a)] = a
+            return jnp.asarray(out)
+
+        # fixed shapes (one compile): caps sized for a full batch
+        sa = self.server_args
+        n_kv = (sa.max_running_requests or 256) * max(
+            1, sa.speculative_num_steps
+        )
+        n_ft = n_kv + (sa.max_running_requests or 256)
+        k_pages, v_pages, ft = fn(
+            self.kv_pool.k_pages, self.kv_pool.v_pages, self.eagle.ft,
+            padded(np.maximum(src_rows, 0), n_kv, 0),
+            padded(dst_slots, n_kv, -1),
+            padded(np.maximum(ft_src, 0), n_ft, 0),
+            padded(ft_dst, n_ft, -1),
+        )
+        self.kv_pool.k_pages = k_pages
+        self.kv_pool.v_pages = v_pages
+        self.eagle.ft = ft
+
     def _eagle_ft_args(self, ft_rows: np.ndarray, R: int):
         ft = self.eagle.ft
         rows = np.full(R, ft.shape[0], np.int32)  # OOB rows drop
@@ -1003,13 +1108,30 @@ class ModelRunner:
         self.eagle.draft_prefill(fb, x_all, dt, T, S, PPS)
         self._eagle_prefill_ctx = None
 
-    def execute_decode_multi(
-        self, plan: BatchPlan, slot_mat: np.ndarray, num_steps: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Run `num_steps` chained decode steps; returns ([K, S_real] tokens,
-        logprobs).  plan fields describe step 0 exactly like a single-step
-        decode plan (kv_lens includes the fed token); slot_mat[k, i] is
-        request i's KV slot for the token fed at step k."""
+    def dispatch_decode_multi(
+        self,
+        plan: BatchPlan,
+        slot_mat: np.ndarray,
+        num_steps: int,
+        token_ids_dev=None,
+    ) -> "DecodeHandle":
+        """Dispatch `num_steps` chained decode steps WITHOUT materializing
+        the result — jax async dispatch returns immediately and the handle
+        holds the on-device [K, S] token/logprob arrays.
+
+        This is the TPU analog of the reference's overlap scheduler
+        (``tp_worker_overlap_thread.py:43-76``): the scheduler chains
+        round N+1 by passing ``handle.last_tokens`` (round N's final
+        sampled tokens, still on device) as ``token_ids_dev`` — the
+        device-resident "future token ids" — so host bookkeeping for
+        round N overlaps round N+1's device compute.  ``token_ids_dev``
+        must already be in the padded (and dp-remapped, if dp attention)
+        row layout, which holds whenever the running batch and buckets
+        are unchanged between rounds.
+
+        plan fields describe step 0 exactly like a single-step decode
+        plan (kv_lens includes the fed token); slot_mat[k, i] is request
+        i's KV slot for the token fed at step k."""
         sa = self.server_args
         S_real = len(plan.kv_lens)
         out_slot = None
@@ -1038,11 +1160,15 @@ class ModelRunner:
         fn = self._get_multi_step(
             S, PPS, num_steps, penalized, self._sampling_mode(plan)
         )
+        step0_tokens = fb.token_ids
+        if token_ids_dev is not None:
+            assert token_ids_dev.shape == (S,), (token_ids_dev.shape, S)
+            step0_tokens = token_ids_dev
         toks, lps, k_pages, v_pages, counts = fn(
             self.params,
             self.kv_pool.k_pages,
             self.kv_pool.v_pages,
-            fb.token_ids,
+            step0_tokens,
             fb.positions,
             jnp.asarray(sm),
             fb.kv_lens,
@@ -1058,11 +1184,27 @@ class ModelRunner:
         self.kv_pool.v_pages = v_pages
         if penalized:
             self.penalty_counts = counts
-        toks = np.asarray(jax.device_get(toks))
-        lps = np.asarray(jax.device_get(lps))
-        if out_slot is not None:  # dp attention: back to request order
-            return toks[:, out_slot], lps[:, out_slot]
-        return toks[:, :S_real], lps[:, :S_real]
+        return DecodeHandle(
+            toks=toks, lps=lps, out_slot=out_slot, S_real=S_real, S=S,
+            num_steps=num_steps,
+        )
+
+    @staticmethod
+    def wait_decode(handle: "DecodeHandle") -> Tuple[np.ndarray, np.ndarray]:
+        """Materialize a dispatched decode round (blocks until done)."""
+        toks = np.asarray(jax.device_get(handle.toks))
+        lps = np.asarray(jax.device_get(handle.lps))
+        if handle.out_slot is not None:  # dp attention: request order
+            return toks[:, handle.out_slot], lps[:, handle.out_slot]
+        return toks[:, : handle.S_real], lps[:, : handle.S_real]
+
+    def execute_decode_multi(
+        self, plan: BatchPlan, slot_mat: np.ndarray, num_steps: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Dispatch + wait (the non-pipelined entry)."""
+        return self.wait_decode(
+            self.dispatch_decode_multi(plan, slot_mat, num_steps)
+        )
 
     # ------------------------------------------------------------------
 
@@ -1356,6 +1498,20 @@ class ModelRunner:
                 q_starts[S_real:] = T
 
         mm_embeds, mm_rows = self._pad_mm(plan, T)
+        tree = None
+        if plan.tree_mask is not None:
+            # padded sequences keep an identity mask so their (discarded)
+            # rows still see one finite score through the softmax
+            tm = np.broadcast_to(
+                np.eye(bq, dtype=bool), (S, bq, bq)
+            ).copy()
+            tm[:S_real] = plan.tree_mask
+            tree = {
+                "mask": jnp.asarray(tm),
+                "prefix_kv_lens": jnp.asarray(
+                    pad1(plan.tree_prefix_kv_lens, S)
+                ),
+            }
         fb = ForwardBatch(
             token_ids=jnp.asarray(pad1(plan.token_ids, T)),
             positions=jnp.asarray(pad1(plan.positions, T)),
@@ -1379,6 +1535,7 @@ class ModelRunner:
                 if plan.mrope_positions is not None
                 else None
             ),
+            tree=tree,
         )
         Rr = R or S
         rep = rows_per_seq

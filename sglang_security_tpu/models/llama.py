@@ -687,6 +687,23 @@ class LlamaForCausalLM:
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = self._rope_qk_lp(lp, q, k, fb)
 
+        if fb.tree is not None:
+            attn, k_pages, v_pages = self._tree_attn(
+                q, k, v, fb, k_pages, v_pages, li, safe_slots,
+                interpret=interpret,
+            )
+            attn2 = attn.reshape(T, Hq * hd)
+            o = apply_linear(attn2, lp["o"])
+            if lora_lp is not None:
+                from sglang_security_tpu.lora.lora_manager import apply_lora
+
+                o = o + apply_lora(
+                    attn2, lora_lp, "o", lora_ids, lora_scale
+                ).astype(o.dtype)
+            if tp_axis is not None:
+                o = lax.psum(o, tp_axis)
+            return o, k_pages, v_pages
+
         ds = getattr(self, "ds_cfg", None)
         if (
             ds is not None
@@ -750,6 +767,90 @@ class LlamaForCausalLM:
         if tp_axis is not None:
             o = lax.psum(o, tp_axis)
         return o, k_pages, v_pages
+
+    def _tree_attn(
+        self, q, k, v, fb, k_pages, v_pages, li, safe_slots, *, interpret
+    ):
+        """EAGLE tree attention: prefix (paged, non-causal, all rows see
+        the committed [0, n-1)) ⊕ dense masked attention among the tree
+        rows, merged by log-sum-exp (reference tree-mask verification,
+        ``eagle_utils.cu`` / ``build_eagle_tree.py``; TPU design notes in
+        ops/tree_attention.py).
+
+        Verify mode: k_pages/v_pages are the real pool — tree-row K/V is
+        scattered at scratch slots for the post-accept commit copy, and
+        the dense block uses the in-batch K/V directly.
+        Draft mode (``k_pool`` in fb.tree): k_pages/v_pages thread the
+        [L, S, W, Hkv, hd] tree-KV carry; the pool (for the prefix part)
+        rides in fb.tree; the new rows are appended to the carry at
+        column fb.tree["col"]."""
+        from sglang_security_tpu.ops.tree_attention import (
+            merge_attention_states,
+            tree_self_attention,
+        )
+
+        cfg = self.config
+        tree = fb.tree
+        T, Hq, hd = q.shape
+        Hkv = k.shape[1]
+        S = tree["mask"].shape[0]
+        R = T // S
+        assert cfg.sliding_window is None, "tree verify + SWA not wired"
+        draft_mode = "k_pool" in tree
+        if draft_mode:
+            pk, pv = tree["k_pool"], tree["v_pool"]
+        else:
+            k_pages, v_pages = _scatter_kv(
+                k_pages, v_pages, k, v, li, safe_slots
+            )
+            pk, pv = k_pages, v_pages
+        k_scales = v_scales = None
+        if isinstance(pk, tuple):
+            pk, k_scales = pk
+            pv, v_scales = pv
+        op, lsep = ragged_paged_attention(
+            q, pk, pv, tree["prefix_kv_lens"], fb.page_indices,
+            fb.q_starts, fb.q_lens,
+            page_size=self.kv_page_size, layer=li,
+            sm_scale=self._sm_scale(), soft_cap=cfg.attn_softcap,
+            block_q=R,
+            pages_per_block=max(1, min(8, 256 // self.kv_page_size)),
+            causal=False, return_lse=True, interpret=interpret,
+            k_scales=k_scales, v_scales=v_scales,
+        )
+        q4 = q.reshape(S, R, Hq, hd)
+        k4 = k.reshape(S, R, Hkv, hd)
+        v4 = v.reshape(S, R, Hkv, hd)
+        if draft_mode:
+            kc = jnp.concatenate(
+                [lax.dynamic_index_in_dim(k_pages, li, 0, keepdims=False),
+                 k4], axis=1,
+            )
+            vc = jnp.concatenate(
+                [lax.dynamic_index_in_dim(v_pages, li, 0, keepdims=False),
+                 v4], axis=1,
+            )
+        else:
+            kc, vc = k4, v4
+        ot, lset = tree_self_attention(
+            q4, kc, vc, tree["mask"],
+            sm_scale=self._sm_scale(), soft_cap=cfg.attn_softcap,
+        )
+        merged = merge_attention_states(
+            op.astype(jnp.float32).reshape(S, R, Hq, hd),
+            lsep.reshape(S, R, Hq),
+            ot, lset,
+        )
+        attn = merged.reshape(T, Hq, hd).astype(q.dtype)
+        if draft_mode:
+            col = tree["col"]
+            k_pages = lax.dynamic_update_slice(
+                k_pages, k4[None].astype(k_pages.dtype), (li, 0, col, 0, 0)
+            )
+            v_pages = lax.dynamic_update_slice(
+                v_pages, v4[None].astype(v_pages.dtype), (li, 0, col, 0, 0)
+            )
+        return attn, k_pages, v_pages
 
     def _rope_qk_lp(self, lp, q, k, fb):
         """Layer-param-aware rotary hook (families with per-layer rope

@@ -148,3 +148,14 @@ class EagleLlamaForCausalLM(LlamaForCausalLM):
         return jnp.argmax(
             self.draft_logits(tmodel, tparams, features), axis=-1
         ).astype(jnp.int32)
+
+    def draft_topk(
+        self, tmodel, tparams, params, features, k: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Top-k candidate tokens + logprobs for tree drafting (reference
+        ``eagle_utils.py:793 select_top_k_tokens``).  Returns
+        (tokens [..., k] i32 target-vocab ids, logprobs [..., k] f32)."""
+        logits = self.draft_logits(tmodel, tparams, features)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        vals, idx = jax.lax.top_k(logp, k)
+        return idx.astype(jnp.int32), vals

@@ -248,3 +248,22 @@ class Eagle3LlamaForCausalLM(LlamaForCausalLM):
             )
         d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return params["d2t_map"][d]
+
+    def draft_topk(self, tmodel, tparams, params, features, k: int):
+        """Top-k over the reduced draft vocab, ids mapped via d2t
+        (reference ``eagle_worker.py:468`` hot-token mapping)."""
+        cfg = self.config
+        h = rms_norm(
+            features.astype(jnp.float32), params["final_norm"], cfg.rms_eps
+        )
+        if "lm_head" in params:
+            logits = apply_linear(h, params["lm_head"])
+        else:
+            logits = jnp.dot(
+                h,
+                params["embed"].astype(jnp.float32).T,
+                preferred_element_type=jnp.float32,
+            )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        vals, idx = jax.lax.top_k(logp, k)
+        return params["d2t_map"][idx].astype(jnp.int32), vals

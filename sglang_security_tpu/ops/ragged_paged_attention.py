@@ -139,7 +139,12 @@ def _kernel(
     sliding_window: Optional[int],
     soft_cap: Optional[float],
     quantized: bool = False,
+    causal: bool = True,
+    return_lse: bool = False,
 ):
+    refs = list(refs)
+    # outputs follow inputs: (..., o_ref[, lse_ref], scratch...)
+    lse_ref = refs.pop(4 + (2 if quantized else 0)) if return_lse else None
     if quantized:
         (q_ref, k_pages_ref, v_pages_ref, ks_pages_ref, vs_pages_ref,
          o_ref, k_buf, v_buf, ks_buf, vs_buf, k_sems, v_sems,
@@ -162,9 +167,14 @@ def _kernel(
     def kv_limit(qblk):
         """Causal upper bound on kv positions for q block `qblk` (0 if pad)."""
         s = jnp.maximum(seq_of(qblk), 0)
-        q_off = qblk * block_q - q_starts_ref[s]
-        kv_start = kv_lens_ref[s] - q_lens_ref[s]
-        lim = jnp.minimum(kv_lens_ref[s], kv_start + q_off + block_q)
+        if causal:
+            q_off = qblk * block_q - q_starts_ref[s]
+            kv_start = kv_lens_ref[s] - q_lens_ref[s]
+            lim = jnp.minimum(kv_lens_ref[s], kv_start + q_off + block_q)
+        else:
+            # non-causal (tree-verify prefix pass): every row attends the
+            # full [0, kv_len) range
+            lim = kv_lens_ref[s]
         return jnp.where(seq_of(qblk) < 0, 0, lim)
 
     def nblocks_of(qblk):
@@ -274,9 +284,13 @@ def _kernel(
         kv_pos = kb * block_kv + lax.broadcasted_iota(
             jnp.int32, (rows, block_kv), 1
         )
-        allow = kv_pos <= q_pos
-        if sliding_window is not None:
-            allow = jnp.logical_and(allow, kv_pos > q_pos - sliding_window)
+        if causal:
+            allow = kv_pos <= q_pos
+            if sliding_window is not None:
+                allow = jnp.logical_and(allow, kv_pos > q_pos - sliding_window)
+        else:
+            assert sliding_window is None
+            allow = kv_pos < kv_lens_ref[s_idx]
 
         is_last = kb == nblocks_of(qb) - 1
         for h in range(num_kv_heads):
@@ -335,6 +349,18 @@ def _kernel(
                     .reshape(block_q, q_per_kv, head_dim)
                     .astype(o_ref.dtype)
                 )
+                if return_lse:
+                    # log-sum-exp per row (for softmax-state merging with
+                    # a second attention pass, e.g. the EAGLE tree block);
+                    # rows with no visible kv get -inf so they drop out of
+                    # the merge
+                    m = m_scr[h][:, 0:1]
+                    lse = jnp.where(
+                        l == 0.0, -jnp.inf, m + jnp.log(l)
+                    )  # [rows, 1]
+                    lse_ref[:, h * q_per_kv : (h + 1) * q_per_kv] = (
+                        lse.reshape(block_q, q_per_kv)
+                    )
 
 
 @functools.partial(
@@ -347,6 +373,8 @@ def _kernel(
         "block_q",
         "pages_per_block",
         "interpret",
+        "causal",
+        "return_lse",
     ),
 )
 def ragged_paged_attention(
@@ -368,6 +396,8 @@ def ragged_paged_attention(
     interpret: Optional[bool] = None,
     k_scales=None,  # [L, Hkv, tokens] bf16 (quantized KV)
     v_scales=None,
+    causal: bool = True,  # False: every row attends [0, kv_len)
+    return_lse: bool = False,  # also return [T, Hq] f32 log-sum-exp
 ):
     """Unified prefill/decode attention over the paged KV pool.
 
@@ -394,7 +424,11 @@ def ragged_paged_attention(
             sliding_window=sliding_window, soft_cap=soft_cap,
             block_q=block_q, pages_per_block=pages_per_block,
             interpret=interpret, k_scales=k_scales, v_scales=v_scales,
+            causal=causal, return_lse=return_lse,
         )
+        if return_lse:
+            out, lse = out
+            return out[..., :head_dim], lse
         return out[..., :head_dim]
     if pages_per_seq % pages_per_block:
         pad = pages_per_block - pages_per_seq % pages_per_block
@@ -437,6 +471,8 @@ def ragged_paged_attention(
         sliding_window=sliding_window,
         soft_cap=soft_cap,
         quantized=quantized,
+        causal=causal,
+        return_lse=return_lse,
     )
 
     in_specs = [
@@ -470,19 +506,32 @@ def ragged_paged_attention(
         pltpu.VMEM((num_kv_heads, rows, 128), jnp.float32),
         pltpu.VMEM((num_kv_heads, rows, head_dim), jnp.float32),
     ]
+    out_specs = pl.BlockSpec(
+        (block_q, num_q_heads, head_dim),
+        lambda qb, kb, *_: (qb, 0, 0),
+    )
+    out_shape = jax.ShapeDtypeStruct((T, num_q_heads, head_dim), q.dtype)
+    if return_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (block_q, num_q_heads), lambda qb, kb, *_: (qb, 0)
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((T, num_q_heads), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (block_q, num_q_heads, head_dim),
-                lambda qb, kb, *_: (qb, 0, 0),
-            ),
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((T, num_q_heads, head_dim), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -499,6 +548,9 @@ def ragged_paged_attention(
         jnp.ones((1,), jnp.int32),  # init flag
         *inputs,
     )
+    if return_lse:
+        out, lse = out
+        return out.astype(orig_dtype), lse
     return out.astype(orig_dtype)
 
 

@@ -94,6 +94,9 @@ class ServerArgs:
     node_rank: int = 0
     nnodes: int = 1
     dist_init_addr: Optional[str] = None
+    # op-broadcast endpoint for multi-host lockstep scheduling
+    # (distributed/control_plane.py); default = coordinator port + 1
+    control_plane_port: Optional[int] = None
     enable_ep_moe: bool = False
     enable_dp_attention: bool = False
     # ---- double sparsity (reference server_args.py ds_*) ----
@@ -217,6 +220,22 @@ class ServerArgs:
             # reference --enable-ep-moe shards experts over the TP group
             # (ep_moe/layer.py); our ep axis rides the tp axis the same way
             self.ep_size = self.tp_size
+        if self.nnodes > 1:
+            # multi-host lockstep scheduling (distributed/control_plane):
+            # every node runs the same deterministic scheduler over the
+            # broadcast op stream
+            if self.dp_size > 1:
+                raise NotImplementedError(
+                    "nnodes > 1 with engine-level dp replicas is not "
+                    "wired; scale dp with one engine per replica behind "
+                    "the C++ router instead"
+                )
+            if self.enable_safekv:
+                raise NotImplementedError(
+                    "nnodes > 1 + SafeKV: the wall-clock global epoch "
+                    "is not yet broadcast, so eviction decisions could "
+                    "diverge across nodes"
+                )
 
     # ------------------------------------------------------------------ CLI
     @staticmethod

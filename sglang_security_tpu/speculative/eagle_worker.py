@@ -57,13 +57,13 @@ class EagleWorker:
             (server_args.speculative_algorithm or "").upper() == "EAGLE3"
         )
         self.num_steps = server_args.speculative_num_steps
-        if server_args.speculative_eagle_topk > 1:
-            # chain drafting: one candidate per step (no top-k tree yet;
-            # reference builds a topk tree, eagle_utils.py:793)
-            logger.warning(
-                "speculative_eagle_topk=%d ignored: the TPU drafter is a "
-                "linear chain (topk=1)", server_args.speculative_eagle_topk,
-            )
+        # topk > 1: tree drafting (reference select_top_k_tokens
+        # eagle_utils.py:793 + build_eagle_tree.py).  Each draft step
+        # keeps a k-wide frontier (top-k over the k² expansions by
+        # cumulative logprob); verification applies a tree mask.
+        self.topk = max(1, server_args.speculative_eagle_topk)
+        # tree nodes per request = k per step; verify rows = 1 + k*steps
+        self.tree_width = self.topk * self.num_steps
         t0 = time.time()
         if server_args.speculative_draft_model_path:
             from sglang_security_tpu.model_loader.loader import (
@@ -129,11 +129,21 @@ class EagleWorker:
             dtype=runner.dtype,
         )
         self.max_slots = server_args.max_running_requests or 256
-        # K+1 verify rows (+ sentinel) padded to the draft block size
-        assert self.num_steps <= DRAFT_BLOCK_Q - 1, (
-            "speculative_num_steps must be <= 7 for the block-8 draft batch"
-        )
-        self.rows_per_slot = DRAFT_BLOCK_Q
+        if self.topk > 1:
+            # tree verify rows: root + k*steps nodes, padded to a block
+            rows = 1 + self.tree_width
+            self.verify_block_q = max(
+                DRAFT_BLOCK_Q, 1 << (rows - 1).bit_length()
+            )
+            self.rows_per_slot = self.verify_block_q
+        else:
+            # K+1 verify rows (+ sentinel) padded to the draft block size
+            assert self.num_steps <= DRAFT_BLOCK_Q - 1, (
+                "speculative_num_steps must be <= 7 for the block-8 "
+                "draft batch"
+            )
+            self.verify_block_q = DRAFT_BLOCK_Q
+            self.rows_per_slot = DRAFT_BLOCK_Q
         # feature rows: target post-norm hidden (EAGLE-1) or the concat
         # of 3 captured residual streams (EAGLE3)
         H = runner.config.hidden_size * (3 if self.is_eagle3 else 1)
@@ -316,3 +326,200 @@ class EagleWorker:
         )
         self.pool.k_pages, self.pool.v_pages = kd, vd
         return np.asarray(jax.device_get(drafts))[:, :B]
+
+    # -------------------------------------------------------- tree draft
+    def draft_tree(
+        self,
+        pend_counts: np.ndarray,  # [B] accepted pairs pending extend
+        pend_tokens: np.ndarray,  # [B, rows_per_slot] committed tokens
+        ft_slots: np.ndarray,  # [B] feature-table slot per request
+        positions0: np.ndarray,  # [B] target position n (next to generate)
+        page_indices: List[np.ndarray],
+        extend_slots: np.ndarray,  # [B, rows_per_slot] slots, pending pairs
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k tree drafting (reference select_top_k_tokens
+        eagle_utils.py:793): draft-extend over accepted pairs, then
+        `num_steps` frontier expansions keeping the top-k of each step's
+        k² candidates by cumulative logprob.  Tree-node K/V never touches
+        the draft pool — it lives in a dense scan carry and the next
+        round's extend rebuilds the accepted path's pool KV (the same
+        protocol the chain drafter uses).
+
+        Returns (tokens [B, k*steps], parent_rows [B, k*steps]) where
+        parent_rows are VERIFY-row indices: 0 = the committed root row,
+        node (i, j) sits at verify row 1 + i*k + j."""
+        B = len(pend_counts)
+        K = self.num_steps
+        k = self.topk
+        W = self.tree_width
+        R = self.rows_per_slot
+        sa = self.sa
+        Bp = next_bucket(B, sa.decode_bs_buckets)
+        pps_real = max((len(p) for p in page_indices), default=1)
+        PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
+
+        def pad2(a, fill=0):
+            a = np.asarray(a)
+            out = np.full((Bp,) + a.shape[1:], fill, a.dtype)
+            out[:B] = a
+            return out
+
+        pi = np.zeros((Bp, PPS), np.int32)
+        for i, pages in enumerate(page_indices):
+            m = min(len(pages), PPS)
+            pi[i, :m] = pages[:m]
+
+        key = ("tree", Bp, PPS)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            model, interpret = self.model, self.runner.interpret
+            runner = self.runner
+            tmodel = runner.model
+            Hkv = self.model.config.kv_cache_num_heads
+            # dense tree carry uses the TRUE head dim (the pool's
+            # kv_cache_head_dim is lane-padded for the paged kernel)
+            hd = self.model.config.head_dim
+            L_d = self.model.config.num_layers
+            dtype = runner.dtype
+
+            def run(params, tparams, kd, vd, ft, counts, toks, slots_ext,
+                    pos0, pi, ft_slots):
+                # ---- extend: identical to the chain drafter ----
+                rows = jnp.arange(R)
+                feats = ft[
+                    (ft_slots[:, None] * R + rows[None, :]).reshape(-1)
+                ].reshape(Bp * R, -1)
+                tok_flat = toks.reshape(Bp * R)
+                valid = rows[None, :] < counts[:, None]
+                q_starts = jnp.arange(Bp, dtype=jnp.int32) * R
+                pos_rows = (
+                    pos0[:, None] - counts[:, None] - 1 + rows[None, :]
+                )
+                slot_flat = jnp.where(valid, slots_ext, -1).reshape(Bp * R)
+                fb_ext = ForwardBatch(
+                    token_ids=tok_flat,
+                    positions=jnp.maximum(pos_rows, 0).reshape(Bp * R),
+                    slots=slot_flat,
+                    q_starts=q_starts,
+                    q_lens=counts,
+                    kv_lens=jnp.maximum(pos0 - 1, 0) * (counts > 0),
+                    page_indices=pi,
+                    out_rows=q_starts + jnp.maximum(counts - 1, 0),
+                )
+                g, kd, vd = model.forward_draft(
+                    params, kd, vd, feats, fb_ext,
+                    block_q=R, interpret=interpret,
+                )  # [Bp, H] seed features
+
+                # ---- root expansion: top-k children of the root ----
+                tok0, lp0 = model.draft_topk(tmodel, tparams, params, g, k)
+                # frontier state
+                fr_tok = tok0  # [Bp, k]
+                fr_score = lp0  # [Bp, k] cumulative logprob
+                fr_feat = jnp.repeat(g[:, None, :], k, axis=1)  # parent feat
+                fr_parent_row = jnp.zeros((Bp, k), jnp.int32)  # verify rows
+                anc = jnp.zeros((Bp, k, W), bool)  # ancestors among nodes
+
+                tree_k = jnp.zeros((L_d, Bp, W, Hkv, hd), dtype)
+                tree_v = jnp.zeros((L_d, Bp, W, Hkv, hd), dtype)
+
+                active = (counts > 0)
+
+                def body(carry, i):
+                    (fr_tok, fr_score, fr_feat, fr_parent_row, anc,
+                     tree_k, tree_v) = carry
+                    # dense-block mask: [Bp, k, W + k] = ancestors among
+                    # written tree rows + self among the current k rows
+                    self_eye = jnp.broadcast_to(
+                        jnp.eye(k, dtype=bool), (Bp, k, k)
+                    )
+                    mask = jnp.concatenate([anc, self_eye], axis=2)
+                    fb_t = ForwardBatch(
+                        token_ids=fr_tok.reshape(Bp * k),
+                        positions=jnp.repeat(
+                            jnp.maximum(pos0 - 1 + i, 0), k
+                        ),
+                        slots=jnp.full((Bp * k,), -1, jnp.int32),
+                        q_starts=jnp.arange(Bp, dtype=jnp.int32) * k,
+                        q_lens=jnp.where(active, k, 0).astype(jnp.int32),
+                        kv_lens=jnp.maximum(pos0 - 1, 0) * active,
+                        page_indices=pi,
+                        out_rows=jnp.arange(Bp * k, dtype=jnp.int32),
+                        tree={
+                            "mask": mask,
+                            "prefix_kv_lens": jnp.maximum(pos0 - 1, 0)
+                            * active,
+                            "k_pool": kd,
+                            "v_pool": vd,
+                            "col": i * k,
+                        },
+                    )
+                    g_new, tree_k, tree_v = model.forward_draft(
+                        params, tree_k, tree_v,
+                        fr_feat.reshape(Bp * k, -1), fb_t,
+                        block_q=k, interpret=interpret,
+                    )  # [Bp*k, H]
+                    g_new = g_new.reshape(Bp, k, -1)
+                    # expansion: top-k per branch -> k² candidates ->
+                    # global top-k by cumulative logprob
+                    ctok, clp = model.draft_topk(
+                        tmodel, tparams, params,
+                        g_new.reshape(Bp * k, -1), k,
+                    )
+                    ctok = ctok.reshape(Bp, k, k)
+                    cum = fr_score[:, :, None] + clp.reshape(Bp, k, k)
+                    flat = cum.reshape(Bp, k * k)
+                    top_v, top_i = jax.lax.top_k(flat, k)
+                    parent = top_i // k  # [Bp, k] branch index
+                    tok_next = jnp.take_along_axis(
+                        ctok.reshape(Bp, k * k), top_i, axis=1
+                    )
+                    # ancestry: child inherits parent's ancestors + the
+                    # parent's own tree row (i*k + parent)
+                    anc_p = jnp.take_along_axis(
+                        anc, parent[:, :, None], axis=1
+                    )
+                    prow_bit = jax.nn.one_hot(
+                        i * k + parent, W, dtype=bool
+                    )
+                    anc_next = anc_p | prow_bit
+                    feat_next = jnp.take_along_axis(
+                        g_new, parent[:, :, None], axis=1
+                    )
+                    parent_row_next = 1 + i * k + parent  # verify rows
+                    ys = (fr_tok, fr_parent_row)
+                    return (
+                        (tok_next, top_v, feat_next, parent_row_next,
+                         anc_next, tree_k, tree_v),
+                        ys,
+                    )
+
+                carry = (fr_tok, fr_score, fr_feat, fr_parent_row, anc,
+                         tree_k, tree_v)
+                _, (toks_steps, parents_steps) = jax.lax.scan(
+                    body, carry, jnp.arange(K, dtype=jnp.int32)
+                )
+                # [K, Bp, k] -> [Bp, K*k] in step-major node order
+                tokens = jnp.moveaxis(toks_steps, 0, 1).reshape(Bp, W)
+                parents = jnp.moveaxis(parents_steps, 0, 1).reshape(Bp, W)
+                return tokens, parents, kd, vd
+
+            fn = jax.jit(run, donate_argnums=(2, 3))
+            self._jit_cache[key] = fn
+            logger.info("compiling eagle tree-draft B=%d PPS=%d", Bp, PPS)
+        tokens, parents, kd, vd = fn(
+            self.params, self.runner.params,
+            self.pool.k_pages, self.pool.v_pages,
+            self.ft,
+            jnp.asarray(pad2(pend_counts)),
+            jnp.asarray(pad2(pend_tokens)),
+            jnp.asarray(pad2(extend_slots, fill=-1)),
+            jnp.asarray(pad2(positions0)),
+            jnp.asarray(pi),
+            jnp.asarray(pad2(ft_slots)),
+        )
+        self.pool.k_pages, self.pool.v_pages = kd, vd
+        return (
+            np.asarray(jax.device_get(tokens))[:B],
+            np.asarray(jax.device_get(parents))[:B],
+        )

@@ -147,9 +147,11 @@ def test_humaneval_check_and_run(tmp_path):
             "test": "def check(f):\n    assert f(3, 4) == 12\n",
         },
     ]
-    assert check_one(problems[0], "    return a + b\n")
-    assert not check_one(problems[0], "    return a - b\n")
-    assert not check_one(problems[0], "    while True: pass\n", timeout=2)
+    # generous timeouts: under pytest-xdist the 4 workers oversubscribe
+    # the 4 CPUs and a fresh python subprocess can take seconds to start
+    assert check_one(problems[0], "    return a + b\n", timeout=120)
+    assert not check_one(problems[0], "    return a - b\n", timeout=120)
+    assert not check_one(problems[0], "    while True: pass\n", timeout=5)
 
     class FakeEngine:
         def generate(self, prompt, sampling_params):
@@ -165,7 +167,7 @@ def test_humaneval_check_and_run(tmp_path):
     with open(data, "w") as f:
         for p in problems:
             f.write(json.dumps(p) + "\n")
-    res = run_humaneval(FakeEngine(), str(data))
+    res = run_humaneval(FakeEngine(), str(data), exec_timeout=120)
     assert res["num_questions"] == 2
     assert res["pass@1"] == 0.5
     assert res["failed_task_ids"] == ["Tiny/1"]

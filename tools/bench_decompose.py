@@ -23,6 +23,7 @@ ACC = {"prefill": [0.0, 0], "decode": [0.0, 0], "embed": [0.0, 0]}
 
 _orig_exec = mr_mod.ModelRunner.execute
 _orig_multi = mr_mod.ModelRunner.execute_decode_multi
+_orig_wait = mr_mod.ModelRunner.wait_decode
 
 
 def timed(name, orig):
@@ -37,6 +38,21 @@ def timed(name, orig):
 
 mr_mod.ModelRunner.execute = timed("prefill", _orig_exec)
 mr_mod.ModelRunner.execute_decode_multi = timed("decode", _orig_multi)
+# pipelined decode: the scheduler dispatches async and blocks in
+# wait_decode, so "decode" here measures the *exposed* device wait (the
+# dispatch itself is ~free); host = wall - prefill - decode is then true
+# uncovered host time
+
+
+def _timed_wait(handle):
+    t0 = time.perf_counter()
+    out = _orig_wait(handle)
+    ACC["decode"][0] += time.perf_counter() - t0
+    ACC["decode"][1] += 1
+    return out
+
+
+mr_mod.ModelRunner.wait_decode = staticmethod(_timed_wait)
 
 from sglang_security_tpu.entrypoints.engine import Engine
 from sglang_security_tpu.server_args import ServerArgs
@@ -47,13 +63,16 @@ with open(os.path.join(model_dir, "config.json"), "w") as f:
     json.dump(LLAMA3_8B_CONFIG, f)
 
 n_reqs, page_size, in_len, out_len = 128, 64, 128, 128
+decode_steps_per_batch = int(os.environ.get("BENCH_DECODE_STEPS", 16))
 eng = Engine(ServerArgs(
-    model_path=model_dir, load_format="dummy", quantization="int4",
+    model_path=model_dir, load_format="dummy",
+    quantization=os.environ.get("BENCH_QUANT", "int4"),
     dtype="bfloat16", skip_tokenizer_init=True, max_total_tokens=49152,
     page_size=page_size, max_running_requests=n_reqs,
     max_prefill_tokens=4096, chunked_prefill_size=4096,
     decode_bs_buckets=[n_reqs], prefill_token_buckets=[4096],
-    max_seq_pages_buckets=[512 // page_size], decode_steps_per_batch=16,
+    max_seq_pages_buckets=[512 // page_size],
+    decode_steps_per_batch=decode_steps_per_batch,
     enable_warmup=False, random_seed=0, log_level="warning",
 ))
 rng = np.random.default_rng(0)
@@ -76,10 +95,11 @@ for k, (t, n) in ACC.items():
     if n:
         print(f"  {k:8s} {t*1e3:8.0f} ms  {n:4d} calls  {t/n*1e3:7.2f} ms/call")
 print(f"  host     {(wall-dev)*1e3:8.0f} ms  (wall - device calls)")
-# per-decode-step: each execute_decode_multi call runs K=16 steps
-K = 16
+# per-decode-step: each execute_decode_multi call runs K steps
+K = decode_steps_per_batch
 dn = ACC["decode"][1]
 if dn:
-    print(f"  decode per-step: {ACC['decode'][0]/(dn*K)*1e3:.2f} ms "
-          f"({128/(ACC['decode'][0]/(dn*K)):.0f} tok/s decode-only at B=128)")
+    per_step = ACC["decode"][0] / (dn * K)
+    print(f"  decode per-step: {per_step*1e3:.2f} ms "
+          f"({n_reqs/per_step:.0f} tok/s decode-only at B={n_reqs})")
 eng.shutdown()

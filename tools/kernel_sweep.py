@@ -83,14 +83,17 @@ def run_shape(M, K, N, tag):
         return (y.astype(jnp.float32) * xs * ws).astype(jnp.bfloat16)
     report(f"xla_int8 {tag}", slope(chain(xla_int8, x0, (wq, ws))), fl)
 
-    # xla_int4g: int4-stored weights, group dequant fused into the dot
+    # xla_int4g: int4-stored weights, group dequant fused into the dot.
+    # quantize_int4 returns unsigned nibbles 0..15; int4 is signed, so
+    # shift to q-8 before the cast and fold the +8 into the zero point.
     q, s, z = quantize_int4(w, G)
-    q4 = q.astype(jnp.int4)
+    q4 = (q.astype(jnp.int32) - 8).astype(jnp.int4)
+    z8 = z - 8.0
     def xla_int4g(x, q4, s, z):
         wf = (q4.astype(jnp.bfloat16).reshape(K // G, G, N)
               - z[:, None, :].astype(jnp.bfloat16)) * s[:, None, :].astype(jnp.bfloat16)
         return x @ wf.reshape(K, N)
-    report(f"xla_int4g {tag}", slope(chain(xla_int4g, x0, (q4, s, z))), fl)
+    report(f"xla_int4g {tag}", slope(chain(xla_int4g, x0, (q4, s, z8))), fl)
 
     # xla_int4 symmetric per-col (cheapest dequant: one mul)
     qs = jnp.clip(jnp.round(w / (jnp.abs(w).max(0, keepdims=True) / 7)), -8, 7)

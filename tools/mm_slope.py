@@ -30,8 +30,8 @@ def slope(make_chain):
     """make_chain(n) -> jitted fn + args; returns per-iter seconds.
 
     Per-call times at decode shapes are ~0.1-0.5 ms, so the iteration
-    delta must be large (512) to rise above the tunnel's ~ms jitter;
-    take the min over repeats."""
+    delta must be large (ITER_HI - ITER_LO = 256) to rise above the
+    tunnel's ~ms jitter; take the min over repeats."""
     ts = {}
     for n in (ITER_LO, ITER_HI):
         fn, args = make_chain(n)

@@ -81,7 +81,7 @@ def decode_attention_serving():
     )
     ref = ref_ragged_paged_attention(
         jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
-        kv_lens, page_indices, np.arange(B, np.int32), np.ones(B, np.int32),
+        kv_lens, page_indices, np.arange(B, dtype=np.int32), np.ones(B, np.int32),
     )
     check("decode_attn B=128 ps=64 bf16", out, ref, 2e-2, 2e-2)
 
@@ -99,7 +99,7 @@ def decode_attention_serving():
         jnp.asarray(q),
         jnp.asarray(kf2).reshape(Hkv, num_pages, ps, hd),
         jnp.asarray(vf2).reshape(Hkv, num_pages, ps, hd),
-        kv_lens, page_indices, np.arange(B, np.int32), np.ones(B, np.int32),
+        kv_lens, page_indices, np.arange(B, dtype=np.int32), np.ones(B, np.int32),
     )
     out2, k2, v2 = paged_decode_attention(
         jnp.asarray(q, jnp.bfloat16), kf, vf,
@@ -179,7 +179,20 @@ def int4_serving():
         if M == 128:
             out8 = int4_matmul(jnp.asarray(x, jnp.bfloat16), wp, scale, zero,
                                group_size=G, act="int8", interpret=False)
-            check(f"int4 w4a8  M={M} K={K} N={N} {tag}", out8, ref, 6e-2, 8e-2)
+            # w4a8 oracle quantizes activations the same way the kernel
+            # does: parity here verifies the KERNEL computes its intended
+            # math exactly (int8 dots are integer-exact; the fixup dot is
+            # HIGHEST-precision f32).  The bf16-activation reference
+            # differs by inherent act-quant noise that grows as sqrt(K)
+            # (~1.2e-1 at K=14336) — that fidelity question is measured
+            # end-to-end by tools/quant_fidelity.py, not here.
+            xb = jnp.asarray(x, jnp.bfloat16)
+            xq, xs = quantize_int8_rowwise(xb)
+            ref8 = jnp.matmul(
+                xq.astype(jnp.float32), wd.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            ) * xs
+            check(f"int4 w4a8  M={M} K={K} N={N} {tag}", out8, ref8, 1e-2, 1e-2)
 
 
 def w8a8_serving():
