@@ -1,0 +1,156 @@
+"""On-chip quantization-fidelity proxy (VERDICT r3 item #5).
+
+Real-weights GSM8K is unreachable in this environment (no network, no
+local checkpoints), so this measures what CAN be measured on the chip:
+teacher-forced logit fidelity of the INT4 (w4a16) and W4A8 serving
+paths against the bf16 path on the SAME dummy-seeded weights, at true
+Llama-3-8B layer shapes (half depth: 16 layers, so bf16 + transients
+fit the 16 GB HBM; per-layer error is shape-exact, depth only compounds
+it).  Metrics over ~2k teacher-forced positions:
+
+  * mean / p99 KL(bf16 ‖ quant) in nats
+  * top-1 agreement (greedy-decode match rate)
+  * top-8 overlap (sampling-pool preservation)
+
+Reference intent: test_eval_accuracy_large.py:54 (GSM8K delta <= 1%);
+the GSM8K harness (eval/) stays wired for when weights are reachable.
+
+Run:  python tools/quant_fidelity.py     (needs the axon tunnel)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+HALF_LLAMA3_8B = {
+    "architectures": ["LlamaForCausalLM"],
+    "hidden_size": 4096,
+    "intermediate_size": 14336,
+    "num_hidden_layers": 16,
+    "num_attention_heads": 32,
+    "num_key_value_heads": 8,
+    "head_dim": 128,
+    "vocab_size": 128256,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 500000.0,
+    "max_position_embeddings": 8192,
+    "tie_word_embeddings": False,
+    "model_type": "llama",
+}
+
+SEQ_LEN = 512
+N_SEQS = 4
+PAGE_SIZE = 64
+CHUNK = 256
+
+
+def model_logprobs(quantization):
+    """Teacher-forced log-softmax rows [N_SEQS*SEQ_LEN, V] (host f32),
+    computed with the production prefill path (Pallas attention +
+    quantized Pallas matmuls, interpret=False)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
+    from sglang_security_tpu.model_loader.loader import load_model
+
+    model_dir = "/tmp/fidelity_llama3_8b_half"
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(HALF_LLAMA3_8B, f)
+    model, params, cfg = load_model(
+        model_dir, load_format="dummy", quantization=quantization,
+        dtype="bfloat16", seed=0,
+    )
+    model.kv_page_size = PAGE_SIZE
+
+    pps = SEQ_LEN // PAGE_SIZE
+    kshape = (cfg.num_layers, cfg.kv_cache_num_heads,
+              (pps + 1) * PAGE_SIZE, cfg.kv_cache_head_dim)
+
+    @jax.jit
+    def prefill(params, toks):
+        k_pages = jnp.zeros(kshape, jnp.bfloat16)
+        v_pages = jnp.zeros(kshape, jnp.bfloat16)
+        n = SEQ_LEN
+        slots = PAGE_SIZE + jnp.arange(n, dtype=jnp.int32)
+        pages = 1 + jnp.arange(pps, dtype=jnp.int32)
+        fb = ForwardBatch(
+            token_ids=toks,
+            positions=jnp.arange(n, dtype=jnp.int32),
+            slots=slots,
+            q_starts=jnp.asarray([0], jnp.int32),
+            q_lens=jnp.asarray([n], jnp.int32),
+            kv_lens=jnp.asarray([n], jnp.int32),
+            page_indices=pages[None],
+            out_rows=jnp.asarray([n - 1], jnp.int32),
+        )
+        _, x_all, _, _ = model.forward(
+            params, k_pages, v_pages, fb, block_q=128, pages_per_block=2,
+            interpret=False, return_all=True,
+        )
+        return x_all
+
+    @jax.jit
+    def lp_chunk(params, x):
+        logits = model.compute_logits(params, x)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    rng = np.random.default_rng(7)
+    out = []
+    for s in range(N_SEQS):
+        toks = rng.integers(10, 120000, SEQ_LEN).astype(np.int32)
+        x_all = prefill(params, jnp.asarray(toks))
+        for c0 in range(0, SEQ_LEN, CHUNK):
+            lp = lp_chunk(params, x_all[c0 : c0 + CHUNK])
+            out.append(np.asarray(jax.device_get(lp), np.float32))
+    del params, model
+    return np.concatenate(out, axis=0)
+
+
+def compare(ref_lp, q_lp, k=8):
+    p = np.exp(ref_lp)
+    kl = (p * (ref_lp - q_lp)).sum(-1)
+    top1 = ref_lp.argmax(-1) == q_lp.argmax(-1)
+    rtop = np.argpartition(-ref_lp, k, axis=-1)[:, :k]
+    qtop = np.argpartition(-q_lp, k, axis=-1)[:, :k]
+    overlap = np.asarray([
+        len(set(a) & set(b)) / k for a, b in zip(rtop, qtop)
+    ])
+    return {
+        "kl_mean_nats": float(kl.mean()),
+        "kl_p99_nats": float(np.percentile(kl, 99)),
+        "top1_agreement": float(top1.mean()),
+        "top8_overlap": float(overlap.mean()),
+        "positions": int(ref_lp.shape[0]),
+    }
+
+
+def main() -> None:
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    print("bf16 reference pass...", flush=True)
+    ref = model_logprobs(None)
+    results = {}
+    for q in ("int4", "w4a8"):
+        print(f"{q} pass...", flush=True)
+        qlp = model_logprobs(q)
+        results[q] = compare(ref, qlp)
+        del qlp
+        print(q, results[q], flush=True)
+    print(json.dumps({
+        "proxy": "teacher-forced logit fidelity vs bf16, "
+                 "llama3-8b layer shapes (16 layers), dummy weights",
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
