@@ -34,7 +34,9 @@ class KVCachePool:
         head_dim: int,
         dtype=jnp.bfloat16,
         kv_quant_dtype: Optional[str] = None,  # None | "int8" | "fp8"
-        sharding: Optional[jax.sharding.Sharding] = None,
+        # one Sharding for the plain pool, or a (data, scale) pair for a
+        # quantized pool under a mesh (scale is [L, H, tokens])
+        sharding=None,
         extra_rows: int = 0,
     ):
         """``extra_rows``: scratch token rows appended after the paged
@@ -73,10 +75,10 @@ class KVCachePool:
         shape, store_dtype = self._shape, self.store_dtype
         sharding = self._sharding
 
-        def _zeros(shp, dt):
-            z = jnp.zeros(shp, dt)
-            if sharding is not None:
-                z = jax.device_put(z, sharding)
+        def _fill(shp, dt, shard, one=False):
+            z = (jnp.ones if one else jnp.zeros)(shp, dt)
+            if shard is not None:
+                z = jax.device_put(z, shard)
             return z
 
         if self.kv_quant_dtype is not None:
@@ -85,17 +87,20 @@ class KVCachePool:
             # carries (analog of the reference's fused_downcast storage,
             # memory_pool.py:416 + per-layer scales)
             sshape = shape[:3]
+            dshard, sshard = (
+                sharding if sharding is not None else (None, None)
+            )
             self.k_pages = (
-                _zeros(shape, store_dtype),
-                jnp.ones(sshape, jnp.bfloat16),
+                _fill(shape, store_dtype, dshard),
+                _fill(sshape, jnp.bfloat16, sshard, one=True),
             )
             self.v_pages = (
-                _zeros(shape, store_dtype),
-                jnp.ones(sshape, jnp.bfloat16),
+                _fill(shape, store_dtype, dshard),
+                _fill(sshape, jnp.bfloat16, sshard, one=True),
             )
         else:
-            self.k_pages = _zeros(shape, store_dtype)
-            self.v_pages = _zeros(shape, store_dtype)
+            self.k_pages = _fill(shape, store_dtype, sharding)
+            self.v_pages = _fill(shape, store_dtype, sharding)
 
     def release(self) -> None:
         """Drop the device buffers (release_memory_occupation); the KV
