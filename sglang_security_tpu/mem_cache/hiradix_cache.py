@@ -19,6 +19,7 @@ reference's per-layer CUDA copy streams).  Write policies:
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Callable, List, Optional, Tuple
 
@@ -37,19 +38,30 @@ WRITE_THROUGH_THRESHOLD = 3  # hits before selective write-through
 
 
 class HostKVPool:
-    """Host DRAM page store mirroring the device pool's per-page layout.
+    """Host DRAM page store in the DEVICE pool's flat layout.
 
-    Shapes: [host_pages, L, page_size, Hkv, head_dim] per K and V (numpy,
-    ml_dtypes bfloat16 supported).
+    Shapes: [L, Hkv, host_pages*page_size, head_dim] per K and V (numpy,
+    ml_dtypes bfloat16 supported) — identical axis order to the device
+    pool, so both transfer directions are plain row gathers/scatters on
+    dim 2 with zero host-side transposes (the round-2 layout needed a
+    5-D transpose per direction, which serialized the scheduler thread).
     """
 
     def __init__(self, num_host_pages: int, num_layers: int, page_size: int,
                  num_kv_heads: int, head_dim: int, dtype):
         self.num_host_pages = num_host_pages
-        shape = (num_host_pages, num_layers, page_size, num_kv_heads, head_dim)
+        self.page_size = page_size
+        shape = (num_layers, num_kv_heads, num_host_pages * page_size, head_dim)
         self.k = np.zeros(shape, dtype)
         self.v = np.zeros(shape, dtype)
         self._free = list(range(num_host_pages - 1, -1, -1))
+
+    def rows(self, page_ids) -> np.ndarray:
+        ps = self.page_size
+        return (
+            np.asarray(page_ids, np.int64)[:, None] * ps
+            + np.arange(ps)[None, :]
+        ).reshape(-1)
 
     @property
     def available(self) -> int:
@@ -129,26 +141,49 @@ class HiCacheController:
         number of completed transfers."""
         done = 0
         for host_ids, k_buf, v_buf, n in self._pending:
+            rows = self.host.rows(host_ids)
             kd = np.asarray(k_buf)  # [L, Hkv, n*ps, hd]
             vd = np.asarray(v_buf)
-            L, Hkv, _, hd = kd.shape
-            kd = kd.reshape(L, Hkv, n, self.page_size, hd).transpose(
-                2, 0, 3, 1, 4)
-            vd = vd.reshape(L, Hkv, n, self.page_size, hd).transpose(
-                2, 0, 3, 1, 4)
-            self.host.k[host_ids] = kd
-            self.host.v[host_ids] = vd
+            self.host.k[:, :, rows] = kd
+            self.host.v[:, :, rows] = vd
             self.bytes_to_host += kd.nbytes * 2
             done += 1
         self._pending.clear()
         return done
 
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _scatter_layer(li: int):
+        """Jitted in-place (donated) row scatter into one layer of the
+        pool.  Without donation this allocated and copied the ENTIRE
+        pool per load-back (round-2 behavior) — a multi-GB transient and
+        a full HBM round-trip; donated, XLA updates the aliased buffer.
+        ``li`` is static.  The int+array advanced indices are separated
+        by a slice, so jax moves them to the front — the update window is
+        [rows, Hkv, hd]; the [Hkv, rows, hd] slab transposes inside the
+        jit (fused into the scatter)."""
+        import jax
+
+        return jax.jit(
+            lambda pool, rows, data: pool.at[li, :, rows].set(
+                data.transpose(1, 0, 2)
+            ),
+            donate_argnums=(0,),
+        )
+
     def load_back(self, host_ids: np.ndarray, device_pages: np.ndarray) -> None:
-        """Copy host pages into freshly allocated device pages.  The
-        H2D transfer and pool update are async JAX dispatches: the next
-        step that consumes the pool orders after them, so the scheduler
-        thread does not block here (reference loading thread +
-        layer-by-layer availability, cache_controller.py:267-357)."""
+        """Copy host pages into freshly allocated device pages,
+        layer by layer (reference ``cache_controller.py:267-357``:
+        loading thread + per-layer ``LayerDoneCounter``).
+
+        TPU shape of the same idea: every per-layer slab is dispatched
+        as its own async H2D `device_put` followed by a donated in-place
+        row scatter, so (a) the scheduler thread never blocks — batch
+        prep for the rest of the wave overlaps the transfers, (b) layer
+        0's pages are resident on the device while the deeper layers are
+        still streaming on the transfer engine, and (c) the prefill step
+        that consumes the pool is queued behind the scatters by XLA's
+        async dispatch ordering — no host-side join anywhere."""
         import jax.numpy as jnp
 
         if self._pending:
@@ -156,18 +191,30 @@ class HiCacheController:
 
         host_ids = np.asarray(host_ids, np.int32)
         device_pages = np.asarray(device_pages, np.int32)
-        n = len(host_ids)
-        ps = self.page_size
-        kd = self.host.k[host_ids]  # [n, L, ps, Hkv, hd]
-        vd = self.host.v[host_ids]
-        L, Hkv, hd = kd.shape[1], kd.shape[3], kd.shape[4]
-        kd = kd.transpose(1, 3, 0, 2, 4).reshape(L, Hkv, n * ps, hd)
-        vd = vd.transpose(1, 3, 0, 2, 4).reshape(L, Hkv, n * ps, hd)
-        rows = jnp.asarray(self._rows(device_pages))
+        # bucket the page count (pad by repeating page 0; duplicate
+        # scatter indices write identical rows) so distinct restore sizes
+        # reuse one compiled scatter per layer instead of recompiling
+        # through the tunnel per size
+        n = len(device_pages)
+        nb = 1 << (n - 1).bit_length() if n > 1 else 1
+        pad = np.zeros(nb - n, np.int32)
+        hrows = self.host.rows(np.concatenate([host_ids, host_ids[pad]]))
+        rows = jnp.asarray(
+            self._rows(np.concatenate([device_pages, device_pages[pad]]))
+        )
         pool = self.runner.kv_pool
-        pool.k_pages = pool.k_pages.at[:, :, rows].set(jnp.asarray(kd))
-        pool.v_pages = pool.v_pages.at[:, :, rows].set(jnp.asarray(vd))
-        self.bytes_to_device += kd.nbytes * 2
+        L = pool.num_layers
+        # enqueue ALL H2D copies first (async; they pipeline on the
+        # transfer engine), then chain the per-layer donated scatters
+        k_slabs = [jnp.asarray(self.host.k[li][:, hrows]) for li in range(L)]
+        v_slabs = [jnp.asarray(self.host.v[li][:, hrows]) for li in range(L)]
+        k_pages, v_pages = pool.k_pages, pool.v_pages
+        for li in range(L):
+            fn = self._scatter_layer(li)
+            k_pages = fn(k_pages, rows, k_slabs[li])
+            v_pages = fn(v_pages, rows, v_slabs[li])
+        pool.k_pages, pool.v_pages = k_pages, v_pages
+        self.bytes_to_device += sum(s.nbytes for s in k_slabs) * 2
 
 
 class HiRadixCache(RadixCache):
