@@ -17,11 +17,34 @@ selection (e_score_correction_bias added for *selection* only; combine
 weights use the un-biased scores) and group-limited top-k
 (n_group/topk_group), matching HF modeling_deepseek semantics.
 
-Expert parallelism: shard the leading E dim of the stacked expert
-weights over the ``ep`` mesh axis inside shard_map; each shard sorts
-the full token set by its *local* experts (remote pairs sort to the
-end and are masked), computes its groups, and a psum combines
-contributions over the axis.
+Expert parallelism, two dispatch modes over the ``ep`` mesh axis
+inside shard_map:
+
+  dispatch="psum"  each shard sees the full (replicated) token set,
+                   sorts by its *local* experts (remote pairs sort to
+                   the end and are masked), computes its groups, and a
+                   psum combines contributions.  Dropless; compute per
+                   shard scales with T*k regardless of ep — right for
+                   small ep where the sort/gather is cheap.
+
+  dispatch="a2a"   the DeepEP analog (reference
+                   ``srt/layers/moe/token_dispatcher.py:38-51``,
+                   ``ep_moe/layer.py:868``) re-designed on XLA
+                   collectives: tokens shard over the ep axis, each
+                   shard routes its T/ep tokens and exchanges (x, local
+                   expert id) rows with the owning shards via
+                   ``lax.ragged_all_to_all`` (actual sizes ride the
+                   ICI; dense capacity-padded ``lax.all_to_all`` off
+                   TPU, where XLA:CPU lacks the ragged op), computes
+                   the grouped FFN on ~cap*T*k/ep received rows, sends
+                   results back with the reverse exchange, and combines
+                   on the owning token shard; one all-gather
+                   re-replicates the layer output.  Per-shard compute
+                   AND sort length scale with 1/ep — the large-EP
+                   regime.  Capacity-bounded: rows beyond
+                   ``capacity_factor`` x the balanced load are dropped
+                   (EPLB keeps loads balanced, making that pathological
+                   skew only), unlike the dropless psum path.
 """
 
 from __future__ import annotations
@@ -161,6 +184,213 @@ def grouped_ffn(
     return w8a8(inter, w_down, s_down)
 
 
+def _a2a_exchange_dense(
+    x_send: jax.Array,  # [N, H] rows sorted by destination shard
+    e_send: jax.Array,  # [N] local-expert id on the destination
+    send_sizes: jax.Array,  # [D] i32
+    in_off: jax.Array,  # [D] i32 exclusive cumsum of send_sizes
+    D: int,
+    C: int,  # per-(src, dst) capacity (static)
+    ep_axis,
+):
+    """Capacity-padded dense exchange: one [C, H] block per (src, dst)
+    pair through ``lax.all_to_all``.  Works on every XLA backend; the
+    TPU serving path uses the ragged variant (actual sizes on the wire).
+    Returns (recv_x [D*C, H], recv_e [D*C], send_back) where
+    ``send_back(computed [D*C, H]) -> [N, H]`` routes results back to
+    the caller's sorted row order (dropped rows come back as zeros)."""
+    N, H = x_send.shape
+    j = jnp.arange(C, dtype=jnp.int32)
+    src_row = jnp.clip(in_off[:, None] + j[None, :], 0, max(N - 1, 0))
+    ok = j[None, :] < send_sizes[:, None]  # [D, C] rows that fit
+    blk_x = jnp.where(ok[..., None], x_send[src_row], 0)
+    blk_e = jnp.where(ok, e_send[src_row], -1)  # -1 = invalid sentinel
+    recv_x = lax.all_to_all(blk_x, ep_axis, 0, 0, tiled=True).reshape(
+        D * C, H
+    )
+    recv_e = lax.all_to_all(
+        blk_e[..., None], ep_axis, 0, 0, tiled=True
+    ).reshape(D * C)
+
+    def send_back(computed: jax.Array) -> jax.Array:
+        back = lax.all_to_all(
+            computed.reshape(D, C, H), ep_axis, 0, 0, tiled=True
+        ).reshape(D * C, H)
+        # sorted row i went to (d, j): dropped rows (j >= C) -> 0
+        row_d = jnp.searchsorted(
+            jnp.cumsum(send_sizes), jnp.arange(N, dtype=jnp.int32),
+            side="right",
+        )
+        row_d = jnp.clip(row_d, 0, D - 1)
+        row_j = jnp.arange(N, dtype=jnp.int32) - in_off[row_d]
+        val = back[jnp.clip(row_d * C + row_j, 0, D * C - 1)]
+        return jnp.where((row_j < C)[:, None], val, 0)
+
+    return recv_x, recv_e, send_back
+
+
+def _a2a_exchange_ragged(
+    x_send: jax.Array,  # [N, H]
+    e_send: jax.Array,  # [N]
+    send_sizes: jax.Array,  # [D]
+    in_off: jax.Array,  # [D]
+    D: int,
+    C: int,  # receiver buffer is D*C rows
+    ep_axis,
+):
+    """``lax.ragged_all_to_all`` exchange (TPU): only the actual row
+    counts travel.  Senders clamp against the shared receiver capacity
+    D*C deterministically (every shard sees the same all-gathered counts
+    matrix), so overflow drops the latest sources' tails — mirroring the
+    dense path's bounded buffers."""
+    N, H = x_send.shape
+    CAP = D * C
+    me = lax.axis_index(ep_axis)
+    counts = lax.all_gather(send_sizes, ep_axis, tiled=False)  # [D(src), D(dst)]
+    # receiver-capacity clamping: chunk from src s to dst d starts at
+    # sum(counts[:s, d]); keep only what fits in CAP
+    start = jnp.concatenate(
+        [jnp.zeros((1, D), jnp.int32), jnp.cumsum(counts, axis=0)[:-1]]
+    )  # [D(src), D(dst)]
+    kept = jnp.clip(CAP - start, 0, counts)  # [src, dst] rows that fit
+    send_k = kept[me]  # my clamped send sizes [D]
+    recv_k = kept[:, me]  # my clamped recv sizes [D]
+    out_off = start[me]  # where my chunks land on each dst
+    recv_in_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(recv_k)[:-1]]
+    )
+    x_buf = jnp.zeros((CAP, H), x_send.dtype)
+    e_buf = jnp.full((CAP,), -1, e_send.dtype)
+    recv_x = lax.ragged_all_to_all(
+        x_send, x_buf, in_off, send_k, out_off, recv_k, axis_name=ep_axis
+    )
+    recv_e = lax.ragged_all_to_all(
+        e_send, e_buf, in_off, send_k, out_off, recv_k, axis_name=ep_axis
+    )
+
+    def send_back(computed: jax.Array) -> jax.Array:
+        # reverse roles: my received chunks return to their sources,
+        # landing at the source's original input offsets (clamped rows
+        # at the tail of a chunk simply never arrive -> stay zero)
+        src_in_off = jnp.concatenate(
+            [jnp.zeros((D, 1), jnp.int32), jnp.cumsum(kept, axis=1)[:, :-1]],
+            axis=1,
+        )  # src_in_off[s, d] = s's in_off of its (clamped) chunk to d
+        back_buf = jnp.zeros((N, H), computed.dtype)
+        return lax.ragged_all_to_all(
+            computed, back_buf, recv_in_off, recv_k,
+            src_in_off[:, me], send_k, axis_name=ep_axis,
+        )
+
+    return recv_x, recv_e, send_back
+
+
+def _moe_a2a(
+    x, router_w, w_gate_up, w_down, top_k, *, act, renormalize, scoring,
+    correction_bias, n_group, topk_group, ep_axis, ep_size, routed_scaling,
+    capacity_factor, log2phy, logcnt, stats_cb, s_gate_up, s_down,
+    scale_inputs, a2a_impl,
+):
+    """Token-sharded MoE with all-to-all dispatch (see module docstring)."""
+    T, H = x.shape
+    E_local = w_gate_up.shape[0]
+    D = ep_size
+    T_pad = -(-T // D) * D
+    if T_pad != T:
+        x = jnp.pad(x, ((0, T_pad - T), (0, 0)))
+    T_loc = T_pad // D
+    me = lax.axis_index(ep_axis)
+    x_loc = lax.dynamic_slice_in_dim(x, me * T_loc, T_loc, 0)
+
+    logits = jnp.dot(
+        x_loc.astype(jnp.float32), router_w.astype(jnp.float32)
+    )  # [T_loc, E_log]
+    E_log = router_w.shape[1]
+    weights, ids = topk_routing(
+        logits, top_k, renormalize, scoring,
+        correction_bias=correction_bias,
+        n_group=n_group, topk_group=topk_group,
+    )
+
+    if stats_cb is not None:
+        from jax.experimental import io_callback
+
+        counts = lax.psum(
+            jnp.bincount(ids.reshape(-1), length=E_log).astype(jnp.int32),
+            ep_axis,
+        )  # identical on every shard, matching the psum path's callback
+        io_callback(stats_cb, None, counts, ordered=True)
+
+    if log2phy is not None:
+        assert logcnt is not None
+        base = me * (T_loc * top_k)
+        rep = (
+            (base + jnp.arange(T_loc * top_k, dtype=jnp.int32)).reshape(
+                T_loc, top_k
+            )
+            % jnp.maximum(logcnt[ids], 1)
+        )
+        ids = jnp.take_along_axis(log2phy[ids], rep[..., None], -1)[..., 0]
+        ids = ids.astype(jnp.int32)
+
+    N = T_loc * top_k
+    flat_ids = ids.reshape(N)
+    owner = flat_ids // E_local  # destination shard per (token, k) pair
+    order = jnp.argsort(owner)  # stable
+    token_of = order // top_k
+    x_send = x_loc[token_of]
+    w_flat = weights.reshape(N)[order].astype(jnp.float32)
+    if scale_inputs:
+        x_send = x_send * w_flat[:, None].astype(x_send.dtype)
+    e_send = (flat_ids - owner * E_local)[order].astype(jnp.int32)
+    send_sizes = jnp.bincount(owner, length=D).astype(jnp.int32)
+    in_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(send_sizes)[:-1]]
+    )
+
+    cap = capacity_factor if capacity_factor else 2.0
+    import math
+
+    C = min(N, max(1, math.ceil(cap * N / D)))  # per-(src, dst) rows (static)
+    exchange = (
+        _a2a_exchange_ragged if a2a_impl == "ragged" else _a2a_exchange_dense
+    )
+    recv_x, recv_e, send_back = exchange(
+        x_send, e_send, send_sizes, in_off, D, C, ep_axis
+    )
+
+    # local grouped FFN over received rows: invalid rows (-1) sort last
+    M = recv_x.shape[0]
+    recv_e = jnp.where(recv_e < 0, E_local, recv_e)
+    order2 = jnp.argsort(recv_e)
+    x2 = recv_x[order2]
+    group_sizes = jnp.bincount(
+        recv_e, length=E_local + 1
+    )[:E_local].astype(jnp.int32)
+    out2 = grouped_ffn(
+        x2, group_sizes, w_gate_up, w_down, act,
+        s_gate_up=s_gate_up, s_down=s_down,
+    )  # [M, H] f32
+    valid2 = (recv_e[order2] < E_local)[:, None]
+    out2 = jnp.where(valid2, out2, 0).astype(x.dtype)
+    inv2 = jnp.zeros_like(order2).at[order2].set(
+        jnp.arange(M, dtype=order2.dtype)
+    )
+    computed = out2[inv2]  # back to arrival order
+
+    back = send_back(computed).astype(jnp.float32)  # [N, H] sorted order
+    if scale_inputs:
+        contrib = back * (w_flat != 0.0)[:, None]
+    else:
+        contrib = back * w_flat[:, None]
+    out_loc = (
+        jnp.zeros((T_loc, H), jnp.float32).at[token_of].add(contrib)
+        * routed_scaling
+    )
+    out = lax.all_gather(out_loc, ep_axis, tiled=True)  # [T_pad, H]
+    return out[:T].astype(x.dtype)
+
+
 def moe_ffn(
     x: jax.Array,  # [T, H]
     router_w: jax.Array,  # [H, E]
@@ -184,8 +414,25 @@ def moe_ffn(
     s_gate_up: Optional[jax.Array] = None,  # int8-expert scales (w8a8)
     s_down: Optional[jax.Array] = None,
     scale_inputs: bool = False,  # llama4: weight the expert INPUT
+    dispatch: str = "psum",  # psum (dropless, replicated tokens) | a2a
+    a2a_impl: str = "auto",  # ragged (TPU) | dense | auto by backend
 ) -> jax.Array:
-    del capacity_factor  # dispatch is always dropless now
+    if dispatch == "a2a" and ep_axis is not None and ep_size > 1:
+        if a2a_impl == "auto":
+            a2a_impl = (
+                "ragged" if jax.default_backend() == "tpu" else "dense"
+            )
+        return _moe_a2a(
+            x, router_w, w_gate_up, w_down, top_k, act=act,
+            renormalize=renormalize, scoring=scoring,
+            correction_bias=correction_bias, n_group=n_group,
+            topk_group=topk_group, ep_axis=ep_axis, ep_size=ep_size,
+            routed_scaling=routed_scaling, capacity_factor=capacity_factor,
+            log2phy=log2phy, logcnt=logcnt, stats_cb=stats_cb,
+            s_gate_up=s_gate_up, s_down=s_down, scale_inputs=scale_inputs,
+            a2a_impl=a2a_impl,
+        )
+    del capacity_factor  # psum dispatch is dropless
     T, H = x.shape
     E_local = w_gate_up.shape[0]
     E = E_local * ep_size  # physical experts (== logical without EPLB)

@@ -495,6 +495,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             stats_cb=getattr(self, "eplb_stats_cb", None),
             s_gate_up=lp.get("experts_gate_up_scale"),
             s_down=lp.get("experts_down_scale"),
+            dispatch=getattr(self, "moe_dispatch", "psum"),
+            capacity_factor=getattr(self, "moe_capacity_factor", None),
         )
         if "shared_gate_up" in lp:
             gate_up = apply_linear(h, lp["shared_gate_up"])

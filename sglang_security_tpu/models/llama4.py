@@ -205,6 +205,8 @@ class Llama4ForCausalLM(LlamaForCausalLM):
             stats_cb=getattr(self, "eplb_stats_cb", None),
             s_gate_up=lp.get("experts_gate_up_scale"),
             s_down=lp.get("experts_down_scale"),
+            dispatch=getattr(self, "moe_dispatch", "psum"),
+            capacity_factor=getattr(self, "moe_capacity_factor", None),
         )
         gate_up = apply_linear(h, lp["shared_gate_up"])
         g, u = jnp.split(gate_up, 2, axis=-1)

@@ -124,6 +124,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
             stats_cb=getattr(self, "eplb_stats_cb", None),
             s_gate_up=lp.get("experts_gate_up_scale"),
             s_down=lp.get("experts_down_scale"),
+            dispatch=getattr(self, "moe_dispatch", "psum"),
+            capacity_factor=getattr(self, "moe_capacity_factor", None),
         )
         if self.has_shared_expert:
             gate_up = apply_linear(h, lp["shared_gate_up"])

@@ -98,6 +98,16 @@ class ServerArgs:
     # (distributed/control_plane.py); default = coordinator port + 1
     control_plane_port: Optional[int] = None
     enable_ep_moe: bool = False
+    # MoE EP token dispatch: "psum" replicates tokens per expert shard
+    # and psum-combines (dropless; right for small ep); "a2a" is the
+    # DeepEP analog — tokens shard over the ep axis and (x, expert) rows
+    # travel by ragged all-to-all (dense capacity-padded all_to_all off
+    # TPU), compute per shard scales 1/ep (reference --moe-a2a-backend,
+    # token_dispatcher.py:38-51)
+    moe_dispatch: str = "psum"
+    # "a2a" receive-buffer budget as a multiple of the balanced load;
+    # rows beyond it drop (EPLB keeps loads balanced)
+    moe_capacity_factor: float = 2.0
     enable_dp_attention: bool = False
     # ---- double sparsity (reference server_args.py ds_*) ----
     enable_double_sparsity: bool = False

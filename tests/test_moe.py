@@ -215,3 +215,128 @@ def test_deepseek_v3_noaux_tc_routing(rng):
         np.testing.assert_allclose(
             np.asarray(w[t]), raw / raw.sum(), rtol=1e-5
         )
+
+
+# ------------------------------------------------------- a2a dispatch
+def _a2a_setup(rng, T=16, H=32, I=64, E=8, K=2):
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    router = jnp.asarray(rng.standard_normal((H, E)), jnp.float32)
+    wgu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+    return x, router, wgu, wd
+
+
+def _run_ep(x, router, wgu, wd, K, ep, **kw):
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mesh = Mesh(np.asarray(jax.devices()[:ep]), ("ep",))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("ep"), P("ep")), out_specs=P(),
+        check_rep=False,
+    )
+    def sharded(x, router, wgu, wd):
+        return moe_ffn(x, router, wgu, wd, K,
+                       ep_axis="ep", ep_size=ep, **kw)
+
+    return jax.jit(sharded)(x, router, wgu, wd)
+
+
+def test_moe_a2a_matches_psum_and_reference(rng):
+    if jax.device_count() < 4:
+        pytest.skip("needs 4+ devices")
+    x, router, wgu, wd = _a2a_setup(rng)
+    K = 2
+    ref = ref_moe(x, router, wgu, wd, K)
+    psum = _run_ep(x, router, wgu, wd, K, 4)
+    a2a = _run_ep(x, router, wgu, wd, K, 4, dispatch="a2a",
+                  capacity_factor=4.0)
+    np.testing.assert_allclose(np.asarray(a2a), np.asarray(psum),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a2a), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_moe_a2a_tokens_not_divisible_by_ep(rng):
+    if jax.device_count() < 4:
+        pytest.skip("needs 4+ devices")
+    x, router, wgu, wd = _a2a_setup(rng, T=13)
+    ref = ref_moe(x, router, wgu, wd, 2)
+    a2a = _run_ep(x, router, wgu, wd, 2, 4, dispatch="a2a",
+                  capacity_factor=4.0)
+    np.testing.assert_allclose(np.asarray(a2a), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_moe_a2a_int8_experts(rng):
+    if jax.device_count() < 4:
+        pytest.skip("needs 4+ devices")
+    from sglang_security_tpu.layers.moe import quantize_experts
+
+    x, router, wgu, wd = _a2a_setup(rng)
+    qgu, sgu = quantize_experts(wgu)
+    qd, sd = quantize_experts(wd)
+    psum = _run_ep(x, router, qgu, qd, 2, 4, s_gate_up=sgu, s_down=sd)
+    a2a = _run_ep(x, router, qgu, qd, 2, 4, s_gate_up=sgu, s_down=sd,
+                  dispatch="a2a", capacity_factor=4.0)
+    np.testing.assert_allclose(np.asarray(a2a), np.asarray(psum),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_moe_a2a_eplb_remap_matches_psum(rng):
+    if jax.device_count() < 4:
+        pytest.skip("needs 4+ devices")
+    # 4 logical experts, 8 physical (every expert replicated 2x)
+    x, router, _, _ = _a2a_setup(rng, E=4)
+    E_phys = 8
+    wgu_l = rng.standard_normal((4, 32, 128)) * 0.1
+    wd_l = rng.standard_normal((4, 64, 32)) * 0.1
+    log2phy = np.array([[0, 4], [1, 5], [2, 6], [3, 7]], np.int32)
+    logcnt = np.full(4, 2, np.int32)
+    wgu = jnp.asarray(np.concatenate([wgu_l, wgu_l]), jnp.float32)
+    wd = jnp.asarray(np.concatenate([wd_l, wd_l]), jnp.float32)
+    kw = dict(log2phy=jnp.asarray(log2phy), logcnt=jnp.asarray(logcnt))
+    psum = _run_ep(x, router, wgu, wd, 2, 4, **kw)
+    a2a = _run_ep(x, router, wgu, wd, 2, 4, dispatch="a2a",
+                  capacity_factor=4.0, **kw)
+    np.testing.assert_allclose(np.asarray(a2a), np.asarray(psum),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_moe_a2a_capacity_drop_is_bounded_and_finite(rng):
+    if jax.device_count() < 4:
+        pytest.skip("needs 4+ devices")
+    # adversarial routing: all tokens pick experts 0,1 (shard 0) with a
+    # tiny capacity -> overflow rows are dropped, output stays finite
+    T, H, I, E, K = 16, 32, 64, 8, 2
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    router = np.zeros((H, E), np.float32)
+    router[:, 0] = 1.0
+    router[:, 1] = 0.5
+    router = jnp.asarray(router)
+    wgu = jnp.asarray(rng.standard_normal((E, H, 2 * I)) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.1, jnp.float32)
+    out = _run_ep(x, router, wgu, wd, K, 4, dispatch="a2a",
+                  capacity_factor=0.25)
+    assert np.isfinite(np.asarray(out)).all()
+    # with ample capacity the same routing matches the dropless path
+    full = _run_ep(x, router, wgu, wd, K, 4, dispatch="a2a",
+                   capacity_factor=8.0)
+    psum = _run_ep(x, router, wgu, wd, K, 4)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(psum),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_moe_a2a_scale_inputs_llama4(rng):
+    if jax.device_count() < 4:
+        pytest.skip("needs 4+ devices")
+    x, router, wgu, wd = _a2a_setup(rng)
+    psum = _run_ep(x, router, wgu, wd, 1, 4, scale_inputs=True,
+                   renormalize=False, scoring="sigmoid")
+    a2a = _run_ep(x, router, wgu, wd, 1, 4, scale_inputs=True,
+                  renormalize=False, scoring="sigmoid", dispatch="a2a",
+                  capacity_factor=4.0)
+    np.testing.assert_allclose(np.asarray(a2a), np.asarray(psum),
+                               rtol=1e-3, atol=1e-3)
