@@ -50,6 +50,7 @@ def main() -> None:
         json.dump(LLAMA3_8B_CONFIG, f)
 
     n_reqs = int(os.environ.get("BENCH_NUM_REQS", 128))
+    quant = os.environ.get("BENCH_QUANT", "int4")
     page_size = int(os.environ.get("BENCH_PAGE_SIZE", 64))
     in_len = int(os.environ.get("BENCH_INPUT_LEN", 128))
     out_len = int(os.environ.get("BENCH_OUTPUT_LEN", 128))
@@ -58,7 +59,7 @@ def main() -> None:
         ServerArgs(
             model_path=model_dir,
             load_format="dummy",
-            quantization="int4",
+            quantization=quant,
             dtype="bfloat16",
             skip_tokenizer_init=True,
             max_total_tokens=49152,

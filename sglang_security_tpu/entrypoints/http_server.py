@@ -402,7 +402,9 @@ class HttpServer:
                     FunctionCallParser,
                 )
 
-                normal, calls = FunctionCallParser().parse(o["text"])
+                normal, calls = FunctionCallParser(
+                    self.engine.server_args.tool_call_parser or "auto"
+                ).parse(o["text"])
                 if calls:
                     message = {
                         "role": "assistant",

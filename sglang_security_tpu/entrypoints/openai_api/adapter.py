@@ -142,11 +142,22 @@ def chat_to_gri(req: ChatCompletionRequest, tokenizer,
         schema = (req.response_format.json_schema or {}).get("schema")
         if schema is not None:
             json_schema = _json.dumps(schema)
+    regex = None
     if req.tools and req.tool_choice not in (None, "none", "auto"):
-        # forced tool call: constrain output to a valid call for the tools
-        from sglang_security_tpu.function_call import FunctionCallParser
+        # forced tool call ("required" or a named tool): constrain decoding
+        # to a valid call in the server's tool-call dialect (reference
+        # ebnf_composer.build_ebnf bound to xgrammar; here composed
+        # directly onto the native grammar engine's regex IR)
+        from sglang_security_tpu.function_call.ebnf_composer import (
+            build_tool_call_regex,
+        )
 
-        json_schema = FunctionCallParser.tools_to_json_schema(req.tools)
+        fmt = getattr(server_args, "tool_call_parser", None) or "auto"
+        if fmt == "auto":
+            fmt = "json"
+        regex = build_tool_call_regex(
+            req.tools, fmt=fmt, tool_choice=req.tool_choice
+        )
     sp = {
         "max_new_tokens": max_tokens,
         "temperature": req.temperature,
@@ -159,6 +170,7 @@ def chat_to_gri(req: ChatCompletionRequest, tokenizer,
         "repetition_penalty": req.repetition_penalty,
         "ignore_eos": req.ignore_eos,
         "json_schema": json_schema,
+        "regex": regex,
         "logit_bias": {int(k): float(v)
                        for k, v in (req.logit_bias or {}).items()} or None,
     }

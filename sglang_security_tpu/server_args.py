@@ -33,6 +33,10 @@ class ServerArgs:
     tokenizer_mode: str = "auto"
     chat_template: Optional[str] = None  # named template or .jinja path
     completion_template: Optional[str] = None  # FIM template name/json
+    # tool-call dialect for parsing AND constrained composition (reference
+    # --tool-call-parser): auto | json | qwen25 | mistral | llama32 |
+    # deepseekv3 | pythonic.  "auto" parses leniently and composes "json".
+    tool_call_parser: str = "auto"
     load_format: str = "auto"  # auto | safetensors | gguf | dummy
     trust_remote_code: bool = False
     dtype: str = "bfloat16"  # activation dtype: bfloat16 | float32

@@ -187,6 +187,10 @@ def _write_tiny_tokenizer(path: str, vocab_size: int) -> None:
             vocab_size=vocab_size,
             special_tokens=["<unk>", "<s>", "</s>"],
             show_progress=False,
+            # full byte alphabet so every char (incl. \n, \t) is
+            # encodable — grammar-constrained decoding dead-ends on
+            # framing newlines otherwise
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
         )
         corpus = [
             "the quick brown fox jumps over the lazy dog",

@@ -79,3 +79,124 @@ class TestReasoning:
         r2, n2 = rp.parse_stream_chunk(" more</think> world")
         assert n1 == "Hello " and r1 == "hmm"
         assert r2 == " more" and n2 == " world"
+
+
+class TestEBNFComposer:
+    """Tool-schema -> grammar composition (reference ebnf_composer.py
+    bound to xgrammar; here bound to the native regex/DFA engine)."""
+
+    TOOLS = [
+        {"type": "function", "function": {
+            "name": "get_weather",
+            "parameters": {"type": "object", "properties": {
+                "city": {"type": "string"},
+                "unit": {"enum": ["c", "f"]},
+            }, "required": ["city"]},
+        }},
+        {"type": "function", "function": {"name": "noop",
+                                          "parameters": {}}},
+    ]
+
+    def _dfa(self, fmt, tool_choice="required"):
+        from sglang_security_tpu.function_call.ebnf_composer import (
+            build_tool_call_regex,
+        )
+
+        return DFA(build_tool_call_regex(self.TOOLS, fmt=fmt,
+                                         tool_choice=tool_choice))
+
+    def test_json_forced(self):
+        d = self._dfa("json")
+        good = '{"name": "get_weather", "arguments": {"city": "NYC", "unit": "c"}}'
+        assert d.matches(good)
+        assert not d.matches(
+            '{"name": "other", "arguments": {"city": "NYC"}}')
+        assert not d.matches(
+            '{"name": "get_weather", "arguments": {"unit": "c"}}'
+        )  # missing required city
+        assert not d.matches(
+            '{"name": "get_weather", "arguments": {"city": "NYC", "unit": "k"}}'
+        )  # enum violation
+        # whatever the composer forces, the parser can parse back
+        _, calls = FunctionCallParser("json").parse(good)
+        assert calls and calls[0].name == "get_weather"
+        assert calls[0].arguments["city"] == "NYC"
+
+    def test_named_tool_choice_excludes_others(self):
+        d = self._dfa("json", tool_choice={
+            "type": "function", "function": {"name": "noop"}})
+        assert d.matches('{"name": "noop", "arguments": {}}')
+        assert not d.matches(
+            '{"name": "get_weather", "arguments": {"city": "NYC"}}')
+
+    def test_qwen25_framing_roundtrip(self):
+        d = self._dfa("qwen25")
+        text = ('<tool_call>\n{"name": "get_weather", "arguments": '
+                '{"city": "NYC"}}\n</tool_call>')
+        assert d.matches(text)
+        assert not d.matches(
+            '{"name": "get_weather", "arguments": {"city": "NYC"}}')
+        _, calls = FunctionCallParser("qwen25").parse(text)
+        assert calls and calls[0].name == "get_weather"
+
+    def test_mistral_multi_call(self):
+        d = self._dfa("mistral")
+        text = ('[TOOL_CALLS] [{"name": "noop", "arguments": {}}, '
+                '{"name": "get_weather", "arguments": {"city": "X"}}]')
+        assert d.matches(text)
+        _, calls = FunctionCallParser("mistral").parse(text)
+        assert [c.name for c in calls] == ["noop", "get_weather"]
+
+    def test_llama32_python_tag(self):
+        d = self._dfa("llama32")
+        text = ('<|python_tag|>{"name": "get_weather", "arguments": '
+                '{"city": "NYC"}}')
+        assert d.matches(text)
+        _, calls = FunctionCallParser("llama32").parse(text)
+        assert calls and calls[0].name == "get_weather"
+
+    def test_pythonic_roundtrip(self):
+        d = self._dfa("pythonic")
+        text = '[get_weather(city="NYC", unit="c")]'
+        assert d.matches(text)
+        assert not d.matches('[get_weather(unit="c")]')  # missing required
+        _, calls = FunctionCallParser("pythonic").parse(text)
+        assert calls and calls[0].arguments == {"city": "NYC", "unit": "c"}
+
+    def test_deepseekv3_fencing(self):
+        d = self._dfa("deepseekv3")
+        text = ("<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+                "<｜tool▁sep｜>get_weather\n```json\n"
+                '{"city": "A"}\n```<｜tool▁call▁end｜><｜tool▁calls▁end｜>')
+        assert d.matches(text)
+        _, calls = FunctionCallParser("deepseekv3").parse(text)
+        assert calls and calls[0].name == "get_weather"
+
+    def test_adapter_wires_forced_tool_regex(self):
+        from sglang_security_tpu.entrypoints.openai_api.adapter import (
+            chat_to_gri,
+        )
+        from sglang_security_tpu.entrypoints.openai_api.protocol import (
+            ChatCompletionRequest,
+        )
+        from sglang_security_tpu.server_args import ServerArgs
+
+        req = ChatCompletionRequest(
+            model="m",
+            messages=[{"role": "user", "content": "weather in NYC?"}],
+            tools=self.TOOLS,
+            tool_choice="required",
+        )
+        sa = ServerArgs(model_path="x", tool_call_parser="qwen25")
+        gri = chat_to_gri(req, tokenizer=None, server_args=sa)
+        pat = gri.sampling_params["regex"]
+        assert pat is not None
+        assert DFA(pat).matches(
+            '<tool_call>\n{"name": "noop", "arguments": {}}\n</tool_call>')
+        # auto/none stay unconstrained
+        req2 = ChatCompletionRequest(
+            model="m", messages=[{"role": "user", "content": "hi"}],
+            tools=self.TOOLS, tool_choice="auto",
+        )
+        gri2 = chat_to_gri(req2, tokenizer=None, server_args=sa)
+        assert gri2.sampling_params["regex"] is None
