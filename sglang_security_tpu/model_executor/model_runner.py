@@ -94,6 +94,8 @@ class BatchPlan:
     # length for the paged non-causal pass
     tree_mask: Optional[np.ndarray] = None  # [S, bq, bq] bool
     tree_prefix_kv_lens: Optional[np.ndarray] = None  # [S] i32
+    # speculative verify: parent sampling-row of each row (-1 = root)
+    spec_parents: Optional[np.ndarray] = None  # [R] i32
 
 
 @dataclass
@@ -611,9 +613,10 @@ class ModelRunner:
     def _get_step(self, T: int, S: int, PPS: int, block_q: int, masked: bool,
                   penalized: bool = False, mode: str = "topk",
                   eagle: bool = False, prompt_lp: bool = False,
-                  proc_names: tuple = (), tree: bool = False):
+                  proc_names: tuple = (), tree: bool = False,
+                  spec: bool = False):
         key = (T, S, PPS, block_q, masked, penalized, mode, eagle,
-               prompt_lp, proc_names, tree)
+               prompt_lp, proc_names, tree, spec)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -662,10 +665,42 @@ class ModelRunner:
                 row_counts = jnp.where(
                     (slots >= 0)[:, None], counts[safe], 0
                 )
-            tokens = sample(logits, st, key, vocab_mask=vocab_mask,
-                            output_counts=row_counts, mode=mode)
+            spec_extras = ()
+            if spec:
+                assert fb.spec_parents is not None
+                # stochastic speculative verify: edge accept probs +
+                # residual fallback samples (layers/sampler.py
+                # spec_verify_sample; reference speculative_sampling.cu)
+                from sglang_security_tpu.layers.sampler import (
+                    spec_verify_sample,
+                )
+
+                R = logits.shape[0]
+                fed = fb.token_ids[
+                    jnp.clip(fb.out_rows, 0, fb.token_ids.shape[0] - 1)
+                ]
+                tokens, edge_prob, fallback = spec_verify_sample(
+                    logits, st, key, fb.spec_parents, fed,
+                    vocab_mask=vocab_mask, output_counts=row_counts,
+                    mode=mode,
+                )
+                lp_full = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )
+                safe_parent = jnp.clip(fb.spec_parents, 0, R - 1)
+                edge_lp = lp_full[safe_parent, jnp.clip(fed, 0)]
+                fallback_lp = jnp.take_along_axis(
+                    lp_full, fallback[:, None], axis=-1
+                )[:, 0]
+                spec_extras = (edge_prob, edge_lp, fallback, fallback_lp)
+            else:
+                tokens = sample(logits, st, key, vocab_mask=vocab_mask,
+                                output_counts=row_counts, mode=mode)
+                spec_extras = ()
             logprobs = compute_logprobs(logits, tokens)
-            if penalized:
+            if penalized and not spec:
+                # spec rounds update counts host-side post-accept:
+                # rejected rows' samples must not count
                 drop = jnp.where(slots < 0, counts.shape[0], slots)
                 counts = counts.at[drop, tokens].add(1, mode="drop")
             if eagle:
@@ -680,23 +715,29 @@ class ModelRunner:
                 else:
                     feats = hidden
                 ft = ft.at[ft_rows].set(feats.astype(ft.dtype), mode="drop")
-                return tokens, logprobs, k_pages, v_pages, counts, ft, x_all
+                return (tokens, logprobs, k_pages, v_pages, counts, ft,
+                        x_all, *spec_extras)
             if prompt_lp:
                 return tokens, logprobs, k_pages, v_pages, counts, x_all
-            return tokens, logprobs, k_pages, v_pages, counts
+            return (tokens, logprobs, k_pages, v_pages, counts,
+                    *spec_extras)
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P
 
             out_specs = None
+            spec_tail = (P(), P(), P(), P()) if spec else ()
             if eagle:
                 # (+ ft, x_all): the feature table and all-row hidden
                 # states are replicated (attention output is psum'd)
                 out_specs = (P(), P(), self._kv_specs, self._kv_specs,
-                             P(), P(), P())
+                             P(), P(), P(), *spec_tail)
             elif prompt_lp:
                 out_specs = (P(), P(), self._kv_specs, self._kv_specs,
                              P(), P())
+            elif spec:
+                out_specs = (P(), P(), self._kv_specs, self._kv_specs,
+                             P(), *spec_tail)
             step = self._shard_step(step, out_specs=out_specs,
                                     lora_argnum=9)
         # donate the KV pool (1, 2), penalty counts (7), feature table (11)
@@ -1009,6 +1050,7 @@ class ModelRunner:
         sa = self.server_args
         bq = block_q or self.SPEC_BLOCK_Q
         assert rows_per_seq <= bq
+        assert plan.spec_parents is not None
         S_real = len(plan.q_lens)
         S = next_bucket(S_real, sa.decode_bs_buckets)
         T = S * bq
@@ -1024,7 +1066,7 @@ class ModelRunner:
         fn = self._get_step(
             T, R, PPS, bq, plan.vocab_mask is not None, penalized,
             self._sampling_mode(plan), eagle=eagle_on,
-            tree=plan.tree_mask is not None,
+            tree=plan.tree_mask is not None, spec=True,
         )
         args = [
             self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
@@ -1034,19 +1076,55 @@ class ModelRunner:
         ]
         if eagle_on:
             args += list(self._eagle_ft_args(plan.ft_rows, R))
-            (tokens, logprobs, k_pages, v_pages, counts, ft, _
-             ) = fn(*args)
+            (tokens, logprobs, k_pages, v_pages, counts, ft, _,
+             *extras) = fn(*args)
             self.eagle.ft = ft
         else:
-            tokens, logprobs, k_pages, v_pages, counts = fn(*args)
+            tokens, logprobs, k_pages, v_pages, counts, *extras = fn(*args)
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
         if penalized:
             self.penalty_counts = counts
         R_real = S_real * rows_per_seq
-        return (
-            np.asarray(jax.device_get(tokens))[:R_real],
-            np.asarray(jax.device_get(logprobs))[:R_real],
+        edge_prob, edge_lp, fallback, fallback_lp = extras
+        return {
+            k: np.asarray(jax.device_get(v))[:R_real]
+            for k, v in {
+                "tokens": tokens,
+                "logprobs": logprobs,
+                "edge_prob": edge_prob,
+                "edge_lp": edge_lp,
+                "fallback": fallback,
+                "fallback_lp": fallback_lp,
+            }.items()
+        }
+
+    def penalty_add(self, slots: np.ndarray, tokens: np.ndarray) -> None:
+        """Host-driven penalty-count update (spec rounds: only COMMITTED
+        tokens count; the in-device per-step update is for plain decode).
+        """
+        if self.penalty_counts is None:
+            return
+        fn = self._step_cache.get("penalty_add")
+        if fn is None:
+
+            def add(counts, slots, tokens):
+                return counts.at[slots, tokens].add(1, mode="drop")
+
+            fn = jax.jit(add, donate_argnums=(0,))
+            self._step_cache["penalty_add"] = fn
+        # pad to a pow2 bucket (out-of-range slot rows are dropped) so
+        # the jit does not retrace per round length
+        n = max(8, 1 << (len(slots) - 1).bit_length())
+        ns = self.penalty_counts.shape[0]  # out-of-range => mode="drop"
+        slots = np.pad(np.asarray(slots, np.int32), (0, n - len(slots)),
+                       constant_values=ns)
+        tokens = np.pad(np.asarray(tokens, np.int32),
+                        (0, n - len(tokens)))
+        self.penalty_counts = fn(
+            self.penalty_counts,
+            jnp.asarray(slots),
+            jnp.asarray(tokens),
         )
 
     def eagle_tree_commit(
@@ -1547,6 +1625,11 @@ class ModelRunner:
                 else None
             ),
             tree=tree,
+            spec_parents=(
+                jnp.asarray(pad1(plan.spec_parents, R or S, fill=-1))
+                if plan.spec_parents is not None
+                else None
+            ),
         )
         Rr = R or S
         rep = rows_per_seq
@@ -1588,7 +1671,13 @@ class ModelRunner:
         if plan.vocab_mask is not None:
             V = self.config.vocab_size
             vm = np.ones((Rr, V), bool)
-            src_vm = np.repeat(plan.vocab_mask, rep, axis=0) if rep > 1 else plan.vocab_mask
+            if plan.vocab_mask.shape[0] == S_real * rep:
+                # already per-row (spec verify: per-draft-position masks)
+                src_vm = plan.vocab_mask
+            elif rep > 1:
+                src_vm = np.repeat(plan.vocab_mask, rep, axis=0)
+            else:
+                src_vm = plan.vocab_mask
             vm[: len(src_vm)] = src_vm
             vocab_mask = jnp.asarray(vm)
         else:

@@ -38,11 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sglang_security_tpu.utils import cdiv, round_up, use_interpret_mode
 
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 1024
 
 
 def int4_block_k(K: int) -> int:
-    """Deterministic K-block choice shared by pack time and run time."""
+    """Deterministic K-block choice shared by pack time and run time.
+
+    1024 (vs the round-3 512) halves the grid's K steps and gives the
+    dequant-formulation kernel >=8 scale rows per block (the Pallas
+    sublane-tile minimum for the [K_blk/G, BN] scale BlockSpec)."""
     bk = min(DEFAULT_BLOCK_K, K)
     while K % bk:
         bk //= 2
@@ -287,6 +291,88 @@ def _int4_kernel(
         o_ref[...] = out.astype(out_dtype)
 
 
+def _int4_dequant_kernel(
+    x_ref,   # [BM, BK] bf16
+    w_ref,   # [BK//2, BN] int8 (tile-local packed)
+    s_ref,   # [BK//G, BN] f32 (this k-block's scale rows)
+    z_ref,   # [BK//G, BN] f32
+    o_ref,   # [BM, BN]
+    wd_scr,  # [BK, BN] bf16 dequantized weight tile
+    acc_ref, # [BM, BN] f32
+    *,
+    block_k: int,
+    group_size: int,
+    out_dtype,
+):
+    """Dequant formulation (large-M / prefill regime): dequantize the
+    weight tile to bf16 in VMEM — O(K·N) VPU work amortized over BM
+    rows — then ONE big MXU dot per packed half.  The zero point folds
+    into the dequant ((q − z)·s, exact in f32), so there is no xsums /
+    zero-fixup machinery.  Dequantized weights round to bf16 before the
+    MXU: the same precision as the reference's fp16-dequant GEMMs
+    (AWQ dequant, ``sgl-kernel/csrc/gemm/awq_kernel.cu``).  Measured on
+    v5e at M=4096 gate+up: 168.7 TF/s vs 136.6 for the group-dot form
+    (the group-dot's K=G dots cap MXU efficiency at large M)."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    half = block_k // 2
+    G = group_size
+    gpb_half = half // G
+
+    p32 = w_ref[...].astype(jnp.int32)
+    lo_q = (p32 & 0xF).astype(jnp.float32)          # block rows [0, half)
+    hi_q = ((p32 >> 4) & 0xF).astype(jnp.float32)   # rows [half, block_k)
+
+    for g in range(gpb_half):
+        sl = slice(g * G, (g + 1) * G)
+        wd_scr[sl] = (
+            (lo_q[sl] - z_ref[g, :][None, :]) * s_ref[g, :][None, :]
+        ).astype(jnp.bfloat16)
+    for g in range(gpb_half):
+        gh = gpb_half + g
+        sl = slice(g * G, (g + 1) * G)
+        wd_scr[half + g * G : half + (g + 1) * G] = (
+            (hi_q[sl] - z_ref[gh, :][None, :]) * s_ref[gh, :][None, :]
+        ).astype(jnp.bfloat16)
+
+    x = x_ref[...]
+    acc = lax.dot_general(
+        x[:, :half], wd_scr[:half],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc += lax.dot_general(
+        x[:, half:], wd_scr[half:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] += acc
+
+    @pl.when(k == nk - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+# dequant formulation needs >= 8 scale rows per K block (sublane tile)
+# and whole groups per packed half
+def _dequant_formulation_ok(block_k: int, group_size: int) -> bool:
+    half = block_k // 2
+    return (
+        block_k // group_size >= 8
+        and half % group_size == 0
+    )
+
+
+# below this M the group-dot form wins: per-weight VPU dequant stops
+# amortizing over rows (measured v5e crossover between M=128 and 1024)
+DEQUANT_MIN_M = 512
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -306,17 +392,24 @@ def int4_matmul(
     zero: jax.Array,  # [K//G, N] f32
     *,
     group_size: int = 128,
-    block_m: int = 2048,
-    block_n: int = 256,
+    block_m: int = 1024,
+    block_n: int = 2048,
     block_k: Optional[int] = None,
     out_dtype=jnp.bfloat16,
     act: str = "bf16",  # "bf16" (w4a16) | "int8" (w4a8, 2x MXU rate)
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """``block_m`` defaults large: the kernel streams the whole weight
-    matrix once per M block, so small blocks multiply HBM weight traffic
-    by M/block_m — ruinous at prefill sizes (M=4096 cost 16x with the old
-    256 default).
+    """Block defaults are DMA-traffic-tuned (r4 sweep on v5e): the x
+    block re-fetches once per N tile, so at block_n=256 the x traffic
+    exceeded the weight traffic 2x at decode and 60x at prefill —
+    block_n=2048 took decode gate+up 0.505 -> 0.244 ms and prefill
+    10.27 -> 7.04 ms before any kernel change.
+
+    Two formulations, dispatched on M:
+      * M >= DEQUANT_MIN_M, act="bf16": dequant formulation (one big dot
+        per packed half; see _int4_dequant_kernel).
+      * otherwise: group-dot formulation (never dequantizes weights
+        element-wise; see _int4_kernel).
 
     ``act="int8"`` quantizes activations per-row to int8 and runs the
     group dots on the int8 MXU path (2x bf16 throughput); w4a16 numerics
@@ -332,6 +425,44 @@ def int4_matmul(
     if interpret is None:
         interpret = use_interpret_mode()
     act_int8 = act == "int8"
+
+    if (
+        not act_int8
+        and M >= DEQUANT_MIN_M
+        and _dequant_formulation_ok(block_k, group_size)
+    ):
+        bm = min(block_m, round_up(M, 8))
+        bn = min(block_n, N)
+        Mp = round_up(M, bm)
+        xp = jnp.pad(x, ((0, Mp - M), (0, 0))) if Mp != M else x
+        gpb = block_k // group_size
+        out = pl.pallas_call(
+            functools.partial(
+                _int4_dequant_kernel,
+                block_k=block_k,
+                group_size=group_size,
+                out_dtype=out_dtype,
+            ),
+            grid=(Mp // bm, N // bn, K // block_k),
+            in_specs=[
+                pl.BlockSpec((bm, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k // 2, bn), lambda i, j, k: (k, j)),
+                pl.BlockSpec((gpb, bn), lambda i, j, k: (k, j)),
+                pl.BlockSpec((gpb, bn), lambda i, j, k: (k, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, bn), jnp.bfloat16),
+                pltpu.VMEM((bm, bn), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xp.astype(jnp.bfloat16), w_packed, scale, zero)
+        return out[:M]
 
     bm = min(block_m, round_up(M, 32 if act_int8 else 8))
     bn = min(block_n, N)
@@ -430,9 +561,9 @@ def int8_matmul(
     w_q: jax.Array,  # [K, N] int8
     w_scale: jax.Array,  # [1, N] f32
     *,
-    block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_m: int = 1024,
+    block_n: int = 2048,  # large N blocks: x re-fetches once per N tile
+    block_k: int = 1024,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -464,6 +595,7 @@ def int8_matmul(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x_q, w_q, x_scale, w_scale)

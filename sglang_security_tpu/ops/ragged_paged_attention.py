@@ -970,8 +970,22 @@ def paged_decode_attention(
     if interpret is None:
         interpret = use_interpret_mode()
     if pages_per_block is None:
-        # target ~64-token kv blocks per DMA wave
-        pages_per_block = max(1, 64 // page_size)
+        # target ~256-token kv blocks per DMA wave: per-DMA issue cost
+        # (~0.26 us measured on v5e) dominates decode attention, so
+        # bigger waves with more in-flight copies cut it — r4 sweep:
+        # 64-token waves 337 us/layer vs 256-token waves 195 us/layer
+        # at B=128, kv=250.  Capped so the double-buffered K/V scratch
+        # stays within VMEM.
+        pages_per_block = max(1, 256 // page_size)
+        buf_bytes_per_token = (
+            2 * 2 * block_s * num_kv_heads * pool_hd
+            * (1 if k_pages.dtype == jnp.int8 else 2)
+        )
+        while (
+            pages_per_block > 1
+            and pages_per_block * page_size * buf_bytes_per_token > 48 * 2**20
+        ):
+            pages_per_block //= 2
     if B < block_s:
         block_s = 8
 

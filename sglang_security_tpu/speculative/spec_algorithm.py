@@ -54,6 +54,98 @@ class NgramDrafter:
         return []
 
 
+def accept_draft_stochastic(
+    draft: List[int],
+    verify: dict,  # execute_spec_verify output arrays
+    base_row: int,  # first verify row of this sequence
+    rng: np.random.Generator,
+) -> tuple:
+    """Distribution-preserving chain acceptance (reference
+    ``speculative_sampling.cu`` semantics for deterministic drafts):
+    accept draft[i] with probability P(draft[i] | target row i) under the
+    row's filtered sampling distribution; on rejection, emit a sample
+    from the residual distribution (row i with draft[i] masked out).  At
+    temperature 0 this reduces exactly to greedy exact-match acceptance.
+
+    Rows for this sequence are base_row + [0, len(draft)]: row 0 fed the
+    last committed token, row i+1 fed draft[i].
+
+    Returns (committed tokens, their logprobs) — always >= 1 token."""
+    out: List[int] = []
+    lps: List[float] = []
+    for i, d in enumerate(draft):
+        if rng.random() < float(verify["edge_prob"][base_row + i + 1]):
+            out.append(int(d))
+            lps.append(float(verify["edge_lp"][base_row + i + 1]))
+        else:
+            out.append(int(verify["fallback"][base_row + i]))
+            lps.append(float(verify["fallback_lp"][base_row + i]))
+            return out, lps
+    r = base_row + len(draft)
+    out.append(int(verify["tokens"][r]))
+    lps.append(float(verify["logprobs"][r]))
+    return out, lps
+
+
+def accept_tree_stochastic(
+    tokens_tree: np.ndarray,  # [W] draft tokens of this sequence's tree
+    parents: np.ndarray,  # [W] parent VERIFY row (0 = root) per node
+    verify: dict,  # execute_spec_verify output arrays
+    base_row: int,  # first verify row of this sequence (the root row)
+    rng: np.random.Generator,
+) -> tuple:
+    """Recursive rejection sampling down the draft tree (reference
+    ``tree_speculative_sampling_target_only``): at each node, try its
+    drafted children in draft-score order; child c is accepted with
+    probability p(c) / (1 - sum of rejected siblings' p).  If all
+    children are rejected, emit a sample from the node's residual
+    distribution (all children masked) and stop.  A fully accepted path
+    appends the leaf's bonus sample.  Greedy is the exact special case.
+
+    Returns (committed tokens, logprobs, accepted local rows incl. root).
+    """
+    W = len(tokens_tree)
+    committed: List[int] = []
+    lps: List[float] = []
+    acc_rows: List[int] = [0]
+    cur = 0
+    while True:
+        children = [j for j in range(W) if int(parents[j]) == cur]
+        nxt = -1
+        denom = 1.0
+        for j in children:
+            p = float(verify["edge_prob"][base_row + 1 + j])
+            if denom <= 1e-9:
+                break
+            if rng.random() * denom < p:
+                nxt = j
+                break
+            denom -= p
+        if nxt < 0:
+            committed.append(int(verify["fallback"][base_row + cur]))
+            lps.append(float(verify["fallback_lp"][base_row + cur]))
+            return committed, lps, acc_rows
+        committed.append(int(tokens_tree[nxt]))
+        lps.append(float(verify["edge_lp"][base_row + 1 + nxt]))
+        acc_rows.append(1 + nxt)
+        cur = 1 + nxt
+        if not any(int(parents[j]) == cur for j in range(W)):
+            # leaf: bonus token from the leaf row's own distribution
+            committed.append(int(verify["tokens"][base_row + cur]))
+            lps.append(float(verify["logprobs"][base_row + cur]))
+            return committed, lps, acc_rows
+
+
+def chain_spec_parents(
+    n_seqs: int, rows_per_seq: int
+) -> np.ndarray:
+    """Chain verify parent rows: row j's parent is row j-1 within each
+    sequence; each sequence's row 0 (last committed token) is a root."""
+    par = np.arange(n_seqs * rows_per_seq, dtype=np.int32) - 1
+    par[::rows_per_seq] = -1
+    return par
+
+
 def accept_draft(
     draft: List[int], sampled: np.ndarray
 ) -> List[int]:

@@ -48,7 +48,7 @@ def test_moe_ep_sharded_matches(rng):
     if jax.device_count() < 2:
         pytest.skip("needs 2+ devices")
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     T, H, I, E, K = 8, 32, 64, 4, 2
     x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
@@ -62,7 +62,7 @@ def test_moe_ep_sharded_matches(rng):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P("ep"), P("ep")), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded(x, router, wgu, wd):
         return moe_ffn(x, router, wgu, wd, K,
@@ -228,14 +228,14 @@ def _a2a_setup(rng, T=16, H=32, I=64, E=8, K=2):
 
 def _run_ep(x, router, wgu, wd, K, ep, **kw):
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = Mesh(np.asarray(jax.devices()[:ep]), ("ep",))
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P("ep"), P("ep")), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded(x, router, wgu, wd):
         return moe_ffn(x, router, wgu, wd, K,

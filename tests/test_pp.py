@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
 from sglang_security_tpu.models.config import ModelConfig
@@ -96,7 +96,7 @@ def test_pp_decode_matches_single_device(pp, tp, micro):
         mesh=mesh,
         in_specs=(pspecs, kvspec, kvspec, fb_spec),
         out_specs=(P(), kvspec, kvspec),
-        check_rep=False,
+        check_vma=False,
     )
     def pp_step(params, k_pages, v_pages, fb):
         hidden, k_pages, v_pages = model.forward(
@@ -166,7 +166,7 @@ def test_pp_prefill_matches_single_device():
         mesh=mesh,
         in_specs=(pspecs, kvspec, kvspec, fb_spec),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def pp_step(params, k_pages, v_pages, fb):
         hidden, _, _ = model.forward(

@@ -96,3 +96,21 @@ def test_int4_matmul_group_ge_half(rng):
         np.abs(np.asarray(ref)).max() + 1e-6
     )
     assert rel < 3e-2, rel
+
+
+@pytest.mark.parametrize("M", [512, 700])
+def test_int4_matmul_dequant_formulation(rng, M):
+    """M >= DEQUANT_MIN_M dispatches the dequant-formulation kernel
+    (one big dot per packed half, zero folded into the dequant)."""
+    K, N, G, BK = 2048, 256, 128, 1024
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    q, s, z = quantize_int4(w, G)
+    packed = pack_int4(q, BK)
+    out = int4_matmul(x, packed, s, z, group_size=G, block_k=BK,
+                      block_m=512, block_n=256, out_dtype=jnp.float32)
+    ref = x @ dequantize_int4(q, s, z, G)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / (
+        np.abs(np.asarray(ref)).max() + 1e-6
+    )
+    assert rel < 3e-2, rel

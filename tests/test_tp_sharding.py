@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
 from sglang_security_tpu.models.config import ModelConfig
@@ -82,7 +82,7 @@ def test_tp2_matches_single_device():
         mesh=mesh,
         in_specs=(pspecs, kv_pspec(Hkv, 2), kv_pspec(Hkv, 2), fb_spec),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def tp_step(params, k_pages, v_pages, fb):
         hidden, k_pages, v_pages = model.forward(

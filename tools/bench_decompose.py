@@ -63,7 +63,7 @@ with open(os.path.join(model_dir, "config.json"), "w") as f:
     json.dump(LLAMA3_8B_CONFIG, f)
 
 n_reqs, in_len, out_len = 128, 128, 128
-page_size = int(os.environ.get("BENCH_PAGE_SIZE", 64))
+page_size = int(os.environ.get("BENCH_PAGE_SIZE", 128))
 decode_steps_per_batch = int(os.environ.get("BENCH_DECODE_STEPS", 16))
 eng = Engine(ServerArgs(
     model_path=model_dir, load_format="dummy",

@@ -90,7 +90,7 @@ def attn_chain(B, Hkv, Hq, hd, ps, pages_per_seq, kv_mean):
                     page_size=ps, interpret=False)
                 return c + o * 1e-6, ()
             c, _ = jax.lax.scan(body, q, None, length=n)
-            return c
+            return jnp.sum(c)  # scalar: slope() host-fetches a float
         return chain, (q0, kf, vf)
     return make
 
