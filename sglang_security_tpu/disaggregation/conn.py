@@ -25,6 +25,11 @@ from typing import Dict, Optional
 
 import numpy as np
 
+try:  # registers the "bfloat16" numpy dtype name used on the wire
+    import ml_dtypes  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
 logger = logging.getLogger(__name__)
 
 
@@ -104,7 +109,98 @@ class FakeBootstrapServer(BaseBootstrapServer):
 # ------------------------------------------------------------------ tcp
 MAGIC = b"SGLT"
 MAGIC_CHUNKED = b"SGLC"
+MAGIC_STREAM = b"SGLS"
 CHUNK_BYTES = 4 << 20  # per-write granularity (reference's per-layer chunks)
+_FRAME_HDR = struct.Struct("<qqQQ")  # token_start, n_tokens, k_len, v_len
+
+
+class StreamingKVSender:
+    """Progressive KV push over one persistent connection: page-aligned
+    chunks stream to the decode server WHILE later prefill chunks still
+    compute (the reference's layer-by-layer send during prefill,
+    ``mooncake/conn.py:233-288``).  The TPU-native progressive unit is
+    the prefill CHUNK — one jit computes all layers of a chunk, so KV
+    becomes available chunk-by-chunk, not layer-by-layer; within a
+    chunk the receiver still gets bounded sub-writes and imports each
+    chunk into its pool as it lands."""
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0):
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+        self._sock: Optional[socket.socket] = None
+
+    def begin(self, room: int, token_ids: list, dtype: str,
+              meta: Optional[dict] = None) -> bool:
+        head = {
+            "room": room,
+            "token_ids": token_ids,
+            "dtype": dtype,
+            "meta": meta or {},
+        }
+        try:
+            self._sock = socket.create_connection(
+                (self.host, self.port), timeout=self.timeout
+            )
+            blob = pickle.dumps(head, protocol=pickle.HIGHEST_PROTOCOL)
+            self._sock.sendall(
+                MAGIC_STREAM + struct.pack("<Q", len(blob)) + blob
+            )
+            return True
+        except OSError as e:
+            logger.error("KV stream begin to %s:%d failed: %s",
+                         self.host, self.port, e)
+            self.abort()
+            return False
+
+    def send_chunk(self, token_start: int, k_np, v_np) -> bool:
+        """k_np/v_np: [L, Hkv, n_tokens, hd] host arrays for this chunk."""
+        if self._sock is None:
+            return False
+        kb, vb = k_np.tobytes(), v_np.tobytes()
+        hdr = _FRAME_HDR.pack(token_start, k_np.shape[2], len(kb), len(vb))
+        shape = pickle.dumps(
+            (tuple(k_np.shape), tuple(v_np.shape)),
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+        try:
+            self._sock.sendall(hdr + struct.pack("<Q", len(shape)) + shape)
+            for data in (kb, vb):
+                for off in range(0, len(data), CHUNK_BYTES):
+                    self._sock.sendall(data[off : off + CHUNK_BYTES])
+            return True
+        except OSError as e:
+            logger.error("KV stream chunk failed: %s", e)
+            self.abort()
+            return False
+
+    def finish(self, first_token: int, meta: Optional[dict] = None) -> bool:
+        if self._sock is None:
+            return False
+        tail = pickle.dumps(
+            {"first_token": first_token, "meta": meta or {}},
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+        try:
+            self._sock.sendall(
+                _FRAME_HDR.pack(-1, 0, 0, 0)
+                + struct.pack("<Q", len(tail)) + tail
+            )
+            ack = self._sock.recv(2)
+            return ack == b"ok"
+        except OSError as e:
+            logger.error("KV stream finish failed: %s", e)
+            return False
+        finally:
+            self.abort()
+
+    def abort(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
 
 
 class TcpKVSender(BaseKVSender):
@@ -168,6 +264,9 @@ class TcpBootstrapServer(BaseBootstrapServer, BaseKVReceiver):
         self._rooms: Dict[int, KVPayload] = {}
         self._failed: set = set()
         self._progress: Dict[int, float] = {}  # room -> last chunk time
+        # streaming rooms: room -> {"head": dict, "frames": [(start,
+        # k_np, v_np)], "done": bool, "first_token": int|None}
+        self._staging: Dict[int, dict] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._sock: Optional[socket.socket] = None
@@ -215,6 +314,9 @@ class TcpBootstrapServer(BaseBootstrapServer, BaseKVReceiver):
                         self._rooms[payload.room] = payload
                     conn.sendall(b"ok")
                     return
+                if head[:4] == MAGIC_STREAM:
+                    self._handle_stream(conn, n)
+                    return
                 if head[:4] != MAGIC_CHUNKED:
                     return
                 blob = self._recv_exact(conn, n)
@@ -255,6 +357,99 @@ class TcpBootstrapServer(BaseBootstrapServer, BaseKVReceiver):
                 with self._lock:
                     self._failed.add(room)
                     self._progress.pop(room, None)
+
+    def _handle_stream(self, conn: socket.socket, head_len: int) -> None:
+        """Streaming protocol: header, then (frame-hdr, shapes, K bytes,
+        V bytes)* until an end frame (token_start = -1) carrying the
+        first token.  Frames become visible to ``poll_stream`` as they
+        land, so the decode scheduler imports KV while later prefill
+        chunks are still computing/transferring.  A dropped connection
+        mid-stream marks the room failed (and poisons its staging)."""
+        import time as _time
+
+        room = None
+        try:
+            blob = self._recv_exact(conn, head_len)
+            if blob is None:
+                return
+            head = pickle.loads(blob)
+            room = head["room"]
+            with self._lock:
+                self._staging[room] = {
+                    "head": head, "frames": [], "done": False,
+                    "first_token": None, "tail_meta": {},
+                }
+                self._progress[room] = _time.monotonic()
+            while True:
+                fh = self._recv_exact(conn, _FRAME_HDR.size + 8)
+                if fh is None:
+                    raise OSError("peer closed mid-stream")
+                token_start, n_tok, k_len, v_len = _FRAME_HDR.unpack(
+                    fh[: _FRAME_HDR.size]
+                )
+                (blob_len,) = struct.unpack("<Q", fh[_FRAME_HDR.size:])
+                blob = self._recv_exact(conn, blob_len)
+                if blob is None:
+                    raise OSError("peer closed mid-stream")
+                if token_start < 0:  # end frame
+                    tail = pickle.loads(blob)
+                    with self._lock:
+                        st = self._staging.get(room)
+                        if st is not None:
+                            st["first_token"] = tail["first_token"]
+                            st["tail_meta"] = tail.get("meta", {})
+                            st["done"] = True
+                        self._progress.pop(room, None)
+                    conn.sendall(b"ok")
+                    return
+                k_shape, v_shape = pickle.loads(blob)
+                bufs = []
+                for total in (k_len, v_len):
+                    buf = bytearray(total)
+                    got = 0
+                    while got < total:
+                        chunk = conn.recv(min(total - got, CHUNK_BYTES))
+                        if not chunk:
+                            raise OSError("peer closed mid-stream")
+                        buf[got : got + len(chunk)] = chunk
+                        got += len(chunk)
+                        with self._lock:
+                            self._progress[room] = _time.monotonic()
+                    bufs.append(bytes(buf))
+                dtype = np.dtype(head["dtype"])
+                k_np = np.frombuffer(bufs[0], dtype).reshape(k_shape)
+                v_np = np.frombuffer(bufs[1], dtype).reshape(v_shape)
+                with self._lock:
+                    st = self._staging.get(room)
+                    if st is not None:
+                        st["frames"].append((token_start, k_np, v_np))
+        except OSError as e:
+            if room is not None:
+                logger.error("KV stream for room %s died: %s", room, e)
+                with self._lock:
+                    self._failed.add(room)
+                    self._staging.pop(room, None)
+                    self._progress.pop(room, None)
+
+    def poll_stream(self, room: int) -> Optional[dict]:
+        """Drain newly-arrived frames for a streaming room.  Returns
+        {"head", "frames" (new since last poll), "done", "first_token"}
+        or None if no stream has begun for the room."""
+        with self._lock:
+            st = self._staging.get(room)
+            if st is None:
+                return None
+            frames, st["frames"] = st["frames"], []
+            out = {
+                "head": st["head"],
+                "frames": frames,
+                "done": st["done"],
+                "first_token": st["first_token"],
+                "tail_meta": st["tail_meta"],
+            }
+            if st["done"] and not st["frames"]:
+                self._staging.pop(room, None)
+            return out
 
     @staticmethod
     def _recv_exact(conn, n):

@@ -13,10 +13,11 @@ collectives line up (the multi-controller SPMD requirement).
 
 Determinism notes: requests carry node-0's timestamps (pickled
 verbatim), the RNG key derives from --random-seed, and scheduler
-decisions are pure functions of (state, op batch).  Known limitation:
-SafeKV's wall-clock global epoch can diverge across nodes under cache
-eviction pressure — broadcast-epoch is future work, so nnodes > 1
-currently requires --enable-safekv off.
+decisions are pure functions of (state, op batch).  SafeKV's global
+epoch rides the same stream: the leader prepends ("__epoch__", value)
+to every broadcast and followers pin their GlobalEpoch to it
+(global_epoch.py pin), so attack-window statistics and probe-eviction
+decisions are identical on every node.
 """
 
 from __future__ import annotations

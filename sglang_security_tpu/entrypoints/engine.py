@@ -221,7 +221,16 @@ class Engine:
         """Apply one control-stream op.  On the leader ``reply`` is the
         caller's reply queue; followers pass None and discard results."""
         ok = True
-        if kind == "req":
+        if kind == "__epoch__":
+            # follower: pin the SafeKV global epoch to the leader's
+            # broadcast value (leader re-applies its own value; no-op)
+            from sglang_security_tpu.global_epoch import global_epoch
+
+            if self._control_plane is not None and (
+                not self._control_plane.is_leader
+            ):
+                global_epoch.pin(int(payload))
+        elif kind == "req":
             scheduler.add_request(payload)
         elif kind == "abort":
             scheduler.abort_request(payload)
@@ -301,8 +310,16 @@ class Engine:
             if cp is not None and (ops or scheduler.has_work()):
                 # wire form drops the reply queues (followers discard
                 # results); one broadcast per scheduler iteration keeps
-                # every node's step sequence identical
-                cp.broadcast([(k, p) for k, p, _ in ops])
+                # every node's step sequence identical.  SafeKV rides
+                # multi-host by shipping the leader's wall-clock epoch in
+                # the same stream: followers pin to it, so attack-window
+                # stats and probe-eviction decisions never diverge.
+                wire = [(k, p) for k, p, _ in ops]
+                if self.server_args.enable_safekv:
+                    from sglang_security_tpu.global_epoch import global_epoch
+
+                    wire.insert(0, ("__epoch__", int(global_epoch.value)))
+                cp.broadcast(wire)
             for kind, payload, reply in ops:
                 self._apply_op(scheduler, runner, kind, payload, reply)
             if scheduler.has_work():

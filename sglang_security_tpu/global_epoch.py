@@ -30,10 +30,23 @@ class GlobalEpoch:
         self.window = float(window)
         self._start = time.monotonic()
         self._offset = 0  # test-controlled manual advancement
+        self._pinned = None  # multi-host follower: leader-broadcast value
 
     @property
     def value(self) -> int:
+        if self._pinned is not None:
+            return self._pinned
         return int((time.monotonic() - self._start) / self.window) + self._offset
+
+    def pin(self, value: int) -> None:
+        """Multi-host followers: the epoch is whatever the leader last
+        broadcast over the control-plane op stream — local wall clocks
+        are never consulted again, so eviction/attack-window decisions
+        (mem_cache/radix_cache.py) are identical on every node.  Kept
+        monotonic: a late/reordered pin can never move the epoch back."""
+        v = int(value)
+        if self._pinned is None or v > self._pinned:
+            self._pinned = v
 
     def advance(self, n: int = 1) -> int:
         """Manually advance the epoch by ``n`` windows (testing hook)."""
@@ -51,6 +64,7 @@ class GlobalEpoch:
     def reset(self) -> None:
         self._start = time.monotonic()
         self._offset = 0
+        self._pinned = None
 
     def __int__(self) -> int:
         return self.value

@@ -56,6 +56,20 @@ def merge_for_tp(ws, tp_size: int, biases=None):
 
 _DEFAULT_GROUP_SIZE = 128
 
+# Trace-time activation-path override for int4 linears.  The runner sets
+# "int8" around DECODE step tracing/dispatch when --decode-act-int8 is on
+# (default; gated by FIDELITY_r04.json: int8 activations add ~nothing on
+# top of weight-int4 error, and the int8 MXU path runs at 2x bf16 rate —
+# QServe-style w4a8 for the bandwidth-bound decode phase only).  Prefill
+# and spec-verify traces keep bf16 activations.
+_ACT_OVERRIDE = None
+
+
+def set_act_override(mode):
+    """mode: None (bf16 activations) or "int8" (w4a8 decode)."""
+    global _ACT_OVERRIDE
+    _ACT_OVERRIDE = mode
+
 
 def set_default_group_size(n: int) -> None:
     """--quantization-group-size: group width for quantize-at-load int4
@@ -172,13 +186,15 @@ def apply_linear(x: jax.Array, p: dict, group_size: int = 0) -> jax.Array:
         ).astype(x.dtype)
     elif "packed" in p or "packed_a8" in p:
         # group size is implied by the scale rows: K / (K/G); the
-        # "packed_a8" key selects w4a8 (int8 activations, 2x MXU rate)
+        # "packed_a8" key (or the decode-time act override) selects w4a8
+        # (int8 activations, 2x MXU rate)
         packed = p.get("packed", p.get("packed_a8"))
         g = group_size or 2 * packed.shape[0] // p["scale"].shape[0]
+        act_int8 = "packed_a8" in p or _ACT_OVERRIDE == "int8"
         out = int4_matmul(
             x2, packed, p["scale"], p["zero"],
             group_size=g, out_dtype=x.dtype,
-            act="int8" if "packed_a8" in p else "bf16",
+            act="int8" if act_int8 else "bf16",
         )
     elif "w_q" in p:
         out = w8a8_matmul(x2, p["w_q"], p["w_scale"], out_dtype=x.dtype)

@@ -675,6 +675,9 @@ class Scheduler:
             if req.extend_len > 0:
                 # mid-chunk: no token produced yet; publish shared prefix
                 self._cache_unfinished(req)
+                if self.disagg_mode == "prefill":
+                    # stream this chunk's KV while later chunks compute
+                    self._stream_disagg_chunk(req, final=False)
                 continue
             if self.eagle is not None:
                 req.spec_pending = [int(tokens[i])]
@@ -685,6 +688,50 @@ class Scheduler:
                 self.running.append(req)
 
     # ------------------------------------------------- PD disaggregation
+    def _stream_disagg_chunk(self, req: Req, final: bool) -> None:
+        """Prefill server: push the newly computed page-aligned KV of a
+        chunked request over the room's persistent stream, overlapping
+        DCN transfer with the remaining chunks' compute (the reference's
+        per-layer send during prefill, mooncake/conn.py:233-288; here
+        the progressive unit is the prefill chunk — one jit computes all
+        layers of a chunk).  On any stream error the final send falls
+        back to the monolithic payload."""
+        if (
+            req.bootstrap_room is None
+            or self.server_args.disaggregation_transfer_backend == "fake"
+        ):
+            return
+        if getattr(req, "disagg_stream_failed", False):
+            return
+        from sglang_security_tpu.disaggregation.conn import StreamingKVSender
+
+        ps = self.page_size
+        sent = getattr(req, "disagg_sent_pages", 0)
+        end_pages = (
+            cdiv(req.computed_len, ps) if final else req.computed_len // ps
+        )
+        if end_pages <= sent:
+            return
+        k_np, v_np = self.runner.export_kv(req.pages[sent:end_pages])
+        stream = getattr(req, "disagg_stream", None)
+        if stream is None:
+            stream = StreamingKVSender(
+                req.bootstrap_host or "127.0.0.1",
+                req.bootstrap_port
+                or self.server_args.disaggregation_bootstrap_port,
+            )
+            if not stream.begin(
+                req.bootstrap_room, req.input_ids, dtype=str(k_np.dtype)
+            ):
+                req.disagg_stream_failed = True
+                return
+            req.disagg_stream = stream
+        if not stream.send_chunk(sent * ps, k_np, v_np):
+            req.disagg_stream_failed = True
+            req.disagg_stream = None
+            return
+        req.disagg_sent_pages = end_pages
+
     def _send_disagg_kv(self, req: Req) -> None:
         """Prefill server: hand the computed KV + first token to the
         decode fleet via the request's bootstrap room, then finish."""
@@ -696,6 +743,34 @@ class Scheduler:
         if req.bootstrap_room is None:
             self.running.append(req)  # no pairing: behave as a normal server
             return
+        # streaming path: flush the tail pages + end frame; fall back to
+        # the monolithic payload if the stream broke at any point
+        if getattr(req, "disagg_stream", None) is not None or (
+            self.server_args.disaggregation_transfer_backend != "fake"
+            and not getattr(req, "disagg_stream_failed", False)
+            and getattr(req, "disagg_sent_pages", 0) == 0
+            and req.computed_len > 0
+        ):
+            self._stream_disagg_chunk(req, final=True)
+            stream = getattr(req, "disagg_stream", None)
+            if stream is not None and not getattr(
+                req, "disagg_stream_failed", False
+            ):
+                ok = stream.finish(
+                    req.output_ids[-1], meta={"n": req.computed_len}
+                )
+                req.disagg_stream = None
+                if ok:
+                    req.finished_reason = FinishReason.STOP
+                    self._emit(req, [], finished=True,
+                               reason=FinishReason.STOP)
+                    self._cache_finished(req)
+                    self._release_penalty_slot(req)
+                    return
+                logger.error(
+                    "disagg KV stream finish failed for room %s; "
+                    "falling back to monolithic send", req.bootstrap_room,
+                )
         n = req.computed_len
         n_pages = cdiv(n, self.page_size)
         k_np, v_np = self.runner.export_kv(req.pages[:n_pages])
@@ -723,6 +798,52 @@ class Scheduler:
         self._cache_finished(req)
         self._release_penalty_slot(req)
 
+    def _ingest_disagg_stream(self, req: Req, st: Optional[dict]) -> bool:
+        """Import newly-arrived streamed KV frames into the pool as they
+        land (transfer/import overlap with the prefill side's remaining
+        compute).  Returns True when the request was fully admitted."""
+        frames = getattr(req, "disagg_frames", None)
+        if frames is None:
+            frames = req.disagg_frames = []
+        if st is not None:
+            frames.extend(st["frames"])
+            req.disagg_head = st["head"]
+            if st["done"]:
+                req.disagg_first_token = st["first_token"]
+                req.disagg_n = int(st["tail_meta"].get(
+                    "n", len(st["head"]["token_ids"])
+                ))
+                req.disagg_done = True
+        if not getattr(req, "disagg_pages_ready", False):
+            head = getattr(req, "disagg_head", None)
+            if head is None:
+                return False
+            n_total = len(head["token_ids"])
+            pages = self._alloc_pages(cdiv(n_total, self.page_size))
+            if pages is None:
+                return False  # retry next tick (frames stay buffered)
+            req.pages = pages
+            req.disagg_pages_ready = True
+            req.disagg_token_ids = list(head["token_ids"])
+        ps = self.page_size
+        while frames:
+            token_start, k_np, v_np = frames.pop(0)
+            pg0 = token_start // ps
+            npg = cdiv(k_np.shape[2], ps)
+            self.runner.import_kv(req.pages[pg0 : pg0 + npg], k_np, v_np)
+        if not getattr(req, "disagg_done", False):
+            return False
+        n = req.disagg_n
+        req.input_ids = req.disagg_token_ids[:n]
+        req.computed_len = n
+        self.disagg_waiting.remove(req)
+        self._append_token(req, req.disagg_first_token, 0.0)
+        if req.finished():
+            self._cache_finished(req)
+        else:
+            self.running.append(req)
+        return True
+
     def _poll_disagg_kv(self) -> None:
         """Decode server: admit requests whose KV has arrived."""
         import numpy as _np
@@ -730,6 +851,34 @@ class Scheduler:
         import ml_dtypes  # noqa: F401  (np dtype registry for bfloat16)
 
         for req in list(self.disagg_waiting):
+            if hasattr(self.kv_bootstrap, "poll_stream"):
+                st = self.kv_bootstrap.poll_stream(req.bootstrap_room)
+                stream_started = (
+                    st is not None
+                    or getattr(req, "disagg_head", None) is not None
+                )
+                if stream_started:
+                    if self._ingest_disagg_stream(req, st):
+                        continue
+                    # mid-stream death: the receiver poisons the room;
+                    # free any pages already imported and abort
+                    if not getattr(
+                        req, "disagg_done", False
+                    ) and self.kv_bootstrap.is_failed(req.bootstrap_room):
+                        logger.error(
+                            "disagg stream for room %s failed mid-"
+                            "transfer; aborting %s",
+                            req.bootstrap_room, req.rid,
+                        )
+                        self.disagg_waiting.remove(req)
+                        if getattr(req, "disagg_pages_ready", False):
+                            self.allocators[req.dp_shard].free(req.pages)
+                            req.pages = np.empty(0, np.int32)
+                            req.disagg_pages_ready = False
+                        req.finished_reason = FinishReason.ABORT
+                        self._emit(req, [], finished=True,
+                                   reason=FinishReason.ABORT)
+                    continue
             payload = self.kv_bootstrap.poll(req.bootstrap_room)
             if payload is None:
                 # failure paths: transfer died mid-stream, or the room's

@@ -309,6 +309,13 @@ class ModelRunner:
             self.kv_pool.mem_usage_bytes() / 1e9,
         )
         self._step_cache: Dict[tuple, callable] = {}
+        # w4a8 decode (FIDELITY_r04.json gate): int8 activations on the
+        # weight-int4 linears for DECODE traces only — 2x MXU rate on the
+        # bandwidth-bound phase; prefill/verify keep bf16 activations
+        self.decode_act_int8 = bool(
+            server_args.decode_act_int8
+            and (server_args.quantization or "") in ("int4", "awq", "gptq")
+        )
         self._last_input_lps = None  # prompt logprobs of the last prefill
         self.eagle = None  # EagleWorker when speculative_algorithm == EAGLE
         self._rng_key = jax.random.PRNGKey(server_args.random_seed)
@@ -1246,29 +1253,40 @@ class ModelRunner:
             sm[:, :S_real] = slot_mat
         self._rng_key, sub = jax.random.split(self._rng_key)
         penalized, counts, pslots = self._get_penalty_state(plan, S)
-        fn = self._get_multi_step(
-            S, PPS, num_steps, penalized, self._sampling_mode(plan)
-        )
-        step0_tokens = fb.token_ids
-        if token_ids_dev is not None:
-            assert token_ids_dev.shape == (S,), (token_ids_dev.shape, S)
-            step0_tokens = token_ids_dev
-        toks, lps, k_pages, v_pages, counts = fn(
-            self.params,
-            self.kv_pool.k_pages,
-            self.kv_pool.v_pages,
-            step0_tokens,
-            fb.positions,
-            jnp.asarray(sm),
-            fb.kv_lens,
-            fb.page_indices,
-            st,
-            sub,
-            counts,
-            pslots,
-            self._lora_step_params() if plan.lora_ids is not None else None,
-            fb.lora_ids,
-        )
+        if self.decode_act_int8:
+            # trace-time switch: the multi-step decode trace (first call
+            # compiles) takes the int8-activation linear path
+            from sglang_security_tpu.layers.linear import set_act_override
+
+            set_act_override("int8")
+        try:
+            fn = self._get_multi_step(
+                S, PPS, num_steps, penalized, self._sampling_mode(plan)
+            )
+            step0_tokens = fb.token_ids
+            if token_ids_dev is not None:
+                assert token_ids_dev.shape == (S,), (token_ids_dev.shape, S)
+                step0_tokens = token_ids_dev
+            toks, lps, k_pages, v_pages, counts = fn(
+                self.params,
+                self.kv_pool.k_pages,
+                self.kv_pool.v_pages,
+                step0_tokens,
+                fb.positions,
+                jnp.asarray(sm),
+                fb.kv_lens,
+                fb.page_indices,
+                st,
+                sub,
+                counts,
+                pslots,
+                self._lora_step_params()
+                if plan.lora_ids is not None else None,
+                fb.lora_ids,
+            )
+        finally:
+            if self.decode_act_int8:
+                set_act_override(None)
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
         if penalized:
@@ -1510,24 +1528,34 @@ class ModelRunner:
         ]
         x_all = None
         input_lps = None
-        if eagle_on:
-            args += list(self._eagle_ft_args(plan.ft_rows, S))
-            tokens, logprobs, k_pages, v_pages, counts, ft, x_all = fn(*args)
-            self.eagle.ft = ft
-            if not plan.is_decode:
-                self._eagle_prefill_ctx = (fb, T, S, PPS, x_all)
-        elif prompt_lp:
-            tokens, logprobs, k_pages, v_pages, counts, x_all = fn(*args)
-            targets = np.full(T, -1, np.int32)
-            targets[: len(plan.lp_targets)] = plan.lp_targets
-            input_lps = np.asarray(jax.device_get(
-                self._get_prompt_lp_fn(T)(
-                    self.params, x_all, jnp.asarray(targets)
-                )
-            ))
-            self._last_input_lps = input_lps
-        else:
-            tokens, logprobs, k_pages, v_pages, counts = fn(*args)
+        act_int8 = self.decode_act_int8 and plan.is_decode
+        if act_int8:  # single-step decode trace also runs w4a8
+            from sglang_security_tpu.layers.linear import set_act_override
+
+            set_act_override("int8")
+        try:
+            if eagle_on:
+                args += list(self._eagle_ft_args(plan.ft_rows, S))
+                (tokens, logprobs, k_pages, v_pages, counts, ft,
+                 x_all) = fn(*args)
+                self.eagle.ft = ft
+                if not plan.is_decode:
+                    self._eagle_prefill_ctx = (fb, T, S, PPS, x_all)
+            elif prompt_lp:
+                tokens, logprobs, k_pages, v_pages, counts, x_all = fn(*args)
+                targets = np.full(T, -1, np.int32)
+                targets[: len(plan.lp_targets)] = plan.lp_targets
+                input_lps = np.asarray(jax.device_get(
+                    self._get_prompt_lp_fn(T)(
+                        self.params, x_all, jnp.asarray(targets)
+                    )
+                ))
+                self._last_input_lps = input_lps
+            else:
+                tokens, logprobs, k_pages, v_pages, counts = fn(*args)
+        finally:
+            if act_int8:
+                set_act_override(None)
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
         if penalized:

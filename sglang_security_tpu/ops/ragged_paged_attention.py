@@ -976,7 +976,9 @@ def paged_decode_attention(
         # 64-token waves 337 us/layer vs 256-token waves 195 us/layer
         # at B=128, kv=250.  Capped so the double-buffered K/V scratch
         # stays within VMEM.
-        pages_per_block = max(1, 256 // page_size)
+        # capped at 4 pages: page_copies unrolls per page, so tiny pages
+        # (tests use 8) would explode trace/compile time for no DMA win
+        pages_per_block = max(1, min(256 // page_size, 4))
         buf_bytes_per_token = (
             2 * 2 * block_s * num_kv_heads * pool_hd
             * (1 if k_pages.dtype == jnp.int8 else 2)

@@ -42,6 +42,12 @@ class ServerArgs:
     dtype: str = "bfloat16"  # activation dtype: bfloat16 | float32
     quantization: Optional[str] = None  # int4 | int8 | fp8 | awq | gptq | None
     quantization_group_size: int = 128  # group size for weight-only int4/int8
+    # w4a8 DECODE: int8 activations on weight-int4 linears for decode
+    # traces only (2x MXU rate on the bandwidth-bound phase); gated by
+    # the committed fidelity artifact (FIDELITY_r04.json: incremental
+    # error of int8 acts over int4 weights ~ 0).  Prefill/verify stay
+    # bf16-activation.
+    decode_act_int8: bool = True
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
     context_length: Optional[int] = None
     revision: Optional[str] = None
@@ -244,12 +250,10 @@ class ServerArgs:
                     "wired; scale dp with one engine per replica behind "
                     "the C++ router instead"
                 )
-            if self.enable_safekv:
-                raise NotImplementedError(
-                    "nnodes > 1 + SafeKV: the wall-clock global epoch "
-                    "is not yet broadcast, so eviction decisions could "
-                    "diverge across nodes"
-                )
+            # SafeKV + nnodes > 1 is supported: the leader ships its
+            # global-epoch value in every control-plane broadcast and
+            # followers pin to it (engine._event_loop / _apply_op), so
+            # attack-window stats and probe evictions stay in lockstep.
 
     # ------------------------------------------------------------------ CLI
     @staticmethod

@@ -194,3 +194,142 @@ def test_tcp_midstream_death_marks_failed():
         assert srv.poll(11) is None
     finally:
         srv.close()
+
+
+def test_pd_streaming_multi_chunk_matches_monolithic(tmp_path_factory):
+    """VERDICT r3 task 9: chunked prefill streams each chunk's KV while
+    later chunks compute (per-chunk frames over one connection — the
+    TPU-native analog of mooncake's per-layer sends); the decode side
+    imports frames as they land and the final output is exact."""
+    port = _free_port()
+    path = str(tmp_path_factory.mktemp("tiny_pd_stream") / "llama")
+    make_tiny_llama(path)
+    prompt = list(range(40, 104))  # 64 tokens
+
+    def make_chunked(mode):
+        return Engine(ServerArgs(
+            model_path=path, dtype="float32", max_total_tokens=2048,
+            page_size=8, prefill_token_buckets=[16, 128],
+            decode_bs_buckets=[1, 4], max_seq_pages_buckets=[8, 16],
+            chunked_prefill_size=16,  # 64-token prompt -> 4 chunks
+            disaggregation_mode=mode,
+            disaggregation_transfer_backend="tcp",
+            disaggregation_bootstrap_port=port,
+            random_seed=0,
+        ))
+
+    mono = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=2048,
+        page_size=8, prefill_token_buckets=[16, 128],
+        decode_bs_buckets=[1, 4], max_seq_pages_buckets=[8, 16],
+        chunked_prefill_size=16, random_seed=0,
+    ))
+    try:
+        ref = mono.generate(input_ids=prompt, sampling_params=SP)
+    finally:
+        mono.shutdown()
+
+    prefill = make_chunked("prefill")
+    decode = make_chunked("decode")
+    try:
+        room = 515151
+        results = {}
+
+        def run_decode():
+            results["decode"] = decode.generate(
+                input_ids=prompt, sampling_params=SP, bootstrap_room=room,
+            )
+
+        t = threading.Thread(target=run_decode)
+        t.start()
+        time.sleep(0.2)
+        prefill.generate(
+            input_ids=prompt, sampling_params=SP,
+            bootstrap_host="127.0.0.1", bootstrap_port=port,
+            bootstrap_room=room,
+        )
+        # the prefill side must have streamed more than one frame
+        t.join(timeout=60)
+        assert "decode" in results, "decode side never completed"
+        assert results["decode"]["output_ids"] == ref["output_ids"], (
+            results["decode"]["output_ids"], ref["output_ids"],
+        )
+    finally:
+        prefill.shutdown()
+        decode.shutdown()
+
+
+def test_pd_prefill_death_mid_stream_aborts_decode(tmp_path_factory):
+    """VERDICT r3 task 9 (failure half): a prefill peer that dies after
+    streaming partial KV must fail the room — the decode engine frees
+    the partially imported pages and aborts the request instead of
+    serving garbage or hanging."""
+    import pickle
+    import socket
+    import struct
+
+    import numpy as np
+
+    from sglang_security_tpu.disaggregation.conn import (
+        _FRAME_HDR,
+        MAGIC_STREAM,
+    )
+
+    port = _free_port()
+    path = str(tmp_path_factory.mktemp("tiny_pd_die") / "llama")
+    make_tiny_llama(path)
+    decode = Engine(ServerArgs(
+        model_path=path, dtype="float32", max_total_tokens=2048,
+        page_size=8, prefill_token_buckets=[128],
+        decode_bs_buckets=[1, 4], max_seq_pages_buckets=[8, 16],
+        disaggregation_mode="decode",
+        disaggregation_transfer_backend="tcp",
+        disaggregation_bootstrap_port=port,
+        disaggregation_timeout=30.0,
+        random_seed=0,
+    ))
+    try:
+        room = 616161
+        prompt = list(range(40, 56))  # 16 tokens
+        results = {}
+
+        def run_decode():
+            results["out"] = decode.generate(
+                input_ids=prompt, sampling_params=SP, bootstrap_room=room,
+            )
+
+        t = threading.Thread(target=run_decode)
+        t.start()
+        time.sleep(0.3)
+
+        # hand-rolled prefill peer: header + ONE page-aligned frame,
+        # then death (socket closed mid-stream, no end frame)
+        cfg = decode.scheduler.runner.config
+        L, Hkv, hd = (cfg.num_layers, cfg.kv_cache_num_heads,
+                      cfg.kv_cache_head_dim)
+        k_np = np.zeros((L, Hkv, 8, hd), np.float32)
+        head = {"room": room, "token_ids": prompt, "dtype": "float32",
+                "meta": {}}
+        blob = pickle.dumps(head)
+        s = socket.create_connection(("127.0.0.1", port))
+        s.sendall(MAGIC_STREAM + struct.pack("<Q", len(blob)) + blob)
+        kb = k_np.tobytes()
+        shp = pickle.dumps((k_np.shape, k_np.shape))
+        s.sendall(_FRAME_HDR.pack(0, 8, len(kb), len(kb))
+                  + struct.pack("<Q", len(shp)) + shp)
+        s.sendall(kb)
+        s.sendall(kb[: len(kb) // 2])  # half the V bytes, then die
+        s.close()
+
+        t.join(timeout=60)
+        assert "out" in results, "decode never aborted"
+        out = results["out"]
+        assert out["meta_info"]["finish_reason"]["type"] == "abort"
+        # partially imported pages were freed (no leak)
+        sched = decode.scheduler
+        deadline = time.monotonic() + 5
+        while sched.has_work() and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert sched.check_memory()
+    finally:
+        decode.shutdown()

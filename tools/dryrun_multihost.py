@@ -43,6 +43,7 @@ rank = int(sys.argv[1])
 coord = sys.argv[2]
 nnodes = int(sys.argv[3])
 model = sys.argv[4]
+safekv = len(sys.argv) > 5 and sys.argv[5] == "1"
 
 args = ServerArgs(
     model_path=model, dtype="float32", device="cpu",
@@ -52,19 +53,40 @@ args = ServerArgs(
     prefill_token_buckets=[128], decode_bs_buckets=[1, 4],
     max_seq_pages_buckets=[8, 16], random_seed=0,
     enable_warmup=False, log_level="warning",
+    enable_safekv=safekv,
+    # short epoch window so the epoch actually advances during the run
+    # (the follower must track via the broadcast pin, not wall clock)
+    safekv_epoch_seconds=0.05 if safekv else 0,
 )
 eng = Engine(args)
 prompts = ["the quick brown fox", "hello multi host world", "01 23 45"]
 sp = {"temperature": 0.0, "max_new_tokens": 16, "ignore_eos": True}
 if rank == 0:
     outs = eng.generate(prompt=prompts, sampling_params=sp)
+    # re-serve the same prompts: radix-cache hits + SafeKV window stats
+    outs = eng.generate(prompt=prompts, sampling_params=sp)
     print("RESULT " + json.dumps([o["output_ids"] for o in outs]),
           flush=True)
+    cache = eng.schedulers[0].tree_caches[0]
+    from sglang_security_tpu.global_epoch import global_epoch
+    print("CACHESTAT " + json.dumps({
+        "evictable_pages": cache.evictable_pages,
+        "total_pages": cache.total_pages(),
+        "epoch": int(global_epoch.value),
+    }), flush=True)
     eng.shutdown()
 else:
     # follower: the event loop steps in lockstep until the leader
     # closes the control plane
     eng._loop_threads[0].join(timeout=600)
+    cache = eng.schedulers[0].tree_caches[0]
+    from sglang_security_tpu.global_epoch import global_epoch
+    print("CACHESTAT " + json.dumps({
+        "evictable_pages": cache.evictable_pages,
+        "total_pages": cache.total_pages(),
+        "epoch": int(global_epoch.value),
+        "pinned": global_epoch._pinned,
+    }), flush=True)
     print("RESULT follower-done", flush=True)
 """
 
@@ -77,12 +99,13 @@ def free_port() -> int:
     return p
 
 
-def run_cluster(nnodes: int, model: str, coord: str):
+def run_cluster(nnodes: int, model: str, coord: str, safekv: bool = False):
     env = dict(os.environ, SGL_REPO=REPO)
     env.pop("PYTHONPATH", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", CHILD, str(r), coord, str(nnodes), model],
+            [sys.executable, "-c", CHILD, str(r), coord, str(nnodes), model,
+             "1" if safekv else "0"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=REPO,
         )
@@ -93,11 +116,18 @@ def run_cluster(nnodes: int, model: str, coord: str):
         if p.returncode != 0:
             print(f"--- rank {r} output ---\n{o}", file=sys.stderr)
             raise SystemExit(f"rank {r} exited {p.returncode}")
-    for line in outs[0].splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    print(outs[0], file=sys.stderr)
-    raise SystemExit("rank 0 printed no RESULT")
+    result, stats = None, []
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("RESULT ") and result is None:
+                if not line.endswith("follower-done"):
+                    result = json.loads(line[len("RESULT "):])
+            if line.startswith("CACHESTAT "):
+                stats.append(json.loads(line[len("CACHESTAT "):]))
+    if result is None:
+        print(outs[0], file=sys.stderr)
+        raise SystemExit("rank 0 printed no RESULT")
+    return result, stats
 
 
 def main() -> None:
@@ -108,15 +138,40 @@ def main() -> None:
         config={"num_hidden_layers": 2, "num_attention_heads": 8,
                 "num_key_value_heads": 8, "hidden_size": 128},
     )
-    two = run_cluster(2, model, f"127.0.0.1:{free_port()}")
-    one = run_cluster(1, model, f"127.0.0.1:{free_port()}")
+    two, _ = run_cluster(2, model, f"127.0.0.1:{free_port()}")
+    one, _ = run_cluster(1, model, f"127.0.0.1:{free_port()}")
     ok = two == one
+
+    # SafeKV on across both nodes (VERDICT r3 task 8): token parity vs
+    # the safekv single-process run, identical cache state on both
+    # nodes, and the follower's epoch pinned from the leader's stream.
+    skv_two, skv_stats2 = run_cluster(
+        2, model, f"127.0.0.1:{free_port()}", safekv=True
+    )
+    skv_one, _ = run_cluster(
+        1, model, f"127.0.0.1:{free_port()}", safekv=True
+    )
+    skv_ok = skv_two == skv_one
+    cache_parity = (
+        len(skv_stats2) == 2
+        and skv_stats2[0]["evictable_pages"]
+        == skv_stats2[1]["evictable_pages"]
+        and skv_stats2[0]["total_pages"] == skv_stats2[1]["total_pages"]
+    )
+    follower = next((s for s in skv_stats2 if "pinned" in s), {})
+    epoch_pinned = follower.get("pinned") is not None
     print(json.dumps({
         "dryrun": "multihost nnodes=2 tp=8 (4 devices/process, gloo)",
         "token_parity_vs_single_process": ok,
+        "safekv_token_parity": skv_ok,
+        "safekv_cache_parity_across_nodes": cache_parity,
+        "safekv_follower_epoch_pinned": epoch_pinned,
+        "safekv_stats": skv_stats2,
         "tokens": two,
     }))
-    raise SystemExit(0 if ok else 1)
+    raise SystemExit(
+        0 if (ok and skv_ok and cache_parity and epoch_pinned) else 1
+    )
 
 
 if __name__ == "__main__":
