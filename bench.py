@@ -54,6 +54,26 @@ def main() -> None:
     page_size = int(os.environ.get("BENCH_PAGE_SIZE", 128))
     in_len = int(os.environ.get("BENCH_INPUT_LEN", 128))
     out_len = int(os.environ.get("BENCH_OUTPUT_LEN", 128))
+    # speculative variants (VERDICT r3 task 3: put EAGLE on the chip).
+    # BENCH_SPEC in {ngram, eagle, eagle3, tree}: ngram measures a real
+    # accept length (prompt-lookup on the repetitive greedy output of the
+    # dummy-weight model — the honest in-environment accept signal);
+    # eagle/eagle3/tree measure the draft+verify machinery cost with the
+    # random self-draft (accept ~1) — the per-round overhead that, with a
+    # trained draft head at accept a, gives speedup a*t_base/t_round.
+    spec = os.environ.get("BENCH_SPEC", "")
+    spec_steps = int(os.environ.get("BENCH_SPEC_STEPS", 4))
+    spec_topk = int(os.environ.get("BENCH_SPEC_TOPK", 2))
+    extra_args = {}
+    if spec:
+        algo = {"ngram": "NGRAM", "eagle": "EAGLE", "eagle3": "EAGLE3",
+                "tree": "EAGLE"}[spec]
+        extra_args = dict(
+            speculative_algorithm=algo,
+            speculative_num_steps=spec_steps,
+            speculative_num_draft_tokens=spec_steps,
+            speculative_eagle_topk=spec_topk if spec == "tree" else 1,
+        )
 
     eng = Engine(
         ServerArgs(
@@ -74,6 +94,7 @@ def main() -> None:
             enable_warmup=False,
             random_seed=0,
             log_level="warning",
+            **extra_args,
         )
     )
     rng = np.random.default_rng(0)
@@ -91,19 +112,25 @@ def main() -> None:
 
     run_once()  # warm: compiles prefill + decode buckets
     eng.flush_cache()
+    sched = eng.scheduler
+    sched.spec_accept_sum = 0
+    sched.spec_verify_count = 0
     toks, dt = run_once()
     throughput = toks / dt
     baseline = 3800.0
-    print(
-        json.dumps(
-            {
-                "metric": "offline_output_throughput_llama3_8b_int4_dummy",
-                "value": round(throughput, 1),
-                "unit": "tok/s",
-                "vs_baseline": round(throughput / baseline, 3),
-            }
+    out = {
+        "metric": "offline_output_throughput_llama3_8b_int4_dummy"
+        + (f"_spec_{spec}" if spec else ""),
+        "value": round(throughput, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(throughput / baseline, 3),
+    }
+    if spec and sched.spec_verify_count:
+        out["accept_length"] = round(
+            sched.spec_accept_sum / sched.spec_verify_count, 3
         )
-    )
+        out["spec_steps"] = spec_steps
+    print(json.dumps(out))
     eng.shutdown()
 
 

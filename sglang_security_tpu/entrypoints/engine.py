@@ -199,8 +199,9 @@ class Engine:
             return
         t0 = time.time()
         vocab = self.model_runner.config.vocab_size
+        ctx = sa.context_length or self.model_runner.config.max_position
         for ptok in sa.warmup_prefill_tokens:
-            ptok = min(ptok, sa.max_prefill_tokens)
+            ptok = min(ptok, sa.max_prefill_tokens, ctx - 1)
             self.generate(
                 input_ids=[3 % vocab] * ptok,
                 sampling_params={"max_new_tokens": 2, "ignore_eos": True,

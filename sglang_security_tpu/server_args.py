@@ -42,12 +42,14 @@ class ServerArgs:
     dtype: str = "bfloat16"  # activation dtype: bfloat16 | float32
     quantization: Optional[str] = None  # int4 | int8 | fp8 | awq | gptq | None
     quantization_group_size: int = 128  # group size for weight-only int4/int8
-    # w4a8 DECODE: int8 activations on weight-int4 linears for decode
-    # traces only (2x MXU rate on the bandwidth-bound phase); gated by
-    # the committed fidelity artifact (FIDELITY_r04.json: incremental
-    # error of int8 acts over int4 weights ~ 0).  Prefill/verify stay
-    # bf16-activation.
+    # w4a8: int8 activations on weight-int4 linears (QServe-style),
+    # gated by the committed fidelity artifact (FIDELITY_r04.json:
+    # incremental error of int8 acts over int4 weights ~ 0).  Decode
+    # (2x MXU rate on the bandwidth-bound phase) and prefill (mm_slope
+    # r4: int4 M=4096 bf16-act 157-169 TF/s vs int8-act 217-229 TF/s)
+    # each have a switch; spec-verify traces stay bf16-activation.
     decode_act_int8: bool = True
+    prefill_act_int8: bool = True
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
     context_length: Optional[int] = None
     revision: Optional[str] = None
