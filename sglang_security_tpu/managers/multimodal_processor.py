@@ -262,6 +262,105 @@ class Qwen2VLImageProcessor(ImageProcessor):
         )
 
 
+class MllamaImageProcessor(ImageProcessor):
+    """Llama-3.2-Vision tiled processing (HF ``MllamaImageProcessor``):
+    pick the optimal tile canvas for the image's aspect ratio, resize to
+    fit (preserving aspect), pad to the canvas, split into tiles, and
+    normalize.  The ``<|image|>`` placeholder stays a single LM token
+    (mllama feeds vision through cross-attention, not token rows); its
+    id is still replaced by a content-hash pseudo id so the radix cache
+    distinguishes prompts by image."""
+
+    def __init__(self, vision_config: dict, image_token_id: int):
+        from sglang_security_tpu.layers.mllama_vision import (
+            MllamaVisionConfig,
+        )
+
+        self.vcfg = MllamaVisionConfig(vision_config)
+        self.image_token_id = image_token_id
+        self.mean = np.asarray(self.vcfg.image_mean, np.float32).reshape(
+            1, 1, 3
+        )
+        self.std = np.asarray(self.vcfg.image_std, np.float32).reshape(
+            1, 1, 3
+        )
+
+    def _optimal_canvas(self, h: int, w: int):
+        """HF get_optimal_tiled_canvas (image_processing_mllama.py:134):
+        among supported (tiles_h, tiles_w) grids pick the min upscale
+        (or min downscale), tie-broken by smallest canvas area.
+        Returns (tiles_h, tiles_w)."""
+        ts = self.vcfg.image_size
+        best = None
+        arrs = self.vcfg.supported_aspect_ratios
+        scales = []
+        for th, tw in arrs:
+            ch, cw = th * ts, tw * ts
+            scales.append(min(ch / h, cw / w))
+        sc = np.asarray(scales)
+        up = sc[sc >= 1]
+        selected = up.min() if len(up) else sc[sc < 1].max()
+        best_area = None
+        for (th, tw), s in zip(arrs, scales):
+            if s == selected:
+                area = th * tw
+                if best_area is None or area < best_area:
+                    best_area = area
+                    best = (th, tw)
+        return best
+
+    def process_one(self, image) -> MultimodalDataItem:
+        import math
+
+        cfg = self.vcfg
+        ts = cfg.image_size
+        arr = _decode_image(image).astype(np.float32)
+        H, W, _ = arr.shape
+        th, tw = self._optimal_canvas(H, W)
+        ch, cw = th * ts, tw * ts
+        # fit-to-canvas preserving aspect (HF get_image_size_fit_to_canvas)
+        target_w = int(np.clip(W, ts, cw))
+        target_h = int(np.clip(H, ts, ch))
+        scale_h, scale_w = target_h / H, target_w / W
+        if scale_w < scale_h:
+            nw = target_w
+            nh = min(math.floor(H * scale_w) or 1, target_h)
+        else:
+            nh = target_h
+            nw = min(math.floor(W * scale_h) or 1, target_w)
+        arr = _resize_bilinear_hw(arr, nh, nw)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+        arr = (arr - self.mean) / self.std
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        # HF normalizes after padding with 0-pixels; padding regions end
+        # up at (0 - mean)/std — replicate by padding with that constant
+        canvas[:, :] = (0.0 - self.mean) / self.std
+        canvas[:nh, :nw] = arr
+        chw = canvas.transpose(2, 0, 1)  # [3, ch, cw]
+        # split to tiles [th*tw, 3, ts, ts]
+        tiles = (
+            chw.reshape(3, th, ts, tw, ts)
+            .transpose(1, 3, 0, 2, 4)
+            .reshape(th * tw, 3, ts, ts)
+        )
+        mt = cfg.max_num_tiles
+        padded = np.zeros((mt, 3, ts, ts), np.float32)
+        padded[: th * tw] = tiles
+        ar_id = cfg.supported_aspect_ratios.index((th, tw)) + 1
+        h = int.from_bytes(
+            hashlib.sha1(padded.tobytes()).digest()[:8], "little"
+        )
+        return MultimodalDataItem(
+            pixel_values=padded, hash=h, num_tokens=1,
+            vis_meta={
+                "aspect_ratio_id": ar_id,
+                "num_tiles": th * tw,
+                "cross_len": th * tw * cfg.num_patches,
+            },
+        )
+
+
 def compute_mrope_positions(num_tokens: int, items):
     """3D rope positions for one expanded prompt (host numpy).
 
@@ -327,7 +426,9 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
     """
     raw = config.raw if hasattr(config, "raw") else config
     arch = (raw.get("architectures") or [""])[0]
-    vis = raw.get("vision_config")
+    vis = raw.get("vision_config") or raw.get("_outer", {}).get(
+        "vision_config"
+    )
     if vis is None:
         return None
     if arch == "LlavaForConditionalGeneration":
@@ -346,6 +447,13 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             std=vis.get("image_std") or [0.5, 0.5, 0.5],
             image_token_id=raw.get("image_token_index", 262144),
             tokens_per_image=raw.get("mm_tokens_per_image", 256),
+        )
+    if arch == "MllamaForConditionalGeneration":
+        return MllamaImageProcessor(
+            vis,
+            image_token_id=(raw.get("_outer") or raw).get(
+                "image_token_index", 128256
+            ),
         )
     if arch in ("Qwen2VLForConditionalGeneration",
                 "Qwen2_5_VLForConditionalGeneration"):

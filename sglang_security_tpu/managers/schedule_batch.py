@@ -74,6 +74,10 @@ class Req:
         # feature) pairs pending draft-extend (speculative/eagle_worker.py)
         self.spec_slot = -1
         self.spec_pending: List[int] = []
+        # cross-attention VLM (mllama): vision-KV pool slot + valid
+        # vision-token count (models/mllama.py)
+        self.cross_slot = -1
+        self.cross_len = 0
         self.is_embedding = False
         # multimodal inputs (managers.multimodal_processor.MultimodalInputs);
         # image spans in input_ids hold hash-derived pseudo token ids

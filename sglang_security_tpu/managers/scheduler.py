@@ -114,6 +114,10 @@ class Scheduler:
         self.eos_token_ids = set(cfg.eos_token_ids)
         self.vocab_size = cfg.vocab_size
         self._penalty_free = list(range(self.runner.max_penalty_slots))
+        self._cross_free = (
+            list(range(self.runner.cross_slots))
+            if self.runner.cross_pool is not None else []
+        )
         self._init_rest(server_args)
 
     def _make_kv_event_fn(self, server_args):
@@ -200,7 +204,8 @@ class Scheduler:
         )
         self.eagle = None
         if self.spec_algorithm in (
-            SpeculativeAlgorithm.EAGLE, SpeculativeAlgorithm.EAGLE3
+            SpeculativeAlgorithm.EAGLE, SpeculativeAlgorithm.EAGLE3,
+            SpeculativeAlgorithm.NEXTN,
         ):
             from sglang_security_tpu.speculative.eagle_worker import (
                 EagleWorker,
@@ -561,6 +566,25 @@ class Scheduler:
             if req.time_stats.prefill_start == 0:
                 req.time_stats.prefill_start = time.monotonic()
 
+        if self.runner.cross_pool is not None:
+            # cross-attention VLM (mllama): assign a vision-KV slot at
+            # first scheduling and fill it (encode + K/V projections)
+            # before the chunk runs — the image may sit in this chunk's
+            # span, and a radix prefix hit can skip the span entirely
+            # while decode still needs the cross KV
+            fills = []
+            for req in reqs:
+                if (
+                    req.mm_inputs is not None and req.mm_inputs.items
+                    and req.cross_slot < 0
+                ):
+                    assert self._cross_free, "cross slots exhausted"
+                    req.cross_slot = self._cross_free.pop()
+                    it = req.mm_inputs.items[0]
+                    req.cross_len = it.vis_meta["cross_len"]
+                    fills.append((it, req.cross_slot))
+            if fills:
+                self.runner.prepare_cross(fills)
         plan = self._make_plan(
             is_decode=False,
             token_ids=token_ids,
@@ -1612,6 +1636,10 @@ class Scheduler:
             self.eagle.release_slot(req.spec_slot)
             req.spec_slot = -1
             req.spec_pending = []
+        if req.cross_slot >= 0:
+            self._cross_free.append(req.cross_slot)
+            req.cross_slot = -1
+            req.cross_len = 0
 
     def _release_lora_slot(self, req: Req) -> None:
         if req.lora_slot >= 0 and self.runner.lora_manager is not None:
@@ -1723,6 +1751,14 @@ class Scheduler:
             bias_tokens=bias_tokens,
             bias_values=bias_values,
             custom_procs=custom_procs,
+            cross_slots=(
+                np.asarray([r.cross_slot for r in reqs], np.int32)
+                if self.runner.cross_pool is not None else None
+            ),
+            cross_lens=(
+                np.asarray([r.cross_len for r in reqs], np.int32)
+                if self.runner.cross_pool is not None else None
+            ),
         )
 
     def _append_token(self, req: Req, token: int, logprob: float) -> None:

@@ -198,7 +198,8 @@ class TokenizerManager:
         req.is_embedding = t.is_embedding
         req.mm_inputs = t.mm_inputs
         if t.mm_inputs and any(
-            it.vis_meta is not None for it in t.mm_inputs.items
+            it.vis_meta is not None and "llm_grid" in it.vis_meta
+            for it in t.mm_inputs.items
         ):
             # M-RoPE models (Qwen-VL): 3D prompt positions + decode delta
             from sglang_security_tpu.managers.multimodal_processor import (

@@ -53,6 +53,12 @@ class ForwardBatch(NamedTuple):
     # root / padding).  Drives stochastic accept: the draft token fed at
     # row r is evaluated under row spec_parents[r]'s distribution.
     spec_parents: Optional[jax.Array] = None  # [R] i32
+    # cross-attention VLMs (mllama): the per-request vision KV pool in
+    # paged layout + this batch's view of it.  Keys:
+    #   k_pages / v_pages  [C, Hkv, tokens, hd]  (read-only pool)
+    #   page_indices [S, PPSc] i32   kv_lens [S] i32 (1 = null page)
+    #   has_tok [T] i32 — 1 where the row's request has an image
+    cross: Optional[dict] = None
 
     @property
     def num_tokens(self) -> int:

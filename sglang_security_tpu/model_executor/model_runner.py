@@ -96,6 +96,10 @@ class BatchPlan:
     tree_prefix_kv_lens: Optional[np.ndarray] = None  # [S] i32
     # speculative verify: parent sampling-row of each row (-1 = root)
     spec_parents: Optional[np.ndarray] = None  # [R] i32
+    # cross-attention VLMs (mllama): per-seq vision-KV slot (-1 = no
+    # image) and valid vision-token count
+    cross_slots: Optional[np.ndarray] = None  # [S] i32
+    cross_lens: Optional[np.ndarray] = None  # [S] i32
 
 
 @dataclass
@@ -291,8 +295,47 @@ class ModelRunner:
             # stay inside the profiled HBM budget: scratch comes out of
             # the paged region
             self.num_pages -= cdiv(self.spec_scratch_rows, self.page_size)
+        # cross-attention VLMs (mllama): vision KV pool, slot-per-request
+        # page regions (models/mllama.py design note).  Sized before the
+        # self pool so _profile_num_pages' budget is honored jointly.
+        self.cross_pool = None
+        if getattr(self.model, "has_cross_kv", False):
+            assert self.pp_size == 1 and self.dp_attn_size == 1, (
+                "cross-attention VLMs (mllama) support tp/dp-replica "
+                "parallelism; pp and dp-attention are not wired"
+            )
+            assert server_args.speculative_algorithm is None, (
+                "speculative decoding + cross-attention VLM not wired"
+            )
+            ppc = cdiv(self.model.cross_seq_len, self.page_size)
+            self.cross_pages_per_slot = ppc
+            self.cross_slots = server_args.max_running_requests or 256
+            cross_pages = 1 + self.cross_slots * ppc  # page 0 = null
+            self.cross_pool = KVCachePool(
+                num_layers=self.model.num_cross_layers,
+                num_kv_heads=self.config.kv_cache_num_heads,
+                num_pages=cross_pages,
+                page_size=self.page_size,
+                head_dim=self.config.kv_cache_head_dim,
+                dtype=self.dtype,
+                sharding=kv_sharding,
+            )
+            # cross pages come out of the same HBM budget (a cross page
+            # spans C layers vs the self pool's L)
+            self.num_pages -= cdiv(
+                cross_pages * self.model.num_cross_layers,
+                getattr(self.model, "kv_num_layers",
+                        self.config.num_layers),
+            )
+            logger.info(
+                "cross-KV pool: %d slots x %d pages (%.2f GB)",
+                self.cross_slots, ppc,
+                self.cross_pool.mem_usage_bytes() / 1e9,
+            )
         self.kv_pool = KVCachePool(
-            num_layers=self.config.num_layers,
+            num_layers=getattr(
+                self.model, "kv_num_layers", self.config.num_layers
+            ),
             num_kv_heads=self.config.kv_cache_num_heads,
             num_pages=self.num_pages,
             page_size=self.page_size,
@@ -314,6 +357,10 @@ class ModelRunner:
         # bandwidth-bound phase; prefill/verify keep bf16 activations
         self.decode_act_int8 = bool(
             server_args.decode_act_int8
+            and (server_args.quantization or "") in ("int4", "awq", "gptq")
+        )
+        self.prefill_act_int8 = bool(
+            server_args.prefill_act_int8
             and (server_args.quantization or "") in ("int4", "awq", "gptq")
         )
         self._last_input_lps = None  # prompt logprobs of the last prefill
@@ -556,6 +603,36 @@ class ModelRunner:
             lora_ids=None, mm_embeds=None, mm_rows=None,
         )
 
+    def _fb_cross_pspecs(self, fb):
+        """Full-structure spec tree for a ForwardBatch carrying a cross
+        pool: pool leaves get the KV pspec, everything else replicated
+        (cross + dp-attention is unsupported, asserted at init)."""
+        from jax.sharding import PartitionSpec as P
+
+        kvp = self._kv_pspec
+
+        def spec(path, leaf):
+            names = [
+                str(getattr(p, "name", getattr(p, "key", ""))) for p in path
+            ]
+            if "cross" in names and names[-1] in ("k_pages", "v_pages"):
+                return kvp
+            return P()
+
+        import jax.tree_util as jtu
+
+        return jtu.tree_map_with_path(spec, fb)
+
+    def _cross_spec_dict(self):
+        """Spec tree for a bare cross dict passed as its own argument
+        (multi-step decode)."""
+        from jax.sharding import PartitionSpec as P
+
+        return {
+            "k_pages": self._kv_pspec, "v_pages": self._kv_pspec,
+            "page_indices": P(), "kv_lens": P(), "has_tok": P(),
+        }
+
     def _shard_step(self, step, out_specs=None, fb_argnum=3,
                     extra_specs=None, lora_argnum=None):
         """Wrap a step function in shard_map over the runner's mesh: params
@@ -577,6 +654,16 @@ class ModelRunner:
             ] * (n_in - 3)
             if self.dp_attn_size > 1 and fb_argnum is not None:
                 in_specs[fb_argnum] = self._fb_pspecs()
+            elif (
+                fb_argnum is not None
+                and isinstance(args[fb_argnum], ForwardBatch)
+                and args[fb_argnum].cross is not None
+            ):
+                # cross-attention VLM: the vision KV pool rides in
+                # fb.cross and shards over heads like the self pool
+                in_specs[fb_argnum] = self._fb_cross_pspecs(
+                    args[fb_argnum]
+                )
             if extra_specs:
                 for argnum, spec in extra_specs.items():
                     in_specs[argnum] = spec
@@ -884,6 +971,20 @@ class ModelRunner:
         M is bucketed in whole-image units to bound retraces."""
         if plan.mm_rows is None or not plan.mm_items:
             return None, None
+        if self.cross_pool is not None:
+            # cross-attention VLM: vision feeds the cross-KV pool, not
+            # token rows.  The pseudo-id row (radix-cache keyed) just
+            # gets the real <|image|> token embedding back.
+            emb = self._step_cache.get("cross_img_embed")
+            if emb is None:
+                tok = self.model.image_token_id
+                emb = self.params["embed"][tok][None]  # [1, H]
+                self._step_cache["cross_img_embed"] = emb
+            rows = np.full(T, -1, np.int32)
+            rows[: len(plan.mm_rows)] = np.where(
+                np.asarray(plan.mm_rows) >= 0, 0, -1
+            )
+            return emb, jnp.asarray(rows)
         feats = self.prepare_mm(plan.mm_items)
         cat = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=0)
         m_real = cat.shape[0]
@@ -895,6 +996,135 @@ class ModelRunner:
         rows = np.full(T, -1, np.int32)
         rows[: len(plan.mm_rows)] = plan.mm_rows
         return cat, jnp.asarray(rows)
+
+    def _build_cross(self, plan: BatchPlan, T: int, S: int, bq: int):
+        """fb.cross for a cross-attention VLM batch: slot -> page region
+        mapping (slot s owns pages [1 + s*ppc, 1 + (s+1)*ppc)), per-seq
+        kv_lens (min 1: slotless rows attend the null page, then their
+        contribution is zeroed via has_tok), and the per-token has-image
+        mask."""
+        ppc = self.cross_pages_per_slot
+        PPSc = round_up(ppc, 8)
+        slots = np.full(S, -1, np.int64)
+        lens = np.zeros(S, np.int64)
+        if plan.cross_slots is not None:
+            n = len(plan.cross_slots)
+            slots[:n] = plan.cross_slots
+            lens[:n] = plan.cross_lens
+        pi = np.zeros((S, PPSc), np.int32)
+        has_seq = slots >= 0
+        base = 1 + np.maximum(slots, 0) * ppc
+        pi[:, :ppc] = np.where(
+            has_seq[:, None],
+            base[:, None] + np.arange(ppc)[None, :],
+            0,
+        )
+        kv_lens = np.where(has_seq, lens, 1).astype(np.int32)
+        has_tok = np.zeros(T, np.int32)
+        if plan.is_decode:
+            has_tok[: len(plan.kv_lens)] = has_seq[: len(plan.kv_lens)]
+        else:
+            for i, (qs, ql) in enumerate(zip(plan.q_starts, plan.q_lens)):
+                if has_seq[i]:
+                    has_tok[qs: qs + ql] = 1
+        return {
+            "k_pages": self.cross_pool.k_pages,
+            "v_pages": self.cross_pool.v_pages,
+            "page_indices": jnp.asarray(pi),
+            "kv_lens": jnp.asarray(kv_lens),
+            "has_tok": jnp.asarray(has_tok),
+        }
+
+    # ------------------------------------------- cross-KV encode + fill
+    def _get_cross_encode(self):
+        fn = self._step_cache.get("cross_encode")
+        if fn is None:
+            model = self.model
+
+            def enc(params, tiles, ar_id, n_tiles):
+                return model.encode_cross_states(
+                    params, tiles, ar_id, n_tiles
+                )
+
+            if self.mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                enc = lambda *a, _e=enc: shard_map(  # noqa: E731
+                    _e, mesh=self.mesh,
+                    in_specs=(self._pspecs, P(), P(), P()),
+                    out_specs=P(), check_vma=False,
+                )(*a)
+            fn = jax.jit(enc)
+            self._step_cache["cross_encode"] = fn
+        return fn
+
+    def _get_cross_fill(self):
+        fn = self._step_cache.get("cross_fill")
+        if fn is None:
+            model = self.model
+            dtype = self.dtype
+            region = self.cross_pages_per_slot * self.page_size
+
+            def fill(params, ck, cv, states, off):
+                k, v = model.cross_kv_fill(params, states, dtype=dtype)
+                # [C, S_vis, Hkv, hd] -> pool layout [C, Hkv, tokens, hd]
+                k = k.transpose(0, 2, 1, 3)
+                v = v.transpose(0, 2, 1, 3)
+                pad = region - k.shape[2]
+                if pad:
+                    k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                    v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, off, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, off, 0))
+                return ck, cv
+
+            if self.mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                kvp = self._kv_pspec
+
+                def sharded_fill(*a, _f=fill):
+                    return shard_map(
+                        _f, mesh=self.mesh,
+                        in_specs=(self._pspecs, kvp, kvp, P(), P()),
+                        out_specs=(kvp, kvp), check_vma=False,
+                    )(*a)
+
+                fill = sharded_fill
+            fn = jax.jit(fill, donate_argnums=(1, 2))
+            self._step_cache["cross_fill"] = fn
+        return fn
+
+    def prepare_cross(self, fills) -> None:
+        """Encode + fill vision KV for newly admitted image requests.
+        ``fills``: [(MultimodalDataItem, slot)].  Projected states are
+        content-hash cached (reference multimodal feature cache); the
+        per-slot K/V fill always runs (slots are per-request)."""
+        enc = self._get_cross_encode()
+        fill = self._get_cross_fill()
+        for it, slot in fills:
+            states = self.mm_cache.get(("cross", it.hash))
+            if states is None:
+                meta = it.vis_meta
+                states = enc(
+                    self.params,
+                    jnp.asarray(it.pixel_values),
+                    jnp.int32(meta["aspect_ratio_id"]),
+                    jnp.int32(meta["num_tiles"]),
+                )
+                self.mm_cache[("cross", it.hash)] = states
+                while len(self.mm_cache) > self.mm_cache_capacity:
+                    oldest = next(iter(self.mm_cache))
+                    del self.mm_cache[oldest]
+            off = (1 + slot * self.cross_pages_per_slot) * self.page_size
+            ck, cv = fill(
+                self.params, self.cross_pool.k_pages,
+                self.cross_pool.v_pages, states, jnp.int32(off),
+            )
+            self.cross_pool.k_pages = ck
+            self.cross_pool.v_pages = cv
 
     def _get_embed_step(self, T: int, S: int, PPS: int):
         """Prefill step returning L2-normalized last-token hidden states
@@ -972,7 +1202,7 @@ class ModelRunner:
 
         def multi(params, k_pages, v_pages, tokens0, positions0, slot_mat,
                   kv_lens0, page_indices, st, key, counts, pslots, lora,
-                  lora_ids0):
+                  lora_ids0, cross=None):
             # slot_mat: [num_steps, B] precomputed KV slots per step.
             # Under dp attention the per-seq arrays arrive dp-sharded
             # (B_loc = B/dp rows each) while sampled tokens stay
@@ -997,6 +1227,7 @@ class ModelRunner:
                     page_indices=page_indices,
                     out_rows=jnp.arange(B_loc, dtype=jnp.int32),
                     lora_ids=lora_ids0,
+                    cross=cross,
                 )
                 hidden, k_pages, v_pages = model.forward(
                     params, k_pages, v_pages, fb, block_q=1,
@@ -1033,6 +1264,9 @@ class ModelRunner:
 
                 extra = {4: P("dp"), 5: P(None, "dp"), 6: P("dp"),
                          7: P("dp", None)}
+            if self.cross_pool is not None:
+                extra = dict(extra or {})
+                extra[14] = self._cross_spec_dict()
             multi = self._shard_step(multi, fb_argnum=None,
                                      extra_specs=extra, lora_argnum=12)
         fn = jax.jit(multi, donate_argnums=(1, 2, 10))
@@ -1267,7 +1501,7 @@ class ModelRunner:
             if token_ids_dev is not None:
                 assert token_ids_dev.shape == (S,), (token_ids_dev.shape, S)
                 step0_tokens = token_ids_dev
-            toks, lps, k_pages, v_pages, counts = fn(
+            margs = [
                 self.params,
                 self.kv_pool.k_pages,
                 self.kv_pool.v_pages,
@@ -1283,7 +1517,10 @@ class ModelRunner:
                 self._lora_step_params()
                 if plan.lora_ids is not None else None,
                 fb.lora_ids,
-            )
+            ]
+            if self.cross_pool is not None:
+                margs.append(fb.cross)
+            toks, lps, k_pages, v_pages, counts = fn(*margs)
         finally:
             if self.decode_act_int8:
                 set_act_override(None)
@@ -1528,7 +1765,11 @@ class ModelRunner:
         ]
         x_all = None
         input_lps = None
-        act_int8 = self.decode_act_int8 and plan.is_decode
+        act_int8 = (
+            (self.decode_act_int8 and plan.is_decode)
+            or (self.prefill_act_int8 and not plan.is_decode
+                and plan.spec_parents is None)
+        )
         if act_int8:  # single-step decode trace also runs w4a8
             from sglang_security_tpu.layers.linear import set_act_override
 
@@ -1615,6 +1856,9 @@ class ModelRunner:
                 q_starts[S_real:] = T
 
         mm_embeds, mm_rows = self._pad_mm(plan, T)
+        cross = None
+        if self.cross_pool is not None:
+            cross = self._build_cross(plan, T, S, bq)
         tree = None
         if plan.tree_mask is not None:
             # padded sequences keep an identity mask so their (discarded)
@@ -1658,6 +1902,7 @@ class ModelRunner:
                 if plan.spec_parents is not None
                 else None
             ),
+            cross=cross,
         )
         Rr = R or S
         rep = rows_per_seq

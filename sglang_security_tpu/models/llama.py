@@ -458,6 +458,17 @@ class LlamaForCausalLM:
             carry += (tuple(jnp.zeros_like(x) for _ in aux_layers),)
         li0 = 0
         for group in self._param_groups(params):
+            if isinstance(group, dict) and "__cross__" in group:
+                # cross-attention layer (mllama): reads the per-request
+                # vision KV pool (fb.cross), writes nothing, no self-KV
+                # layer index — does not advance li0
+                x_cur = self._cross_layer_apply(
+                    group["__cross__"], group["ci"], carry[0], fb,
+                    block_q=block_q, interpret=interpret,
+                    tp_size=tp_size, tp_axis=tp_axis,
+                )
+                carry = (x_cur,) + tuple(carry[1:])
+                continue
             if isinstance(group, list):
                 # Unrolled layers (serving fast path): per-layer param
                 # buffers referenced directly — lax.scan's per-iteration
@@ -767,6 +778,57 @@ class LlamaForCausalLM:
         if tp_axis is not None:
             o = lax.psum(o, tp_axis)
         return o, k_pages, v_pages
+
+    def _cross_layer_apply(
+        self, clp, ci, x, fb, *, block_q, interpret, tp_size, tp_axis,
+    ):
+        """One gated cross-attention layer (mllama; reference
+        ``srt/models/mllama.py:587`` MllamaCrossAttentionDecoderLayer).
+
+        The vision K/V pool arrives in ``fb.cross`` in the same paged
+        layout as the self-attention pool, so prefill runs the ragged
+        kernel with ``causal=False`` and decode the fused decode kernel
+        — the per-request vision context is just another page table.
+        Rows with no image (``has_tok == 0``) reduce to the identity,
+        the per-row form of HF's text-only layer skip."""
+        cfg = self.config
+        cross = fb.cross
+        T = x.shape[0]
+        hd = cfg.head_dim
+        Hq = cfg.num_q_heads // tp_size
+        h, resid = fused_add_rms_norm(x, None, clp["input_norm"], cfg.rms_eps)
+        q = apply_linear(h, clp["q"]).reshape(T, Hq, hd)
+        q = rms_norm(q, clp["q_norm"], cfg.rms_eps)
+        if block_q == 1:
+            attn = paged_decode_attention(
+                q, cross["k_pages"], cross["v_pages"],
+                cross["kv_lens"], cross["page_indices"],
+                page_size=self.kv_page_size, layer=ci,
+                sm_scale=hd**-0.5, interpret=interpret,
+            )
+        else:
+            attn = ragged_paged_attention(
+                q, cross["k_pages"], cross["v_pages"],
+                cross["kv_lens"], cross["page_indices"],
+                fb.q_starts, fb.q_lens,
+                page_size=self.kv_page_size, layer=ci,
+                sm_scale=hd**-0.5, block_q=block_q,
+                pages_per_block=max(1, min(8, 256 // self.kv_page_size)),
+                interpret=interpret, causal=False,
+            )
+        o = apply_linear(attn.reshape(T, Hq * hd), clp["o"])
+        if tp_axis is not None:
+            o = lax.psum(o, tp_axis)
+        has = cross["has_tok"][:, None].astype(x.dtype)  # [T, 1] 0/1
+        x = resid + jnp.tanh(
+            clp["gate_attn"].astype(jnp.float32)
+        ).astype(x.dtype) * o * has
+        h, resid = fused_add_rms_norm(x, None, clp["post_norm"], cfg.rms_eps)
+        mlp = self._ffn_apply(clp, h, tp_size, tp_axis)
+        x = resid + jnp.tanh(
+            clp["gate_mlp"].astype(jnp.float32)
+        ).astype(x.dtype) * mlp * has
+        return x
 
     def _tree_attn(
         self, q, k, v, fb, k_pages, v_pages, li, safe_slots, *, interpret

@@ -22,6 +22,9 @@ from sglang_security_tpu.models.deepseek_v2 import (
     DeepseekV2ForCausalLM,
     DeepseekV3ForCausalLM,
 )
+from sglang_security_tpu.models.deepseek_nextn import (
+    DeepseekV3ForCausalLMNextN,
+)
 from sglang_security_tpu.models.mixtral import (
     MixtralForCausalLM,
     OlmoeForCausalLM,
@@ -33,6 +36,7 @@ from sglang_security_tpu.models.phi3 import (
     Phi3ForCausalLM,
 )
 from sglang_security_tpu.models.llava import LlavaForConditionalGeneration
+from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
 from sglang_security_tpu.models.qwen2_vl import (
     Qwen2VLForConditionalGeneration,
     Qwen2_5_VLForConditionalGeneration,
@@ -88,6 +92,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "DeepseekForCausalLM": DeepseekV2ForCausalLM,  # v1: GQA + same MoE
     "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
     "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
+    "DeepseekV3ForCausalLMNextN": DeepseekV3ForCausalLMNextN,
     "GemmaForCausalLM": GemmaForCausalLM,
     "Gemma2ForCausalLM": Gemma2ForCausalLM,
     "Gemma3ForCausalLM": Gemma3ForCausalLM,
@@ -97,6 +102,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
     "InternLM3ForCausalLM": LlamaForCausalLM,
     "LlavaForConditionalGeneration": LlavaForConditionalGeneration,
+    "MllamaForConditionalGeneration": MllamaForConditionalGeneration,
     "Qwen2VLForConditionalGeneration": Qwen2VLForConditionalGeneration,
     "Qwen2_5_VLForConditionalGeneration": Qwen2_5_VLForConditionalGeneration,
     "Glm4ForCausalLM": Glm4ForCausalLM,

@@ -320,12 +320,19 @@ TINY_DEEPSEEK_CONFIG = {
 }
 
 
-def make_tiny_deepseek(path: str, config: dict | None = None, seed: int = 0) -> str:
+def make_tiny_deepseek(path: str, config: dict | None = None, seed: int = 0,
+                       nextn: bool = False) -> str:
+    """``nextn``: additionally write a DeepSeek-V3 MTP module at
+    checkpoint layer index num_hidden_layers (enorm/hnorm/eh_proj/
+    shared_head.norm + one full MoE decoder layer), the layout
+    ``models/deepseek_nextn.py`` loads."""
     from safetensors.numpy import save_file
 
     cfg = dict(TINY_DEEPSEEK_CONFIG)
     if config:
         cfg.update(config)
+    if nextn:
+        cfg["num_nextn_predict_layers"] = 1
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(cfg, f, indent=1)
@@ -343,8 +350,8 @@ def make_tiny_deepseek(path: str, config: dict | None = None, seed: int = 0) -> 
     t = {"model.embed_tokens.weight": r(V, H),
          "model.norm.weight": np.ones(H, np.float32),
          "lm_head.weight": r(V, H)}
-    for i in range(cfg["num_hidden_layers"]):
-        p = f"model.layers.{i}."
+
+    def write_layer(p, dense):
         a = p + "self_attn."
         t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
         t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
@@ -354,7 +361,7 @@ def make_tiny_deepseek(path: str, config: dict | None = None, seed: int = 0) -> 
         t[a + "kv_b_proj.weight"] = r(Hq * (nope + vdim), c)
         t[a + "o_proj.weight"] = r(H, Hq * vdim)
         m = p + "mlp."
-        if i < cfg["first_k_dense_replace"]:
+        if dense:
             t[m + "gate_proj.weight"] = r(I, H)
             t[m + "up_proj.weight"] = r(I, H)
             t[m + "down_proj.weight"] = r(H, I)
@@ -370,6 +377,18 @@ def make_tiny_deepseek(path: str, config: dict | None = None, seed: int = 0) -> 
             t[sp + "gate_proj.weight"] = r(Is, H)
             t[sp + "up_proj.weight"] = r(Is, H)
             t[sp + "down_proj.weight"] = r(H, Is)
+
+    for i in range(cfg["num_hidden_layers"]):
+        write_layer(f"model.layers.{i}.", i < cfg["first_k_dense_replace"])
+    if nextn:
+        L = cfg["num_hidden_layers"]
+        p = f"model.layers.{L}."
+        write_layer(p, dense=False)
+        t[p + "enorm.weight"] = np.ones(H, np.float32)
+        t[p + "hnorm.weight"] = np.ones(H, np.float32)
+        t[p + "eh_proj.weight"] = r(H, 2 * H)
+        t[p + "shared_head.norm.weight"] = np.ones(H, np.float32)
+        # embed/head shared with the target (absent, as in real V3)
     save_file(t, os.path.join(path, "model.safetensors"))
     _write_tiny_tokenizer(path, V)
     return path
@@ -639,6 +658,71 @@ def make_tiny_qwen2vl(path: str, v25: bool = False, seed: int = 0) -> str:
 
     save_file(t, os.path.join(path, "model.safetensors"))
     _write_tiny_tokenizer(path, V)
+    return path
+
+
+TINY_MLLAMA_TEXT = {
+    "model_type": "mllama_text_model",
+    "hidden_size": 64,
+    "intermediate_size": 128,
+    "num_hidden_layers": 4,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "cross_attention_layers": [1, 3],
+    "vocab_size": 128,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "max_position_embeddings": 512,
+    "tie_word_embeddings": False,
+    "hidden_act": "silu",
+    "bos_token_id": 1,
+    "eos_token_id": 2,
+    "pad_token_id": 0,  # HF default 128004 overflows the tiny vocab
+    "rope_scaling": {"rope_type": "default"},
+}
+
+TINY_MLLAMA_VISION = {
+    "model_type": "mllama_vision_model",
+    "hidden_size": 32,
+    "intermediate_size": 64,
+    "num_hidden_layers": 2,
+    "num_global_layers": 1,
+    "attention_heads": 2,
+    "image_size": 28,
+    "patch_size": 14,
+    "max_num_tiles": 4,
+    "intermediate_layers_indices": [0, 1],
+    "vision_output_dim": 96,  # (1 + 2 intermediates) * hidden
+    "norm_eps": 1e-5,
+    "supported_aspect_ratios": [
+        [1, 1], [1, 2], [1, 3], [1, 4], [2, 1], [2, 2], [3, 1], [4, 1]
+    ],
+}
+
+
+def make_tiny_mllama(path: str, seed: int = 0) -> str:
+    """Random-weight HF Llama-3.2-Vision checkpoint via the HF model
+    class (guarantees an HF-loadable layout for the parity tests).  The
+    zero-initialized gates (cross-attn, vision positional) are bumped to
+    0.5 so the gated paths actually contribute — with HF's default zero
+    gates, cross-attention parity would hold vacuously."""
+    import torch
+    from transformers import MllamaConfig
+    from transformers import MllamaForConditionalGeneration as HFM
+
+    cfg = MllamaConfig(
+        vision_config=dict(TINY_MLLAMA_VISION),
+        text_config=dict(TINY_MLLAMA_TEXT),
+        image_token_index=128,
+    )
+    torch.manual_seed(seed)
+    m = HFM(cfg).to(torch.float32)
+    with torch.no_grad():
+        for name, p in m.named_parameters():
+            if "gate" in name and p.ndim <= 1:
+                p.fill_(0.5)
+    m.save_pretrained(path, safe_serialization=True)
+    _write_tiny_tokenizer(path, 128)
     return path
 
 
