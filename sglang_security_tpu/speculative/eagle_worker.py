@@ -53,9 +53,15 @@ class EagleWorker:
 
         self.runner = runner
         self.sa = server_args
-        self.is_eagle3 = (
-            (server_args.speculative_algorithm or "").upper() == "EAGLE3"
-        )
+        algo = (server_args.speculative_algorithm or "").upper()
+        self.is_eagle3 = algo == "EAGLE3"
+        # NEXTN: DeepSeek MTP draft head (models/deepseek_nextn.py) on
+        # the same worker; MLA attention has no tree-mask branch
+        self.is_nextn = algo == "NEXTN"
+        if self.is_nextn:
+            assert server_args.speculative_eagle_topk <= 1, (
+                "NEXTN (MTP) supports chain drafting only"
+            )
         self.num_steps = server_args.speculative_num_steps
         # topk > 1: tree drafting (reference select_top_k_tokens
         # eagle_utils.py:793 + build_eagle_tree.py).  Each draft step
@@ -74,7 +80,39 @@ class EagleWorker:
         draft_cls = (
             Eagle3LlamaForCausalLM if self.is_eagle3 else EagleLlamaForCausalLM
         )
-        if server_args.speculative_draft_model_path:
+        if self.is_nextn:
+            from sglang_security_tpu.models.deepseek_nextn import (
+                DeepseekV3ForCausalLMNextN,
+                nextn_draft_config,
+            )
+
+            # MTP weights live in the TARGET checkpoint at layer index
+            # num_hidden_layers (reference deepseek_nextn.py remap);
+            # --speculative-draft-model-path defaults to the model path
+            cfg = nextn_draft_config(runner.config.raw)
+            self.model = DeepseekV3ForCausalLMNextN(cfg)
+            self.model.mtp_layer_idx = runner.config.num_layers
+            if server_args.load_format == "dummy":
+                self.params = self.model.init_dummy_params(
+                    seed=1, dtype=runner.dtype
+                )
+            else:
+                from sglang_security_tpu.model_loader.loader import (
+                    SafetensorsAccessor,
+                    _resolve_model_path,
+                )
+
+                path = _resolve_model_path(
+                    server_args.speculative_draft_model_path
+                    or server_args.model_path,
+                    server_args.download_dir,
+                )
+                self.params = self.model.load_weights(
+                    SafetensorsAccessor(path), dtype=runner.dtype
+                )
+            if "embed" not in self.params:
+                self.params["embed"] = runner.params["embed"]
+        elif server_args.speculative_draft_model_path:
             path = _resolve_model_path(
                 server_args.speculative_draft_model_path,
                 server_args.download_dir,

@@ -21,6 +21,9 @@ class SpeculativeAlgorithm(str, enum.Enum):
     NGRAM = "NGRAM"
     EAGLE = "EAGLE"
     EAGLE3 = "EAGLE3"
+    # DeepSeek-V3 multi-token-prediction draft head (models/
+    # deepseek_nextn.py); rides the EAGLE worker/verify machinery
+    NEXTN = "NEXTN"
 
     @classmethod
     def from_string(cls, s: Optional[str]) -> "SpeculativeAlgorithm":
