@@ -289,7 +289,7 @@ def _moe_a2a(
     x, router_w, w_gate_up, w_down, top_k, *, act, renormalize, scoring,
     correction_bias, n_group, topk_group, ep_axis, ep_size, routed_scaling,
     capacity_factor, log2phy, logcnt, stats_cb, s_gate_up, s_down,
-    scale_inputs, a2a_impl,
+    scale_inputs, a2a_impl, router_softcap=None,
 ):
     """Token-sharded MoE with all-to-all dispatch (see module docstring)."""
     T, H = x.shape
@@ -305,6 +305,8 @@ def _moe_a2a(
     logits = jnp.dot(
         x_loc.astype(jnp.float32), router_w.astype(jnp.float32)
     )  # [T_loc, E_log]
+    if router_softcap:
+        logits = router_softcap * jnp.tanh(logits / router_softcap)
     E_log = router_w.shape[1]
     weights, ids = topk_routing(
         logits, top_k, renormalize, scoring,
@@ -416,6 +418,7 @@ def moe_ffn(
     scale_inputs: bool = False,  # llama4: weight the expert INPUT
     dispatch: str = "psum",  # psum (dropless, replicated tokens) | a2a
     a2a_impl: str = "auto",  # ragged (TPU) | dense | auto by backend
+    router_softcap: Optional[float] = None,  # grok: tanh cap on logits
 ) -> jax.Array:
     if dispatch == "a2a" and ep_axis is not None and ep_size > 1:
         if a2a_impl == "auto":
@@ -430,7 +433,7 @@ def moe_ffn(
             routed_scaling=routed_scaling, capacity_factor=capacity_factor,
             log2phy=log2phy, logcnt=logcnt, stats_cb=stats_cb,
             s_gate_up=s_gate_up, s_down=s_down, scale_inputs=scale_inputs,
-            a2a_impl=a2a_impl,
+            a2a_impl=a2a_impl, router_softcap=router_softcap,
         )
     del capacity_factor  # psum dispatch is dropless
     T, H = x.shape
@@ -440,6 +443,10 @@ def moe_ffn(
     logits = jnp.dot(
         x.astype(jnp.float32), router_w.astype(jnp.float32)
     )  # [T, E_log] (router always full-precision and replicated)
+    if router_softcap:
+        # grok-1 router_logit_softcapping (reference grok.py:104):
+        # cap * tanh(logits / cap) before top-k
+        logits = router_softcap * jnp.tanh(logits / router_softcap)
     weights, ids = topk_routing(
         logits, top_k, renormalize, scoring,
         correction_bias=correction_bias,

@@ -448,6 +448,31 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             image_token_id=raw.get("image_token_index", 262144),
             tokens_per_image=raw.get("mm_tokens_per_image", 256),
         )
+    if arch == "Idefics2ForConditionalGeneration":
+        outer = raw.get("_outer") or raw
+        perc = outer.get("perceiver_config") or {}
+        return ImageProcessor(
+            image_size=vis.get("image_size", 980),
+            patch_size=vis.get("patch_size", 14),
+            # HF Idefics2ImageProcessor defaults: imagenet mean/std
+            mean=vis.get("image_mean") or [0.485, 0.456, 0.406],
+            std=vis.get("image_std") or [0.229, 0.224, 0.225],
+            image_token_id=outer.get("image_token_id", 32001),
+            tokens_per_image=perc.get("resampler_n_latents", 64),
+        )
+    if arch in ("Idefics3ForConditionalGeneration",
+                "SmolVLMForConditionalGeneration"):
+        outer = raw.get("_outer") or raw
+        g = vis.get("image_size", 364) // vis.get("patch_size", 14)
+        sf = outer.get("scale_factor", 2)
+        return ImageProcessor(
+            image_size=vis.get("image_size", 364),
+            patch_size=vis.get("patch_size", 14),
+            mean=vis.get("image_mean") or [0.5, 0.5, 0.5],
+            std=vis.get("image_std") or [0.5, 0.5, 0.5],
+            image_token_id=outer.get("image_token_id", 49153),
+            tokens_per_image=(g * g) // (sf * sf),
+        )
     if arch == "MllamaForConditionalGeneration":
         return MllamaImageProcessor(
             vis,

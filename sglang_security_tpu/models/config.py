@@ -103,7 +103,9 @@ class ModelConfig:
             num_experts=d.get(
                 "num_local_experts", d.get("n_routed_experts", d.get("num_experts", 0) or 0)
             ),
-            num_experts_per_tok=d.get("num_experts_per_tok", 0),
+            num_experts_per_tok=d.get(
+                "num_experts_per_tok", d.get("moe_top_k", 0)  # xverse-moe
+            ),
             moe_intermediate_size=d.get("moe_intermediate_size", 0),
             num_shared_experts=d.get("n_shared_experts", 0),
             use_mla=arch.startswith("DeepseekV2")

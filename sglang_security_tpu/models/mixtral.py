@@ -157,6 +157,71 @@ class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
         self.renormalize = bool(config.raw.get("norm_topk_prob", True))
 
 
+class XverseMoeForCausalLM(MixtralForCausalLM):
+    """XVERSE-MoE-A4.2B (reference ``srt/models/xverse_moe.py``):
+    qwen-moe-style expert layout with an always-on UNGATED shared
+    expert (``mlp.shared_experts.*``, deepseek-style) and the router
+    named ``mlp.router``.  top-k comes from ``moe_top_k``;
+    renormalize from ``norm_topk_prob`` (default False)."""
+
+    has_shared_expert = False  # xverse shared expert handled below
+
+    def __init__(self, config, quantization=None, tp_size: int = 1):
+        super().__init__(config, quantization, tp_size)
+        raw = config.raw
+        self.renormalize = bool(raw.get("norm_topk_prob", False))
+        if not config.num_experts_per_tok:
+            config.num_experts_per_tok = raw.get("moe_top_k", 2)
+        self.num_shared = raw.get("num_shared_experts") or 0
+
+    def _ffn_params_dummy(self, i, rand, lin, lin_merged, dtype):
+        cfg = self.config
+        p = super()._ffn_params_dummy(i, rand, lin, lin_merged, dtype)
+        if self.num_shared:
+            Is = cfg.intermediate_size * self.num_shared
+            H = cfg.hidden_size
+            p["shared_gate_up"] = lin_merged(H, [Is, Is], False)
+            p["shared_down"] = lin(Is, H, False)
+        return p
+
+    def _ffn_params_load(self, i, t, lin_merged, dtype):
+        cfg = self.config
+        E, I = self._moe_dims()
+        m = f"model.layers.{i}.mlp."
+        p = {"router": t(m + "router.weight").T.astype(jnp.float32)}
+        gus, downs = [], []
+        for e in range(E):
+            ep = m + f"experts.{e}."
+            gus.append(jnp.concatenate(
+                [t(ep + "gate_proj.weight").T, t(ep + "up_proj.weight").T],
+                axis=1,
+            ))
+            downs.append(t(ep + "down_proj.weight").T)
+        self._pack_experts(p, jnp.stack(gus), jnp.stack(downs), dtype)
+        if self.num_shared:
+            sp = m + "shared_experts."
+            p["shared_gate_up"] = lin_merged(
+                [sp + "gate_proj.weight", sp + "up_proj.weight"], None
+            )
+            p["shared_down"] = lin_merged([sp + "down_proj.weight"], None)
+        return p
+
+    def _ffn_apply(self, lp, h, tp_size, tp_axis, lora_lp=None,
+                   lora_ids=None, lora_scale=None):
+        cfg = self.config
+        out = super()._ffn_apply(lp, h, tp_size, tp_axis)
+        if self.num_shared:
+            gate_up = apply_linear(h, lp["shared_gate_up"])
+            g, u = jnp.split(gate_up, 2, axis=-1)
+            shared = apply_linear(
+                _act(cfg.act_fn)(g) * u, lp["shared_down"]
+            )
+            if tp_axis is not None:
+                shared = lax.psum(shared, tp_axis)
+            out = out + shared  # ungated, always-on (xverse_moe.py:180)
+        return out
+
+
 class OlmoeForCausalLM(Qwen3MoeForCausalLM):
     """OLMoE (Allen AI; reference ``srt/models/olmoe.py``): qwen-moe
     expert naming without a shared expert, plus OLMo-style

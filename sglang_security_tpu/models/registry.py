@@ -30,13 +30,19 @@ from sglang_security_tpu.models.mixtral import (
     OlmoeForCausalLM,
     Qwen2MoeForCausalLM,
     Qwen3MoeForCausalLM,
+    XverseMoeForCausalLM,
 )
+from sglang_security_tpu.models.grok import Grok1ForCausalLM
 from sglang_security_tpu.models.phi3 import (
     InternLM2ForCausalLM,
     Phi3ForCausalLM,
 )
 from sglang_security_tpu.models.llava import LlavaForConditionalGeneration
 from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
+from sglang_security_tpu.models.idefics2 import (
+    Idefics2ForConditionalGeneration,
+    Idefics3ForConditionalGeneration,
+)
 from sglang_security_tpu.models.qwen2_vl import (
     Qwen2VLForConditionalGeneration,
     Qwen2_5_VLForConditionalGeneration,
@@ -86,6 +92,10 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "LlamaForCausalLMEagle": EagleLlamaForCausalLM,
     "LlamaForCausalLMEagle3": Eagle3LlamaForCausalLM,
     "MixtralForCausalLM": MixtralForCausalLM,
+    "Grok1ForCausalLM": Grok1ForCausalLM,
+    "Grok1ModelForCausalLM": Grok1ForCausalLM,
+    "XverseForCausalLM": LlamaForCausalLM,
+    "XverseMoeForCausalLM": XverseMoeForCausalLM,
     "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
     "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
     "OlmoeForCausalLM": OlmoeForCausalLM,
@@ -103,6 +113,9 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "InternLM3ForCausalLM": LlamaForCausalLM,
     "LlavaForConditionalGeneration": LlavaForConditionalGeneration,
     "MllamaForConditionalGeneration": MllamaForConditionalGeneration,
+    "Idefics2ForConditionalGeneration": Idefics2ForConditionalGeneration,
+    "Idefics3ForConditionalGeneration": Idefics3ForConditionalGeneration,
+    "SmolVLMForConditionalGeneration": Idefics3ForConditionalGeneration,
     "Qwen2VLForConditionalGeneration": Qwen2VLForConditionalGeneration,
     "Qwen2_5_VLForConditionalGeneration": Qwen2_5_VLForConditionalGeneration,
     "Glm4ForCausalLM": Glm4ForCausalLM,

@@ -726,6 +726,79 @@ def make_tiny_mllama(path: str, seed: int = 0) -> str:
     return path
 
 
+def make_tiny_idefics2(path: str, seed: int = 0) -> str:
+    """Random-weight HF Idefics2 checkpoint via the HF class (SigLIP
+    vision + perceiver resampler + Mistral text)."""
+    import torch
+    from transformers import Idefics2Config
+    from transformers import Idefics2ForConditionalGeneration as HFM
+
+    cfg = Idefics2Config(
+        vision_config={
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "image_size": 28, "patch_size": 14,
+            "hidden_act": "gelu_pytorch_tanh", "layer_norm_eps": 1e-6,
+        },
+        perceiver_config={
+            "hidden_size": 64, "resampler_n_latents": 4,
+            "resampler_depth": 2, "resampler_n_heads": 4,
+            "resampler_head_dim": 16, "num_key_value_heads": 2,
+            "rms_norm_eps": 1e-6, "hidden_act": "silu",
+        },
+        text_config={
+            "model_type": "mistral", "hidden_size": 64,
+            "intermediate_size": 128, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "vocab_size": 128, "rms_norm_eps": 1e-5,
+            "rope_theta": 10000.0, "max_position_embeddings": 512,
+            "sliding_window": None, "tie_word_embeddings": False,
+            "hidden_act": "silu", "bos_token_id": 1, "eos_token_id": 2,
+            "pad_token_id": 0,
+        },
+        image_token_id=100,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(seed)
+    m = HFM(cfg).to(torch.float32)
+    m.save_pretrained(path, safe_serialization=True)
+    _write_tiny_tokenizer(path, 128)
+    return path
+
+
+def make_tiny_idefics3(path: str, seed: int = 0) -> str:
+    """Random-weight HF Idefics3 (SmolVLM-style) checkpoint."""
+    import torch
+    from transformers import Idefics3Config
+    from transformers import Idefics3ForConditionalGeneration as HFM
+
+    cfg = Idefics3Config(
+        vision_config={
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "image_size": 28, "patch_size": 14,
+            "hidden_act": "gelu_pytorch_tanh", "layer_norm_eps": 1e-6,
+        },
+        text_config={
+            "model_type": "llama", "hidden_size": 64,
+            "intermediate_size": 128, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "vocab_size": 128, "rms_norm_eps": 1e-5,
+            "rope_theta": 10000.0, "max_position_embeddings": 512,
+            "tie_word_embeddings": False, "hidden_act": "silu",
+            "bos_token_id": 1, "eos_token_id": 2, "pad_token_id": 0,
+        },
+        scale_factor=2,
+        image_token_id=100,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(seed)
+    m = HFM(cfg).to(torch.float32)
+    m.save_pretrained(path, safe_serialization=True)
+    _write_tiny_tokenizer(path, 128)
+    return path
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "make-tiny-llama":
         p = make_tiny_llama(sys.argv[2])
