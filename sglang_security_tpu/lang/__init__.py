@@ -35,11 +35,17 @@ from sglang_security_tpu.lang.api import (
     system,
     user,
 )
-from sglang_security_tpu.lang.backends import AnthropicBackend, OpenAIBackend
+from sglang_security_tpu.lang.backends import (
+    AnthropicBackend,
+    LiteLLMBackend,
+    OpenAIBackend,
+    VertexAIBackend,
+)
 from sglang_security_tpu.lang.ir import ProgramIR, TracerState
 
 __all__ = [
     "function", "gen", "image", "select", "system", "user", "assistant",
     "SglFunction", "EngineBackend", "RuntimeEndpoint",
-    "OpenAIBackend", "AnthropicBackend", "ProgramIR", "TracerState",
+    "OpenAIBackend", "AnthropicBackend", "LiteLLMBackend",
+    "VertexAIBackend", "ProgramIR", "TracerState",
 ]

@@ -171,3 +171,82 @@ def test_humaneval_check_and_run(tmp_path):
     assert res["num_questions"] == 2
     assert res["pass@1"] == 0.5
     assert res["failed_task_ids"] == ["Tiny/1"]
+
+
+# ----------------------------------------------- simple-evals ports (r4)
+def test_mgsm_parse_and_score():
+    from sglang_security_tpu.eval.simple_evals import (
+        parse_mgsm_answer, score_mgsm,
+    )
+
+    assert parse_mgsm_answer("thinking... Answer: 42", "Answer") == "42"
+    assert parse_mgsm_answer("Antwort: 1,234 Äpfel", "Antwort") == "1234"
+    assert parse_mgsm_answer("no prefix 5", "Answer") == ""
+    assert score_mgsm("72", "72.0")
+    assert score_mgsm("1,234", "1234")
+    assert not score_mgsm("72", "73")
+
+
+def test_mgsm_run(tmp_path):
+    from sglang_security_tpu.eval.simple_evals import run_mgsm
+
+    data = tmp_path / "mgsm_en.tsv"
+    data.write_text("What is 2+2?\t4\nWhat is 3*3?\t9\n")
+
+    class FakeEngine:
+        def generate(self, prompt, sampling_params):
+            return [
+                {"text": "2+2 is simple. Answer: 4"},
+                {"text": "Answer: 8"},  # wrong
+            ]
+
+    res = run_mgsm(FakeEngine(), str(data), lang="en")
+    assert res["score"] == 0.5 and res["num_examples"] == 2
+    assert res["group"] == "latin"
+
+
+def test_gpqa_run(tmp_path):
+    from sglang_security_tpu.eval.simple_evals import run_gpqa
+
+    data = tmp_path / "gpqa.csv"
+    data.write_text(
+        "Question,Correct Answer,Incorrect Answer 1,"
+        "Incorrect Answer 2,Incorrect Answer 3\n"
+        "Pick right,R,W1,W2,W3\n"
+    )
+
+    class FakeEngine:
+        def generate(self, prompt, sampling_params):
+            outs = []
+            for p in prompt:
+                # answer with the letter whose choice text is 'R'
+                for letter in "ABCD":
+                    if f"{letter}) R" in p:
+                        outs.append({"text": f"because. Answer: {letter}"})
+                        break
+            return outs
+
+    res = run_gpqa(FakeEngine(), str(data), n_repeats=4)
+    assert res["score"] == 1.0 and res["num_examples"] == 4
+
+
+def test_math_run(tmp_path):
+    import json as _json
+
+    from sglang_security_tpu.eval.simple_evals import (
+        normalize_math_answer, run_math,
+    )
+
+    assert normalize_math_answer("$\\dfrac{1}{2}$") == "\\frac{1}{2}"
+    assert normalize_math_answer(" 42.0 ") == "42"
+    data = tmp_path / "math.jsonl"
+    with open(data, "w") as f:
+        f.write(_json.dumps({"Question": "1+1?", "Answer": "2"}) + "\n")
+        f.write(_json.dumps({"Question": "6*7?", "Answer": "42"}) + "\n")
+
+    class FakeEngine:
+        def generate(self, prompt, sampling_params):
+            return [{"text": "Answer: 2"}, {"text": "Answer: 41"}]
+
+    res = run_math(FakeEngine(), str(data))
+    assert res["score"] == 0.5 and res["num_examples"] == 2

@@ -64,7 +64,9 @@ spec = os.environ.get("BENCH_SPEC", "ngram")
 spec_steps = int(os.environ.get("BENCH_SPEC_STEPS", 4))
 algo = {"ngram": "NGRAM", "eagle": "EAGLE", "eagle3": "EAGLE3",
         "tree": "EAGLE"}[spec]
-n_reqs, in_len, out_len = 128, 128, 128
+n_reqs = int(os.environ.get("BENCH_NUM_REQS", 128))
+in_len = int(os.environ.get("BENCH_INPUT_LEN", 128))
+out_len = int(os.environ.get("BENCH_OUTPUT_LEN", 128))
 eng = Engine(ServerArgs(
     model_path=model_dir, load_format="dummy", quantization="int4",
     dtype="bfloat16", skip_tokenizer_init=True, max_total_tokens=49152,
@@ -72,6 +74,7 @@ eng = Engine(ServerArgs(
     max_prefill_tokens=4096, chunked_prefill_size=4096,
     decode_bs_buckets=[n_reqs], prefill_token_buckets=[4096],
     max_seq_pages_buckets=[4],
+    
     enable_warmup=False, random_seed=0, log_level="warning",
     speculative_algorithm=algo,
     speculative_num_steps=spec_steps,
