@@ -431,13 +431,26 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
     )
     if vis is None:
         return None
-    if arch == "LlavaForConditionalGeneration":
+    if arch in ("LlavaForConditionalGeneration", "LlavaLlamaForCausalLM",
+                "YiVLForCausalLM"):
         return ImageProcessor(
             image_size=vis.get("image_size", 336),
             patch_size=vis.get("patch_size", 14),
             mean=vis.get("image_mean") or [0.48145466, 0.4578275, 0.40821073],
             std=vis.get("image_std") or [0.26862954, 0.26130258, 0.27577711],
             image_token_id=raw.get("image_token_index", 32000),
+        )
+    if arch == "LlavaVidForCausalLM":
+        g = vis.get("image_size", 336) // vis.get("patch_size", 14)
+        stride = raw.get("mm_spatial_pool_stride", 2)
+        return ImageProcessor(
+            image_size=vis.get("image_size", 336),
+            patch_size=vis.get("patch_size", 14),
+            mean=vis.get("image_mean") or [0.48145466, 0.4578275, 0.40821073],
+            std=vis.get("image_std") or [0.26862954, 0.26130258, 0.27577711],
+            image_token_id=raw.get("image_token_index", 32000),
+            # per FRAME; videos arrive as a list of frame images
+            tokens_per_image=(g // stride) ** 2,
         )
     if arch == "Gemma3ForConditionalGeneration":
         return ImageProcessor(

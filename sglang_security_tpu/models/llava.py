@@ -61,6 +61,36 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
         self.vision_feature_layer = config.raw.get("vision_feature_layer", -2)
 
     # ------------------------------------------------------------- params
+    def _load_projector(self, get_tensor, pj_prefix: str) -> dict:
+        """Two-linear MLP projector (HF LlavaMultiModalProjector);
+        subclasses (Yi-VL) override for different projector shapes."""
+        return {
+            "w1": jnp.asarray(get_tensor(pj_prefix + "linear_1.weight"),
+                              jnp.float32).T,
+            "b1": jnp.asarray(get_tensor(pj_prefix + "linear_1.bias"),
+                              jnp.float32),
+            "w2": jnp.asarray(get_tensor(pj_prefix + "linear_2.weight"),
+                              jnp.float32).T,
+            "b2": jnp.asarray(get_tensor(pj_prefix + "linear_2.bias"),
+                              jnp.float32),
+        }
+
+    def _init_dummy_projector(self, rng) -> dict:
+        D = self.vision_config.hidden_size
+        H = self.config.hidden_size
+        return {
+            "w1": jnp.asarray(rng.standard_normal((D, H)) * 0.02, jnp.float32),
+            "b1": jnp.zeros(H, jnp.float32),
+            "w2": jnp.asarray(rng.standard_normal((H, H)) * 0.02, jnp.float32),
+            "b2": jnp.zeros(H, jnp.float32),
+        }
+
+    def _project(self, params, feats: jax.Array) -> jax.Array:
+        pj = params["projector"]
+        act = _ACTS[self.config.raw.get("projector_hidden_act", "gelu")]
+        h = act(feats @ pj["w1"] + pj["b1"])
+        return h @ pj["w2"] + pj["b2"]
+
     def load_weights(self, get_tensor, dtype=jnp.bfloat16):
         keys = list(get_tensor.keys())
         lm_acc = _PrefixAccessor(get_tensor, keys)
@@ -76,16 +106,7 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
         params["vision"] = self.vision_tower.load_weights(
             get_tensor, vt_prefix, dtype=jnp.float32
         )
-        params["projector"] = {
-            "w1": jnp.asarray(get_tensor(pj_prefix + "linear_1.weight"),
-                              jnp.float32).T,
-            "b1": jnp.asarray(get_tensor(pj_prefix + "linear_1.bias"),
-                              jnp.float32),
-            "w2": jnp.asarray(get_tensor(pj_prefix + "linear_2.weight"),
-                              jnp.float32).T,
-            "b2": jnp.asarray(get_tensor(pj_prefix + "linear_2.bias"),
-                              jnp.float32),
-        }
+        params["projector"] = self._load_projector(get_tensor, pj_prefix)
         return params
 
     def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16,
@@ -94,15 +115,8 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
             seed=seed, dtype=dtype, unique_layers=unique_layers
         )
         rng = np.random.default_rng(seed + 7)
-        D = self.vision_config.hidden_size
-        H = self.config.hidden_size
         params["vision"] = self.vision_tower.init_dummy_params(rng, jnp.float32)
-        params["projector"] = {
-            "w1": jnp.asarray(rng.standard_normal((D, H)) * 0.02, jnp.float32),
-            "b1": jnp.zeros(H, jnp.float32),
-            "w2": jnp.asarray(rng.standard_normal((H, H)) * 0.02, jnp.float32),
-            "b2": jnp.zeros(H, jnp.float32),
-        }
+        params["projector"] = self._init_dummy_projector(rng)
         return params
 
     # ------------------------------------------------------------ vision
@@ -112,10 +126,7 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
             params["vision"], pixel_values.astype(jnp.float32),
             feature_layer=self.vision_feature_layer,
         )
-        pj = params["projector"]
-        act = _ACTS[self.config.raw.get("projector_hidden_act", "gelu")]
-        h = act(feats @ pj["w1"] + pj["b1"])
-        return h @ pj["w2"] + pj["b2"]
+        return self._project(params, feats)
 
     @property
     def tokens_per_image(self) -> int:

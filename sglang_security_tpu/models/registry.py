@@ -38,6 +38,9 @@ from sglang_security_tpu.models.phi3 import (
     Phi3ForCausalLM,
 )
 from sglang_security_tpu.models.llava import LlavaForConditionalGeneration
+from sglang_security_tpu.models.llavavid import LlavaVidForCausalLM
+from sglang_security_tpu.models.yivl import YiVLForCausalLM
+from sglang_security_tpu.models.mimo_mtp import MiMoMTP
 from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
 from sglang_security_tpu.models.idefics2 import (
     Idefics2ForConditionalGeneration,
@@ -112,6 +115,10 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
     "InternLM3ForCausalLM": LlamaForCausalLM,
     "LlavaForConditionalGeneration": LlavaForConditionalGeneration,
+    # legacy llava-hf export name (reference llava.py LlavaLlamaForCausalLM)
+    "LlavaLlamaForCausalLM": LlavaForConditionalGeneration,
+    "YiVLForCausalLM": YiVLForCausalLM,
+    "LlavaVidForCausalLM": LlavaVidForCausalLM,
     "MllamaForConditionalGeneration": MllamaForConditionalGeneration,
     "Idefics2ForConditionalGeneration": Idefics2ForConditionalGeneration,
     "Idefics3ForConditionalGeneration": Idefics3ForConditionalGeneration,
@@ -130,6 +137,9 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "MiniCPMForCausalLM": MiniCPMForCausalLM,
     "MiniCPM3ForCausalLM": MiniCPM3ForCausalLM,
     "MiMoForCausalLM": LlamaForCausalLM,  # qwen2 body (reference mimo.py)
+    "MiMoMTP": MiMoMTP,  # MTP draft head (reference mimo_mtp.py)
+    # qwen2-body EAGLE draft checkpoints (reference qwen2_eagle.py)
+    "Qwen2ForCausalLMEagle": EagleLlamaForCausalLM,
     "BaichuanForCausalLM": BaichuanForCausalLM,
     "BaiChuanForCausalLM": BaichuanForCausalLM,  # 7B config spelling
     "XverseForCausalLM": LlamaForCausalLM,  # llama body + naming

@@ -81,17 +81,30 @@ class EagleWorker:
             Eagle3LlamaForCausalLM if self.is_eagle3 else EagleLlamaForCausalLM
         )
         if self.is_nextn:
-            from sglang_security_tpu.models.deepseek_nextn import (
-                DeepseekV3ForCausalLMNextN,
-                nextn_draft_config,
-            )
+            # MTP weights live in the TARGET checkpoint: DeepSeek-V3 at
+            # layer index num_hidden_layers (reference deepseek_nextn.py
+            # remap), MiMo at model.mtp_layers.{i} (reference
+            # mimo_mtp.py); --speculative-draft-model-path defaults to
+            # the model path
+            target_arch = (runner.config.raw.get("architectures")
+                           or [""])[0]
+            if "Deepseek" in target_arch:
+                from sglang_security_tpu.models.deepseek_nextn import (
+                    DeepseekV3ForCausalLMNextN,
+                    nextn_draft_config,
+                )
 
-            # MTP weights live in the TARGET checkpoint at layer index
-            # num_hidden_layers (reference deepseek_nextn.py remap);
-            # --speculative-draft-model-path defaults to the model path
-            cfg = nextn_draft_config(runner.config.raw)
-            self.model = DeepseekV3ForCausalLMNextN(cfg)
-            self.model.mtp_layer_idx = runner.config.num_layers
+                cfg = nextn_draft_config(runner.config.raw)
+                self.model = DeepseekV3ForCausalLMNextN(cfg)
+                self.model.mtp_layer_idx = runner.config.num_layers
+            else:
+                from sglang_security_tpu.models.mimo_mtp import (
+                    MiMoMTP,
+                    mimo_mtp_draft_config,
+                )
+
+                cfg = mimo_mtp_draft_config(runner.config.raw)
+                self.model = MiMoMTP(cfg)
             if server_args.load_format == "dummy":
                 self.params = self.model.init_dummy_params(
                     seed=1, dtype=runner.dtype
