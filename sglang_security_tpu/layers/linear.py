@@ -176,14 +176,18 @@ def load_merged_linear(
     )
 
 
-def apply_linear(x: jax.Array, p: dict, group_size: int = 0) -> jax.Array:
-    """x: [..., K] -> [..., N]; dispatch on param-dict structure."""
+def apply_linear(x: jax.Array, p: dict, group_size: int = 0,
+                 out_dtype=None) -> jax.Array:
+    """x: [..., K] -> [..., N]; dispatch on param-dict structure.
+    ``out_dtype`` overrides the output dtype (f32 for logits heads so a
+    quantized head's scaled accumulator is not rounded through bf16)."""
     shape = x.shape
+    od = out_dtype or x.dtype
     x2 = x.reshape(-1, shape[-1])
     if "w" in p:
         out = jnp.dot(
             x2.astype(p["w"].dtype), p["w"], preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        ).astype(od)
     elif "packed" in p or "packed_a8" in p:
         # group size is implied by the scale rows: K / (K/G); the
         # "packed_a8" key (or the decode-time act override) selects w4a8
@@ -193,11 +197,11 @@ def apply_linear(x: jax.Array, p: dict, group_size: int = 0) -> jax.Array:
         act_int8 = "packed_a8" in p or _ACT_OVERRIDE == "int8"
         out = int4_matmul(
             x2, packed, p["scale"], p["zero"],
-            group_size=g, out_dtype=x.dtype,
+            group_size=g, out_dtype=od,
             act="int8" if act_int8 else "bf16",
         )
     elif "w_q" in p:
-        out = w8a8_matmul(x2, p["w_q"], p["w_scale"], out_dtype=x.dtype)
+        out = w8a8_matmul(x2, p["w_q"], p["w_scale"], out_dtype=od)
     else:
         raise ValueError(f"unrecognized linear params: {list(p)}")
     if "b" in p:

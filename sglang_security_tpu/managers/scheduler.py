@@ -54,6 +54,26 @@ PREFILL_ALIGN = 128  # aligned-ragged query packing unit (= kernel block_q)
 _DISABLE_DECODE_PIPELINE = bool(
     int(os.environ.get("SGLANG_TPU_DISABLE_DECODE_PIPELINE", "0"))
 )
+_DISABLE_PREFILL_PIPELINE = bool(
+    int(os.environ.get("SGLANG_TPU_DISABLE_PREFILL_PIPELINE", "0"))
+)
+
+
+@dataclass
+class PendingPrefill:
+    """A dispatched-but-uncommitted prefill chunk (prefill analog of the
+    overlap scheduler: token-independent host state — computed_len,
+    pages, radix publication — advances at dispatch time, so the next
+    chunk's plan builds and dispatches while this one runs on device;
+    sampled tokens are committed when the next dispatch is in flight)."""
+
+    handle: object  # model_runner.PrefillHandle
+    reqs: tuple  # chunk batch snapshot, row order
+    takes: tuple  # tokens computed per req in this chunk
+    starts: tuple  # computed_len per req BEFORE this chunk
+    done: tuple  # per req: prefill completed with this chunk
+    want_lp: tuple
+    q_starts: tuple  # flat token row of each req in the chunk
 
 
 @dataclass
@@ -107,6 +127,7 @@ class Scheduler:
         self.waiting: List[Req] = []
         self.running: List[Req] = []
         self._pending_decode: Optional[PendingDecode] = None
+        self._pending_prefill: Optional[PendingPrefill] = None
         self.inflight: List[Req] = []
         self.chunked_req: Optional[Req] = None
         self.max_running = server_args.max_running_requests or 256
@@ -272,7 +293,8 @@ class Scheduler:
         last_time = time.monotonic()
         poll = max(0.05, min(timeout / 4, 5.0))
         while not self._watchdog_stop.wait(poll):
-            busy = bool(self.running or self.inflight or self.chunked_req)
+            busy = bool(self.running or self.inflight or self.chunked_req
+                        or self._pending_prefill is not None)
             if not busy or self.forward_ct != last_ct:
                 last_ct = self.forward_ct
                 last_time = time.monotonic()
@@ -327,6 +349,9 @@ class Scheduler:
         self.waiting.append(req)
 
     def abort_request(self, rid: str) -> None:
+        # a pipelined prefill chunk may hold the request outside every
+        # queue; commit it first so the abort sees consistent state
+        self._drain_prefill()
         for r in self.waiting:
             if r.rid == rid:
                 self.waiting.remove(r)
@@ -352,7 +377,7 @@ class Scheduler:
     def has_work(self) -> bool:
         return bool(
             self.waiting or self.running or self.chunked_req
-            or self.disagg_waiting
+            or self.disagg_waiting or self._pending_prefill is not None
         )
 
     # ------------------------------------------------------------- stepping
@@ -369,6 +394,10 @@ class Scheduler:
         self.inflight = prefill or list(self.running)
         if prefill:
             self._run_prefill(prefill)
+        elif self._pending_prefill is not None:
+            # no more prefill work: commit the in-flight chunk so its
+            # requests join `running` before decode starts
+            self._drain_prefill()
         elif self.running:
             self._run_decode()
         self.forward_ct += 1
@@ -435,7 +464,13 @@ class Scheduler:
             return adder.can_run
         if not self.waiting:
             return []
-        if len(self.running) >= self.max_running:
+        # requests whose prefill finished in the in-flight pipelined
+        # chunk join `running` at commit — count them against admission
+        pend_done = (
+            sum(self._pending_prefill.done)
+            if self._pending_prefill is not None else 0
+        )
+        if len(self.running) + pend_done >= self.max_running:
             return []
         self.policy.calc_priority(self.waiting)
         adder = self._make_adder()
@@ -662,6 +697,32 @@ class Scheduler:
                 [self.eagle.ft_row(r.spec_slot) for r in reqs], np.int32
             )
             tokens, logprobs, x_all = self.runner.execute(plan)
+        elif not _DISABLE_PREFILL_PIPELINE and self.disagg_mode != "prefill":
+            # ---- prefill pipelining (prefill analog of the decode
+            # overlap rounds): dispatch this chunk async, advance the
+            # token-independent host state (computed_len, radix
+            # publication) NOW so the next chunk's plan can build and
+            # dispatch behind it, and only then commit the PREVIOUS
+            # chunk's sampled tokens — its wait overlaps this chunk's
+            # device compute.  Disagg-prefill streams device KV per
+            # chunk (blocking export), so it stays on the sync path.
+            handle = self.runner.execute(plan, dispatch_only=True)
+            starts = tuple(r.computed_len for r in reqs)
+            for i, req in enumerate(reqs):
+                req.computed_len += takes[i]
+            done = tuple(r.extend_len <= 0 for r in reqs)
+            for i, req in enumerate(reqs):
+                if not done[i]:
+                    self._cache_unfinished(req)
+            pend = PendingPrefill(
+                handle=handle, reqs=tuple(reqs), takes=tuple(takes),
+                starts=starts, done=done, want_lp=tuple(want_lp),
+                q_starts=tuple(int(q) for q in q_starts),
+            )
+            prev, self._pending_prefill = self._pending_prefill, pend
+            if prev is not None:
+                self._commit_prefill(prev)
+            return
         else:
             tokens, logprobs = self.runner.execute(plan)
         if self.eagle is not None:
@@ -710,6 +771,35 @@ class Scheduler:
                 self._send_disagg_kv(req)
             else:
                 self.running.append(req)
+
+    def _commit_prefill(self, pend: PendingPrefill) -> None:
+        """Apply a pipelined prefill chunk's sampled tokens: prompt
+        logprobs, first generated token, and running admission — the
+        token-dependent half of the sync path's post-processing."""
+        tokens, logprobs, lps = self.runner.wait_prefill(pend.handle)
+        if lps is not None:
+            for i, req in enumerate(pend.reqs):
+                if not pend.want_lp[i] or pend.takes[i] == 0:
+                    continue
+                row0, start = pend.q_starts[i], pend.starts[i]
+                for j in range(pend.takes[i]):
+                    if start + j + 1 < len(req.input_ids):
+                        req.input_logprobs.append(float(lps[row0 + j]))
+        for i, req in enumerate(pend.reqs):
+            if not pend.done[i]:
+                continue
+            if req.finished_reason is not None:
+                continue  # aborted while in flight
+            self._append_token(req, int(tokens[i]), float(logprobs[i]))
+            self.running.append(req)
+
+    def _drain_prefill(self) -> None:
+        """Materialize and commit the in-flight prefill chunk, if any."""
+        pend = self._pending_prefill
+        if pend is None:
+            return
+        self._pending_prefill = None
+        self._commit_prefill(pend)
 
     # ------------------------------------------------- PD disaggregation
     def _stream_disagg_chunk(self, req: Req, final: bool) -> None:
@@ -1980,6 +2070,7 @@ class Scheduler:
 
     # ------------------------------------------------------------- control
     def flush_cache(self) -> bool:
+        self._drain_prefill()
         self._drain_decode()
         if self.running or self.waiting:
             return False
@@ -1992,6 +2083,7 @@ class Scheduler:
 
     def check_memory(self) -> bool:
         """Idle leak assertion (reference scheduler.py:1314-1361)."""
+        self._drain_prefill()
         self._drain_decode()
         if self.running or self.waiting or self.chunked_req:
             return True

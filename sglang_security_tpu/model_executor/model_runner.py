@@ -123,6 +123,23 @@ class DecodeHandle:
         return self.toks[self.num_steps - 1]
 
 
+@dataclass
+class PrefillHandle:
+    """A dispatched (not yet materialized) prefill chunk.
+
+    Prefill analog of ``DecodeHandle`` (VERDICT r3 §2.1 noted prefill
+    dispatch was still serial): the scheduler dispatches chunk N+1 and
+    only then materializes chunk N, so per-chunk host work + dispatch
+    latency hide under device compute.  ``lp_dev`` carries the prompt
+    token logprobs device array when the request asked for them."""
+
+    toks: object  # jax.Array [S]
+    lps: object  # jax.Array [S]
+    out_slot: Optional[np.ndarray]
+    S_real: int
+    lp_dev: object = None  # jax.Array [T] or None
+
+
 class ModelRunner:
     def __init__(self, server_args: ServerArgs, mesh=None, devices=None):
         """``mesh``/``devices``: explicit placement for engine-level DP
@@ -199,6 +216,7 @@ class ModelRunner:
             download_dir=server_args.download_dir,
             tp_size=self.tp_size,
             revision=server_args.revision,
+            lm_head_quantization=server_args.lm_head_quantization,
         )
         if server_args.context_length:
             # --context-length overrides the checkpoint's max positions
@@ -1700,8 +1718,12 @@ class ModelRunner:
         if self.penalty_counts is not None:
             self.penalty_counts = self.penalty_counts.at[slot].set(0)
 
-    def execute(self, plan: BatchPlan) -> Tuple[np.ndarray, np.ndarray]:
-        """Run one step; returns (next_token per seq [S_real], logprobs)."""
+    def execute(self, plan: BatchPlan, dispatch_only: bool = False):
+        """Run one step; returns (next_token per seq [S_real], logprobs).
+
+        With ``dispatch_only`` (non-eagle prefill pipelining) the call
+        returns a :class:`PrefillHandle` immediately after async
+        dispatch; materialize with :meth:`wait_prefill`."""
         sa = self.server_args
         S_real = len(plan.q_lens)
         out_slot = None
@@ -1786,12 +1808,12 @@ class ModelRunner:
                 tokens, logprobs, k_pages, v_pages, counts, x_all = fn(*args)
                 targets = np.full(T, -1, np.int32)
                 targets[: len(plan.lp_targets)] = plan.lp_targets
-                input_lps = np.asarray(jax.device_get(
-                    self._get_prompt_lp_fn(T)(
-                        self.params, x_all, jnp.asarray(targets)
-                    )
-                ))
-                self._last_input_lps = input_lps
+                lp_dev = self._get_prompt_lp_fn(T)(
+                    self.params, x_all, jnp.asarray(targets)
+                )
+                if not dispatch_only:
+                    input_lps = np.asarray(jax.device_get(lp_dev))
+                    self._last_input_lps = input_lps
             else:
                 tokens, logprobs, k_pages, v_pages, counts = fn(*args)
         finally:
@@ -1801,6 +1823,13 @@ class ModelRunner:
         self.kv_pool.v_pages = v_pages
         if penalized:
             self.penalty_counts = counts
+        if dispatch_only:
+            assert not eagle_on, "prefill pipelining excludes EAGLE"
+            return PrefillHandle(
+                toks=tokens, lps=logprobs, out_slot=out_slot,
+                S_real=S_real,
+                lp_dev=lp_dev if prompt_lp else None,
+            )
         tokens_np = np.asarray(jax.device_get(tokens))
         logprobs_np = np.asarray(jax.device_get(logprobs))
         if out_slot is not None:  # dp attention: back to request order
@@ -1812,6 +1841,23 @@ class ModelRunner:
         if eagle_on:
             return tokens_np, logprobs_np, x_all
         return tokens_np, logprobs_np
+
+    def wait_prefill(self, handle: "PrefillHandle"):
+        """Materialize a dispatched prefill chunk (blocks until done).
+        Returns (tokens [S_real], logprobs [S_real], input_lps or None)."""
+        tokens_np = np.asarray(jax.device_get(handle.toks))
+        logprobs_np = np.asarray(jax.device_get(handle.lps))
+        if handle.out_slot is not None:
+            tokens_np = tokens_np[handle.out_slot]
+            logprobs_np = logprobs_np[handle.out_slot]
+        else:
+            tokens_np = tokens_np[: handle.S_real]
+            logprobs_np = logprobs_np[: handle.S_real]
+        input_lps = None
+        if handle.lp_dev is not None:
+            input_lps = np.asarray(jax.device_get(handle.lp_dev))
+            self._last_input_lps = input_lps
+        return tokens_np, logprobs_np, input_lps
 
     # ------------------------------------------------------------------
     def _pad_plan(self, plan: BatchPlan, T: int, S: int, PPS: int,
@@ -2190,5 +2236,6 @@ class ModelRunner:
             quantization=self.server_args.quantization,
             dtype=self.server_args.dtype,
             tp_size=self.tp_size,
+            lm_head_quantization=self.server_args.lm_head_quantization,
         )
         self._install_params(params)

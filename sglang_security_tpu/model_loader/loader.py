@@ -153,6 +153,7 @@ def load_model(
     seed: int = 0,
     tp_size: int = 1,
     revision: Optional[str] = None,
+    lm_head_quantization: Optional[str] = "auto",
 ) -> Tuple[object, dict, ModelConfig]:
     """Returns (model, params, config)."""
     model_path = str(model_path)  # tolerate pathlib.Path
@@ -176,6 +177,20 @@ def load_model(
         quantization = ckpt_quant
     model_cls = get_model_class(config)
     model = model_cls(config, quantization=quantization, tp_size=tp_size)
+    if lm_head_quantization == "auto":
+        # the bf16 head is ~1 GB of pure HBM read per decode step on an
+        # 8B/128k-vocab model (~1.3 ms at 819 GB/s); when the body is
+        # already quantized, an int8 per-channel head costs ~nothing in
+        # fidelity next to int4 weights (FIDELITY_r04.json) and halves
+        # that read.  "none" keeps the reference default (fp16 head).
+        lm_head_quantization = (
+            "int8" if quantization in (
+                "int4", "w4a8", "int4-a8", "awq", "gptq", "int8", "w8a8"
+            ) else None
+        )
+    if lm_head_quantization in ("none", "bf16"):
+        lm_head_quantization = None
+    model.lm_head_quant = lm_head_quantization
     jdtype = get_dtype(dtype)
     if load_format == "dummy":
         logger.info("loading dummy (random) weights for %s", config.architecture)

@@ -241,7 +241,9 @@ class LlamaForCausalLM:
         }
         if not cfg.tie_word_embeddings:
             params["lm_head"] = make_linear_params(
-                rand(H, cfg.vocab_size), quantization=None, dtype=dtype
+                rand(H, cfg.vocab_size),
+                quantization=getattr(self, "lm_head_quant", None),
+                dtype=dtype,
             )
         return params
 
@@ -341,7 +343,9 @@ class LlamaForCausalLM:
         }
         if not cfg.tie_word_embeddings:
             params["lm_head"] = make_linear_params(
-                t("lm_head.weight").T, quantization=None, dtype=dtype
+                t("lm_head.weight").T,
+                quantization=getattr(self, "lm_head_quant", None),
+                dtype=dtype,
             )
         return params
 
@@ -985,7 +989,9 @@ class LlamaForCausalLM:
                 params["embed"].T.astype(jnp.float32),
             )
         else:
-            logits = apply_linear(hidden, params["lm_head"]).astype(jnp.float32)
+            logits = apply_linear(
+                hidden, params["lm_head"], out_dtype=jnp.float32
+            )
             if tp_axis is not None:
                 # vocab-parallel head: gather shards to the full vocab
                 logits = lax.all_gather(logits, tp_axis, axis=1, tiled=True)

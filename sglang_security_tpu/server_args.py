@@ -51,6 +51,10 @@ class ServerArgs:
     decode_act_int8: bool = True
     prefill_act_int8: bool = True
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
+    # lm_head weight quantization: auto = int8 per-channel whenever the
+    # body is quantized (halves the ~1 GB/step head read on 128k-vocab
+    # models); none keeps the bf16 head (reference fp16-head default)
+    lm_head_quantization: str = "auto"  # auto | none | int8 | int4
     context_length: Optional[int] = None
     revision: Optional[str] = None
     served_model_name: Optional[str] = None

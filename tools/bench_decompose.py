@@ -24,6 +24,7 @@ ACC = {"prefill": [0.0, 0], "decode": [0.0, 0], "embed": [0.0, 0]}
 _orig_exec = mr_mod.ModelRunner.execute
 _orig_multi = mr_mod.ModelRunner.execute_decode_multi
 _orig_wait = mr_mod.ModelRunner.wait_decode
+_orig_wait_pf = mr_mod.ModelRunner.wait_prefill
 
 
 def timed(name, orig):
@@ -53,6 +54,9 @@ def _timed_wait(handle):
 
 
 mr_mod.ModelRunner.wait_decode = staticmethod(_timed_wait)
+# pipelined prefill (round 4): execute(dispatch_only=True) returns
+# immediately; the exposed device wait moved to wait_prefill
+mr_mod.ModelRunner.wait_prefill = timed("prefill", _orig_wait_pf)
 
 from sglang_security_tpu.entrypoints.engine import Engine
 from sglang_security_tpu.server_args import ServerArgs

@@ -50,7 +50,7 @@ PAGE_SIZE = 64
 CHUNK = 256
 
 
-def model_logprobs(quantization):
+def model_logprobs(quantization, lm_head="auto"):
     """Teacher-forced log-softmax rows [N_SEQS*SEQ_LEN, V] (host f32),
     computed with the production prefill path (Pallas attention +
     quantized Pallas matmuls, interpret=False)."""
@@ -66,7 +66,7 @@ def model_logprobs(quantization):
         json.dump(HALF_LLAMA3_8B, f)
     model, params, cfg = load_model(
         model_dir, load_format="dummy", quantization=quantization,
-        dtype="bfloat16", seed=0,
+        dtype="bfloat16", seed=0, lm_head_quantization=lm_head,
     )
     model.kv_page_size = PAGE_SIZE
 
@@ -139,12 +139,19 @@ def main() -> None:
     print("bf16 reference pass...", flush=True)
     ref = model_logprobs(None)
     results = {}
-    for q in ("int4", "w4a8"):
-        print(f"{q} pass...", flush=True)
-        qlp = model_logprobs(q)
-        results[q] = compare(ref, qlp)
+    # auto = the serving default (int8 per-channel lm_head with any
+    # quantized body); the bf16head variant isolates the head's
+    # incremental cost for the gate
+    for name, q, head in (
+        ("int4", "int4", "auto"),
+        ("w4a8", "w4a8", "auto"),
+        ("w4a8_bf16head", "w4a8", "none"),
+    ):
+        print(f"{name} pass...", flush=True)
+        qlp = model_logprobs(q, lm_head=head)
+        results[name] = compare(ref, qlp)
         del qlp
-        print(q, results[q], flush=True)
+        print(name, results[name], flush=True)
     print(json.dumps({
         "proxy": "teacher-forced logit fidelity vs bf16, "
                  "llama3-8b layer shapes (16 layers), dummy weights",
