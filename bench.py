@@ -59,6 +59,7 @@ def main() -> None:
     # the spec variants to B=8, longer outputs.
     n_reqs = int(os.environ.get("BENCH_NUM_REQS", 8 if spec_mode else 128))
     quant = os.environ.get("BENCH_QUANT", "int4")
+    kv_dtype = os.environ.get("BENCH_KV", "auto")
     page_size = int(os.environ.get("BENCH_PAGE_SIZE", 128))
     in_len = int(os.environ.get("BENCH_INPUT_LEN", 128))
     out_len = int(
@@ -104,6 +105,7 @@ def main() -> None:
                 model_path=model_dir,
                 load_format="dummy",
                 quantization=quant,
+                kv_cache_dtype=kv_dtype,
                 dtype="bfloat16",
                 skip_tokenizer_init=True,
                 max_total_tokens=max_total,

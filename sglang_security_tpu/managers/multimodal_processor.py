@@ -486,6 +486,40 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             image_token_id=outer.get("image_token_id", 49153),
             tokens_per_image=(g * g) // (sf * sf),
         )
+    if arch == "InternVLChatModel":
+        outer = raw.get("_outer") or raw
+        size = outer.get("force_image_size") or vis.get("image_size", 448)
+        g = size // vis.get("patch_size", 14)
+        ds = outer.get("downsample_ratio", 0.5)
+        return ImageProcessor(
+            image_size=size,
+            patch_size=vis.get("patch_size", 14),
+            # InternVL normalizes with imagenet stats
+            mean=vis.get("image_mean") or [0.485, 0.456, 0.406],
+            std=vis.get("image_std") or [0.229, 0.224, 0.225],
+            image_token_id=outer.get(
+                "img_context_token_id",
+                outer.get("image_token_index", 32000),
+            ),
+            tokens_per_image=int(g * g * ds * ds),
+        )
+    if arch == "DeepseekVL2ForCausalLM":
+        outer = raw.get("_outer") or raw
+        pc = outer.get("projector_config") or {}
+        size = vis.get("image_size", 384)
+        g = size // vis.get("patch_size", 14)
+        h = g // pc.get("downsample_ratio", 2)
+        return ImageProcessor(
+            image_size=size,
+            patch_size=vis.get("patch_size", 14),
+            # timm siglip-webli normalize
+            mean=vis.get("image_mean") or [0.5, 0.5, 0.5],
+            std=vis.get("image_std") or [0.5, 0.5, 0.5],
+            image_token_id=outer.get("image_token_id", 100015),
+            # rows get a newline embed; +1 view separator
+            # (models/deepseek_vl2.py tokens_per_image)
+            tokens_per_image=h * (h + 1) + 1,
+        )
     if arch == "MllamaForConditionalGeneration":
         return MllamaImageProcessor(
             vis,

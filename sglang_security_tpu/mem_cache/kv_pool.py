@@ -33,7 +33,11 @@ class KVCachePool:
         page_size: int,
         head_dim: int,
         dtype=jnp.bfloat16,
-        kv_quant_dtype: Optional[str] = None,  # None | "int8" | "fp8"
+        # None | "int8" | "fp8" (per-token scales, scatter write path) |
+        # "fp8_static" (e4m3 data, scale fixed at 1.0: a PLAIN pool of
+        # fp8 — no scale arrays, so the fused-write decode kernel's RMW
+        # window applies and decode attention reads half the bytes)
+        kv_quant_dtype: Optional[str] = None,
         # one Sharding for the plain pool, or a (data, scale) pair for a
         # quantized pool under a mesh (scale is [L, H, tokens])
         sharding=None,
@@ -53,7 +57,7 @@ class KVCachePool:
         self.kv_quant_dtype = kv_quant_dtype
         if kv_quant_dtype == "int8":
             store_dtype = jnp.int8
-        elif kv_quant_dtype == "fp8":
+        elif kv_quant_dtype in ("fp8", "fp8_static"):
             store_dtype = jnp.float8_e4m3fn
         else:
             store_dtype = dtype
@@ -81,7 +85,7 @@ class KVCachePool:
                 z = jax.device_put(z, shard)
             return z
 
-        if self.kv_quant_dtype is not None:
+        if self.kv_quant_dtype is not None and self.kv_quant_dtype != "fp8_static":
             # quantized KV rides as a (data, per-token-per-head scale)
             # pytree so model code threads it opaquely through scan
             # carries (analog of the reference's fused_downcast storage,

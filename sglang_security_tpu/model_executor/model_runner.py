@@ -271,9 +271,12 @@ class ModelRunner:
             self.num_pages -= self.num_pages % self.dp_attn_size
         kv_quant = (
             server_args.kv_cache_dtype
-            if server_args.kv_cache_dtype in ("int8", "fp8")
+            if server_args.kv_cache_dtype in ("int8", "fp8", "fp8_static")
             else None
         )
+        # fp8_static is a PLAIN pool of e4m3 (scale fixed at 1.0): no
+        # scale arrays, so the fused-write decode kernel still applies
+        kv_scaled = kv_quant in ("int8", "fp8")
         # Spec tree for ONE KV buffer as threaded through the step:
         # plain pool -> the [L, H, T, D] pspec; quantized pool ->
         # (data, per-(L, H, token) scale) tuple, the scale sharded on
@@ -285,7 +288,7 @@ class ModelRunner:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
-            if kv_quant is not None:
+            if kv_scaled:
                 scale_pspec = P(*tuple(self._kv_pspec)[:3])
                 self._kv_specs = (self._kv_pspec, scale_pspec)
                 kv_sharding = (
@@ -533,6 +536,9 @@ class ModelRunner:
         if sa.kv_cache_dtype in ("int8", "fp8"):
             per_elem = 1
             scale_bytes = 2  # bf16 scale per (token, head)
+        elif sa.kv_cache_dtype == "fp8_static":
+            per_elem = 1
+            scale_bytes = 0
         else:
             per_elem = jnp.dtype(self.dtype).itemsize
             scale_bytes = 0

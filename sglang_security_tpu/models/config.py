@@ -56,6 +56,13 @@ class ModelConfig:
     @classmethod
     def from_hf_dict(cls, d: dict) -> "ModelConfig":
         arch = (d.get("architectures") or ["LlamaForCausalLM"])[0]
+        if "llm_config" in d and "text_config" not in d:
+            # InternVL-class composite (reference internvl.py: llm_config
+            # names the inner body); normalize to the text_config shape
+            d = {**d, "text_config": d["llm_config"]}
+        if "language_config" in d and "text_config" not in d:
+            # DeepSeek-VL2 composite (reference deepseek_vl2.py)
+            d = {**d, "text_config": d["language_config"]}
         if "text_config" in d and "num_hidden_layers" not in d:
             # VLM composite config (LLaVA-class): language-model dims live
             # in text_config; keep the outer arch + full raw dict so the
@@ -66,7 +73,12 @@ class ModelConfig:
                       "projector_hidden_act", "image_token_id",
                       "vision_start_token_id", "vision_end_token_id",
                       "mm_tokens_per_image", "boi_token_index",
-                      "eoi_token_index"):
+                      "eoi_token_index",
+                      # InternVL (reference internvl.py)
+                      "select_layer", "downsample_ratio", "ps_version",
+                      "force_image_size",
+                      # DeepSeek-VL2 (reference deepseek_vl2.py)
+                      "projector_config", "candidate_resolutions"):
                 if k in d["_outer"]:
                     d.setdefault(k, d["_outer"][k])
         nq = d.get("num_attention_heads", 32)
@@ -109,7 +121,11 @@ class ModelConfig:
             moe_intermediate_size=d.get("moe_intermediate_size", 0),
             num_shared_experts=d.get("n_shared_experts", 0),
             use_mla=arch.startswith("DeepseekV2")
-            or arch.startswith("DeepseekV3"),
+            or arch.startswith("DeepseekV3")
+            # composite VLM on the MLA body (reference deepseek_vl2.py:193
+            # language_config.use_mla)
+            or (arch == "DeepseekVL2ForCausalLM"
+                and bool(d.get("kv_lora_rank"))),
             kv_lora_rank=d.get("kv_lora_rank", 0),
             q_lora_rank=d.get("q_lora_rank") or 0,
             qk_nope_head_dim=d.get("qk_nope_head_dim", 0),

@@ -98,6 +98,9 @@ def _scatter_kv(k_pages, v_pages, k, v, li, safe_slots):
         Hkv = pages.shape[1]
         head_idx = jnp.arange(Hkv, dtype=jnp.int32)[:, None]  # [Hkv, 1]
         slot_idx = safe_slots[None, :]  # [1, T]
+        if pages.dtype == jnp.float8_e4m3fn:  # static-scale fp8 pool:
+            # saturate (XLA's convert maps out-of-range to NaN)
+            x = jnp.clip(x.astype(jnp.float32), -448.0, 448.0)
         return pages.at[li, head_idx, slot_idx].set(
             x.astype(pages.dtype).transpose(1, 0, 2), mode="drop"
         )

@@ -41,6 +41,8 @@ from sglang_security_tpu.models.llava import LlavaForConditionalGeneration
 from sglang_security_tpu.models.llavavid import LlavaVidForCausalLM
 from sglang_security_tpu.models.yivl import YiVLForCausalLM
 from sglang_security_tpu.models.mimo_mtp import MiMoMTP
+from sglang_security_tpu.models.internvl import InternVLChatModel
+from sglang_security_tpu.models.deepseek_vl2 import DeepseekVL2ForCausalLM
 from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
 from sglang_security_tpu.models.idefics2 import (
     Idefics2ForConditionalGeneration,
@@ -106,6 +108,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
     "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
     "DeepseekV3ForCausalLMNextN": DeepseekV3ForCausalLMNextN,
+    "DeepseekVL2ForCausalLM": DeepseekVL2ForCausalLM,
     "GemmaForCausalLM": GemmaForCausalLM,
     "Gemma2ForCausalLM": Gemma2ForCausalLM,
     "Gemma3ForCausalLM": Gemma3ForCausalLM,
@@ -113,6 +116,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "Phi3ForCausalLM": Phi3ForCausalLM,
     "Phi4ForCausalLM": Phi3ForCausalLM,
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
+    "InternVLChatModel": InternVLChatModel,
     "InternLM3ForCausalLM": LlamaForCausalLM,
     "LlavaForConditionalGeneration": LlavaForConditionalGeneration,
     # legacy llava-hf export name (reference llava.py LlavaLlamaForCausalLM)

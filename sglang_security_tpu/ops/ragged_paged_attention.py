@@ -304,6 +304,8 @@ def _kernel(
                 ].astype(jnp.bfloat16)[:, None]
             else:
                 k_h = k_buf[slot, h]  # [block_kv, d] (contiguous per head)
+                if k_h.dtype == jnp.float8_e4m3fn:  # static-scale fp8 KV
+                    k_h = k_h.astype(jnp.bfloat16)
             qk = lax.dot_general(
                 q_h,
                 k_h,
@@ -331,6 +333,8 @@ def _kernel(
                 ].astype(jnp.bfloat16)[:, None]
             else:
                 v_h = v_buf[slot, h]
+                if v_h.dtype == jnp.float8_e4m3fn:
+                    v_h = v_h.astype(jnp.bfloat16)
             pv = lax.dot_general(
                 p.astype(v_h.dtype),
                 v_h,
@@ -753,9 +757,10 @@ def _decode_kernel(
                         * ks_buf[slot, s].astype(jnp.bfloat16)[..., None]
                     ).reshape(num_kv_heads * blk, head_dim)
                 else:
-                    k_all = k_buf[slot, s].reshape(
-                        num_kv_heads * blk, head_dim
-                    )
+                    k_all = k_buf[slot, s]
+                    if k_all.dtype == jnp.float8_e4m3fn:  # static fp8 KV
+                        k_all = k_all.astype(jnp.bfloat16)
+                    k_all = k_all.reshape(num_kv_heads * blk, head_dim)
                 qk_full = lax.dot_general(
                     q_s,
                     k_all,
@@ -799,9 +804,10 @@ def _decode_kernel(
                         * vs_buf[slot, s].astype(jnp.bfloat16)[..., None]
                     ).reshape(num_kv_heads * blk, head_dim)
                 else:
-                    v_all = v_buf[slot, s].reshape(
-                        num_kv_heads * blk, head_dim
-                    )
+                    v_all = v_buf[slot, s]
+                    if v_all.dtype == jnp.float8_e4m3fn:
+                        v_all = v_all.astype(jnp.bfloat16)
+                    v_all = v_all.reshape(num_kv_heads * blk, head_dim)
                 # block-diagonal p so one matmul handles every head group
                 p_cast = p.astype(v_all.dtype)
                 p_full = jnp.concatenate(
@@ -1063,10 +1069,16 @@ def paged_decode_attention(
             (block_s, num_kv_heads, 1, head_dim),
             lambda sb, *_: (sb, 0, 0, 0),
         )
+        def _to_store(x, dt):
+            if dt == jnp.float8_e4m3fn:
+                # saturate: XLA's convert maps out-of-range to NaN
+                x = jnp.clip(x.astype(jnp.float32), -448.0, 448.0)
+            return x.astype(dt)
+
         in_specs += [nkv_spec, nkv_spec]
         inputs += [
-            k_new.astype(k_pages.dtype)[:, :, None, :],
-            v_new.astype(v_pages.dtype)[:, :, None, :],
+            _to_store(k_new, k_pages.dtype)[:, :, None, :],
+            _to_store(v_new, v_pages.dtype)[:, :, None, :],
         ]
         out_specs = [
             out_specs,
@@ -1086,7 +1098,8 @@ def paged_decode_attention(
     ]
     if fused_write:
         # RMW window: sublane-tile-aligned rows around each slot
-        W = 16 if k_pages.dtype == jnp.bfloat16 else 8
+        # (sublane tile = 32 bytes / itemsize: bf16->16, f32->8, fp8->32)
+        W = max(8, 32 // k_pages.dtype.itemsize)
         W = min(W, page_size)
         assert page_size % W == 0, (page_size, W)
         scratch += [

@@ -50,7 +50,11 @@ class ServerArgs:
     # each have a switch; spec-verify traces stay bf16-activation.
     decode_act_int8: bool = True
     prefill_act_int8: bool = True
-    kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | fp8
+    # auto | bfloat16 | int8 | fp8 (per-token scales) | fp8_static
+    # (e4m3, scale 1.0 — keeps the fused-write decode kernel, halves
+    # decode attention HBM; the reference FP8 KV default when the
+    # checkpoint ships no calibration scales is also scale=1.0)
+    kv_cache_dtype: str = "auto"
     # lm_head weight quantization: auto = int8 per-channel whenever the
     # body is quantized (halves the ~1 GB/step head read on 128k-vocab
     # models); none keeps the bf16 head (reference fp16-head default)

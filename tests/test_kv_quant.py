@@ -127,3 +127,96 @@ def test_engine_int8_kv_generates(tmp_path):
     # int8 KV should track the bf16 run closely on a short greedy rollout
     agree = sum(a == b for a, b in zip(outs["auto"], outs["int8"]))
     assert agree >= 8, outs
+
+
+def test_decode_kernel_fp8_static_kv(rng):
+    """fp8_static: a PLAIN e4m3 pool (scale 1.0) through the decode
+    kernel's fused-write path — the new token is quantized and written
+    by the kernel itself (no scatter, no scale arrays)."""
+    L, Hkv, Hq, hd, ps = 1, 2, 4, 64, 32
+    num_pages, PPS, B = 16, 4, 5
+    kv_lens = np.array([3, 9, 33, 60, 17], np.int32)
+    x = rng.standard_normal((L, Hkv, num_pages * ps, hd)).astype(np.float32)
+    v = rng.standard_normal((L, Hkv, num_pages * ps, hd)).astype(np.float32)
+    kq = jnp.asarray(x, jnp.float8_e4m3fn)
+    vq = jnp.asarray(v, jnp.float8_e4m3fn)
+    kdeq = np.asarray(kq, np.float32)
+    vdeq = np.asarray(vq, np.float32)
+    perm = rng.permutation(num_pages)
+    page_indices = np.zeros((B, PPS), np.int32)
+    n = 0
+    for b, kl in enumerate(kv_lens):
+        used = -(-int(kl) // ps)
+        page_indices[b, :used] = perm[n : n + used]
+        n += used
+    q = jnp.asarray(rng.standard_normal((B, Hq, hd)), jnp.float32)
+    # fused-write: the last kv position of each seq arrives as k_new
+    k_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    v_new = rng.standard_normal((B, Hkv, hd)).astype(np.float32)
+    slots = np.array([
+        page_indices[b, (kv_lens[b] - 1) // ps] * ps + (kv_lens[b] - 1) % ps
+        for b in range(B)
+    ], np.int32)
+    out, kq2, vq2 = paged_decode_attention(
+        q, kq, vq, jnp.asarray(kv_lens), jnp.asarray(page_indices),
+        page_size=ps,
+        k_new=jnp.asarray(k_new), v_new=jnp.asarray(v_new),
+        slots=jnp.asarray(slots),
+    )
+    # reference: pool rows for 0..len-1 with the last row = new token
+    kref, vref = kdeq.copy(), vdeq.copy()
+    for b in range(B):
+        kref[0, :, slots[b]] = np.asarray(
+            jnp.asarray(k_new[b], jnp.float8_e4m3fn), np.float32
+        )
+        vref[0, :, slots[b]] = np.asarray(
+            jnp.asarray(v_new[b], jnp.float8_e4m3fn), np.float32
+        )
+    # the kernel's flash update uses the exact (pre-quantized) new K/V;
+    # the reference uses the round-tripped row — tolerance covers both
+    kref2 = kref.copy()
+    vref2 = vref.copy()
+    kref2[0, :, slots] = k_new
+    vref2[0, :, slots] = v_new
+    ref = ref_ragged_paged_attention(
+        q,
+        jnp.asarray(kref2[0].reshape(Hkv, num_pages, ps, hd)),
+        jnp.asarray(vref2[0].reshape(Hkv, num_pages, ps, hd)),
+        kv_lens, page_indices,
+        np.arange(B, dtype=np.int32), np.ones(B, np.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=8e-2, atol=8e-2
+    )
+    # the written pool rows hold the fp8-quantized new tokens
+    got_k = np.asarray(kq2, np.float32)[0, :, slots]
+    np.testing.assert_allclose(got_k, kref[0, :, slots], rtol=0, atol=0.26)
+
+
+def test_engine_fp8_static_kv_generates(tmp_path):
+    from sglang_security_tpu.entrypoints.engine import Engine
+    from sglang_security_tpu.server_args import ServerArgs
+    from sglang_security_tpu.test_utils import make_tiny_llama
+
+    tiny = make_tiny_llama(str(tmp_path / "llama"))
+    outs = {}
+    for kvd in ("auto", "fp8_static"):
+        eng = Engine(ServerArgs(
+            model_path=tiny, dtype="float32", kv_cache_dtype=kvd,
+            max_total_tokens=2048, page_size=8,
+            prefill_token_buckets=[128], decode_bs_buckets=[1, 4],
+            max_seq_pages_buckets=[8], random_seed=0, enable_warmup=False,
+            log_level="warning",
+        ))
+        try:
+            out = eng.generate(
+                prompt="the quick brown fox",
+                sampling_params={"temperature": 0.0, "max_new_tokens": 12,
+                                 "ignore_eos": True},
+            )
+            outs[kvd] = out["output_ids"]
+        finally:
+            eng.shutdown()
+    assert len(outs["fp8_static"]) == 12
+    agree = sum(a == b for a, b in zip(outs["auto"], outs["fp8_static"]))
+    assert agree >= 6, outs

@@ -72,6 +72,7 @@ decode_steps_per_batch = int(os.environ.get("BENCH_DECODE_STEPS", 16))
 eng = Engine(ServerArgs(
     model_path=model_dir, load_format="dummy",
     quantization=os.environ.get("BENCH_QUANT", "int4"),
+    kv_cache_dtype=os.environ.get("BENCH_KV", "auto"),
     dtype="bfloat16", skip_tokenizer_init=True, max_total_tokens=49152,
     page_size=page_size, max_running_requests=n_reqs,
     max_prefill_tokens=4096, chunked_prefill_size=4096,
