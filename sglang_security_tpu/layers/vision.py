@@ -282,3 +282,126 @@ class SiglipVisionTower(ClipVisionTower):
         return layer_norm(
             x, params["post_ln_w"], params["post_ln_b"], cfg.layer_norm_eps
         )
+
+
+def rms_ln(x, w, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + eps)
+    return (y * w).astype(x.dtype)
+
+
+class PixtralVisionTower(ClipVisionTower):
+    """Pixtral ViT (reference ``srt/models/pixtral.py:266-460``
+    PixtralHFVisionModel): conv patch embed (no pos-embed table), RMSNorm
+    pre-norm and per-block norms, SiLU-gated MLP, and 2D rotary position
+    embeddings over the (h, w) patch grid (HF ``PixtralRotaryEmbedding``:
+    h-frequencies from even inv_freq rows, w from odd).  No CLS token."""
+
+    def load_weights(self, t, prefix: str, dtype=jnp.float32) -> dict:
+        cfg = self.config
+        layers = []
+        for i in range(cfg.num_layers):
+            a = f"{prefix}transformer.layers.{i}."
+            layers.append({
+                "an_w": jnp.asarray(t(a + "attention_norm.weight"), dtype),
+                "fn_w": jnp.asarray(t(a + "ffn_norm.weight"), dtype),
+                "q_w": jnp.asarray(t(a + "attention.q_proj.weight"), dtype).T,
+                "k_w": jnp.asarray(t(a + "attention.k_proj.weight"), dtype).T,
+                "v_w": jnp.asarray(t(a + "attention.v_proj.weight"), dtype).T,
+                "o_w": jnp.asarray(t(a + "attention.o_proj.weight"), dtype).T,
+                "gate_w": jnp.asarray(
+                    t(a + "feed_forward.gate_proj.weight"), dtype).T,
+                "up_w": jnp.asarray(
+                    t(a + "feed_forward.up_proj.weight"), dtype).T,
+                "down_w": jnp.asarray(
+                    t(a + "feed_forward.down_proj.weight"), dtype).T,
+            })
+        pw = np.asarray(t(prefix + "patch_conv.weight"), np.float32)
+        D = pw.shape[0]
+        return {
+            "patch_w": jnp.asarray(pw.reshape(D, -1).T, dtype),
+            "pre_w": jnp.asarray(t(prefix + "ln_pre.weight"), dtype),
+            "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        }
+
+    def init_dummy_params(self, rng: np.random.Generator, dtype=jnp.float32):
+        cfg = self.config
+        D, I = cfg.hidden_size, cfg.intermediate_size
+        p3 = 3 * cfg.patch_size * cfg.patch_size
+
+        def r(*shape, scale=0.02):
+            return jnp.asarray(
+                rng.standard_normal(shape).astype(np.float32) * scale, dtype
+            )
+
+        def layer():
+            return {
+                "an_w": jnp.ones(D, dtype), "fn_w": jnp.ones(D, dtype),
+                "q_w": r(D, D), "k_w": r(D, D), "v_w": r(D, D),
+                "o_w": r(D, D),
+                "gate_w": r(D, I), "up_w": r(D, I), "down_w": r(I, D),
+            }
+
+        layers = [layer() for _ in range(cfg.num_layers)]
+        return {
+            "patch_w": r(p3, D),
+            "pre_w": jnp.ones(D, dtype),
+            "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        }
+
+    def _rope_2d(self, g: int, hd: int, theta: float = 10000.0):
+        inv = 1.0 / theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd)
+        h = np.arange(g, dtype=np.float64)
+        fh = np.outer(h, inv[::2])  # [g, hd//4]
+        fw = np.outer(h, inv[1::2])
+        freqs = np.concatenate(
+            [
+                np.broadcast_to(fh[:, None, :], (g, g, fh.shape[1])),
+                np.broadcast_to(fw[None, :, :], (g, g, fw.shape[1])),
+            ],
+            axis=-1,
+        ).reshape(g * g, hd // 2)
+        emb = np.concatenate([freqs, freqs], axis=-1)  # rotate-half layout
+        return (jnp.asarray(np.cos(emb), jnp.float32),
+                jnp.asarray(np.sin(emb), jnp.float32))
+
+    def forward(self, params, pixel_values: jax.Array,
+                feature_layer: int = -1) -> jax.Array:
+        cfg = self.config
+        N = pixel_values.shape[0]
+        x = self.patchify(pixel_values).astype(params["patch_w"].dtype)
+        x = x @ params["patch_w"]  # [N, P, D]
+        x = rms_ln(x, params["pre_w"])
+        nh = cfg.num_heads
+        hd = cfg.hidden_size // nh
+        scale = hd ** -0.5
+        cos, sin = self._rope_2d(cfg.grid, hd)
+
+        def rope(v):  # [N, P, nh, hd]
+            half = hd // 2
+            v1, v2 = v[..., :half], v[..., half:]
+            rot = jnp.concatenate([-v2, v1], axis=-1)
+            return v * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+        def block(x, lp):
+            h = rms_ln(x, lp["an_w"])
+            q = (h @ lp["q_w"]).reshape(N, -1, nh, hd)
+            k = (h @ lp["k_w"]).reshape(N, -1, nh, hd)
+            v = (h @ lp["v_w"]).reshape(N, -1, nh, hd)
+            q, k = rope(q), rope(k)
+            att = jnp.einsum("nqhd,nkhd->nhqk", q, k) * scale
+            att = jax.nn.softmax(
+                att.astype(jnp.float32), axis=-1
+            ).astype(x.dtype)
+            o = jnp.einsum("nhqk,nkhd->nqhd", att, v).reshape(
+                N, -1, cfg.hidden_size
+            )
+            x = x + o @ lp["o_w"]
+            h = rms_ln(x, lp["fn_w"])
+            h = (jax.nn.silu(h @ lp["gate_w"]) * (h @ lp["up_w"])) @ lp[
+                "down_w"
+            ]
+            return x + h, None
+
+        x, _ = jax.lax.scan(block, x, params["layers"])
+        return x

@@ -486,6 +486,16 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             image_token_id=outer.get("image_token_id", 49153),
             tokens_per_image=(g * g) // (sf * sf),
         )
+    if arch == "MiniCPMV":
+        return ImageProcessor(
+            image_size=vis.get("image_size", 448),
+            patch_size=vis.get("patch_size", 14),
+            mean=vis.get("image_mean") or [0.5, 0.5, 0.5],
+            std=vis.get("image_std") or [0.5, 0.5, 0.5],
+            image_token_id=raw.get("image_token_id", 32000),
+            # resampler emits query_num tokens regardless of grid
+            tokens_per_image=raw.get("query_num", 64),
+        )
     if arch == "InternVLChatModel":
         outer = raw.get("_outer") or raw
         size = outer.get("force_image_size") or vis.get("image_size", 448)

@@ -103,7 +103,11 @@ class ModelConfig:
             max_position=d.get("max_position_embeddings", 4096),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             qkv_bias=d.get("attention_bias", False)
-            or arch.startswith("Qwen2"),
+            or arch.startswith("Qwen2")
+            # MiniCPM-V 2.6 rides the qwen2 body (reference minicpmv.py
+            # get_version_by_config); 2.0/2.5 are llama-family, no bias
+            or (arch == "MiniCPMV"
+                and str(d.get("version", "")).startswith("2.6")),
             mlp_bias=d.get("mlp_bias", False),
             act_fn=d.get("hidden_act", "silu"),
             qk_norm=arch.startswith("Qwen3") or arch.startswith("Gemma3"),

@@ -19,6 +19,8 @@ import numpy as np
 from sglang_security_tpu.layers.vision import (
     _ACTS,
     ClipVisionTower,
+    PixtralVisionTower,
+    SiglipVisionTower,
     VisionConfig,
 )
 from sglang_security_tpu.models.config import ModelConfig
@@ -56,9 +58,22 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
 
     def __init__(self, config: ModelConfig, quantization=None, tp_size: int = 1):
         super().__init__(config, quantization=quantization, tp_size=tp_size)
-        self.vision_config = VisionConfig(config.raw.get("vision_config", {}))
-        self.vision_tower = ClipVisionTower(self.vision_config)
+        vis = config.raw.get("vision_config", {}) or {}
+        self.vision_config = VisionConfig(vis)
+        # tower family by vision_config.model_type: HF Pixtral ships as
+        # LlavaForConditionalGeneration + a pixtral tower (reference
+        # srt/models/pixtral.py); llava-next-siglip uses a SigLIP tower
+        vt = vis.get("model_type", "clip_vision_model")
+        self._pixtral = vt == "pixtral"
+        if self._pixtral:
+            self.vision_tower = PixtralVisionTower(self.vision_config)
+        elif "siglip" in vt:
+            self.vision_tower = SiglipVisionTower(self.vision_config)
+        else:
+            self.vision_tower = ClipVisionTower(self.vision_config)
         self.vision_feature_layer = config.raw.get("vision_feature_layer", -2)
+        if self._pixtral:
+            self.vision_feature_layer = -1  # full-depth, no CLS
 
     # ------------------------------------------------------------- params
     def _load_projector(self, get_tensor, pj_prefix: str) -> dict:
@@ -95,11 +110,12 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
         keys = list(get_tensor.keys())
         lm_acc = _PrefixAccessor(get_tensor, keys)
         params = super().load_weights(lm_acc, dtype=dtype)
+        nested = "" if self._pixtral else "vision_model."
         if any(k.startswith("model.vision_tower.") for k in keys):
-            vt_prefix = "model.vision_tower.vision_model."
+            vt_prefix = "model.vision_tower." + nested
             pj_prefix = "model.multi_modal_projector."
         else:
-            vt_prefix = "vision_tower.vision_model."
+            vt_prefix = "vision_tower." + nested
             pj_prefix = "multi_modal_projector."
         # vision runs in f32: it's tiny next to the LM and CLIP towers
         # are numerically brittle in bf16 layer norms

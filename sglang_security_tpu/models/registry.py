@@ -43,6 +43,7 @@ from sglang_security_tpu.models.yivl import YiVLForCausalLM
 from sglang_security_tpu.models.mimo_mtp import MiMoMTP
 from sglang_security_tpu.models.internvl import InternVLChatModel
 from sglang_security_tpu.models.deepseek_vl2 import DeepseekVL2ForCausalLM
+from sglang_security_tpu.models.minicpmv import MiniCPMV
 from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
 from sglang_security_tpu.models.idefics2 import (
     Idefics2ForConditionalGeneration,
@@ -139,6 +140,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "OlmoForCausalLM": OlmoForCausalLM,
     "ExaoneForCausalLM": ExaoneForCausalLM,
     "MiniCPMForCausalLM": MiniCPMForCausalLM,
+    "MiniCPMV": MiniCPMV,
     "MiniCPM3ForCausalLM": MiniCPM3ForCausalLM,
     "MiMoForCausalLM": LlamaForCausalLM,  # qwen2 body (reference mimo.py)
     "MiMoMTP": MiMoMTP,  # MTP draft head (reference mimo_mtp.py)

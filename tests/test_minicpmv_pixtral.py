@@ -1,0 +1,210 @@
+"""MiniCPM-V (perceiver resampler) and Pixtral-HF (2D-rope tower in the
+LLaVA wrapper) tests.
+
+Reference coverage: ``srt/models/minicpmv.py`` (BaseResampler /
+Resampler2_5, SigLIP vpm, llama/qwen2 llm) and ``srt/models/pixtral.py``
+(PixtralHFVisionModel served through ``srt/models/llava.py``).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sglang_security_tpu.entrypoints.engine import Engine
+from sglang_security_tpu.server_args import ServerArgs
+from sglang_security_tpu.test_utils import make_tiny_llama, make_tiny_llava
+
+SP = {"temperature": 0.0, "max_new_tokens": 5, "ignore_eos": True}
+
+
+def _image(seed=0, size=28):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+
+def _engine(path, **kw):
+    args = dict(
+        model_path=path, dtype="float32", max_total_tokens=2048,
+        page_size=8, prefill_token_buckets=[128], decode_bs_buckets=[1, 4],
+        max_seq_pages_buckets=[8, 16], random_seed=0, enable_warmup=False,
+        log_level="warning",
+    )
+    args.update(kw)
+    return Engine(ServerArgs(**args))
+
+
+# ---------------------------------------------------------------- MiniCPM-V
+@pytest.fixture(scope="module")
+def tiny_minicpmv(tmp_path_factory):
+    from safetensors.numpy import load_file, save_file
+
+    path = str(tmp_path_factory.mktemp("mcpmv") / "v25")
+    make_tiny_llama(path)
+    f = os.path.join(path, "model.safetensors")
+    t0 = load_file(f)
+    cfg = json.load(open(os.path.join(path, "config.json")))
+    H = cfg["hidden_size"]
+    D, I, p_sz = 64, 128, 14
+    rng = np.random.default_rng(4)
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    t = {"llm." + k: v for k, v in t0.items()}
+    # SigLIP vpm (HF layout, no CLS)
+    e = "vpm.embeddings."
+    t[e + "patch_embedding.weight"] = r(D, 3, p_sz, p_sz)
+    t[e + "patch_embedding.bias"] = np.zeros(D, np.float32)
+    t[e + "position_embedding.weight"] = r(4, D)
+    t["vpm.post_layernorm.weight"] = np.ones(D, np.float32)
+    t["vpm.post_layernorm.bias"] = np.zeros(D, np.float32)
+    for i in range(2):
+        a = f"vpm.encoder.layers.{i}."
+        for ln in ("layer_norm1", "layer_norm2"):
+            t[a + ln + ".weight"] = np.ones(D, np.float32)
+            t[a + ln + ".bias"] = np.zeros(D, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            t[a + f"self_attn.{proj}.weight"] = r(D, D)
+            t[a + f"self_attn.{proj}.bias"] = np.zeros(D, np.float32)
+        t[a + "mlp.fc1.weight"] = r(I, D)
+        t[a + "mlp.fc1.bias"] = np.zeros(I, np.float32)
+        t[a + "mlp.fc2.weight"] = r(D, I)
+        t[a + "mlp.fc2.bias"] = np.zeros(D, np.float32)
+    Q = 4
+    t["resampler.query"] = r(Q, H)
+    t["resampler.kv_proj.weight"] = r(H, D)
+    for ln in ("ln_q", "ln_kv", "ln_post"):
+        t[f"resampler.{ln}.weight"] = np.ones(H, np.float32)
+        t[f"resampler.{ln}.bias"] = np.zeros(H, np.float32)
+    t["resampler.attn.in_proj_weight"] = r(3 * H, H)
+    t["resampler.attn.in_proj_bias"] = np.zeros(3 * H, np.float32)
+    t["resampler.attn.out_proj.weight"] = r(H, H)
+    t["resampler.attn.out_proj.bias"] = np.zeros(H, np.float32)
+    t["resampler.proj"] = r(H, H)
+    save_file(t, f)
+
+    cfg.update({
+        "architectures": ["MiniCPMV"],
+        "model_type": "minicpmv",
+        "version": 2.5,
+        "query_num": Q,
+        "image_token_id": 500,
+        "vision_config": {
+            "model_type": "siglip_vision_model",
+            "hidden_size": D, "intermediate_size": I,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "image_size": 28, "patch_size": p_sz,
+            "hidden_act": "gelu_pytorch_tanh",
+        },
+    })
+    json.dump(cfg, open(os.path.join(path, "config.json"), "w"))
+    return path
+
+
+def test_minicpmv_resampler_tokens(tiny_minicpmv):
+    import jax.numpy as jnp
+
+    from sglang_security_tpu.managers.multimodal_processor import (
+        get_mm_processor,
+    )
+    from sglang_security_tpu.model_loader.loader import SafetensorsAccessor
+    from sglang_security_tpu.models.config import ModelConfig
+    from sglang_security_tpu.models.minicpmv import MiniCPMV
+
+    cfg = ModelConfig.from_pretrained(tiny_minicpmv)
+    model = MiniCPMV(cfg)
+    assert model.tokens_per_image == 4
+    assert get_mm_processor(cfg).tokens_per_image == 4
+    params = model.load_weights(
+        SafetensorsAccessor(tiny_minicpmv), dtype=jnp.float32
+    )
+    px = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 3, 28, 28)),
+        jnp.float32,
+    )
+    out = model.encode_images(params, px)
+    assert out.shape == (2, 4, cfg.hidden_size)
+    # different images give different resampled features
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_minicpmv_engine_generates(tiny_minicpmv):
+    eng = _engine(tiny_minicpmv)
+    try:
+        out = eng.generate(
+            input_ids=[[1, 500, 9]], image_data=[[_image(0)]],
+            sampling_params=SP,
+        )[0]
+        assert len(out["output_ids"]) == 5
+    finally:
+        eng.shutdown()
+
+
+# ------------------------------------------------------------------ Pixtral
+@pytest.fixture(scope="module")
+def tiny_pixtral(tmp_path_factory):
+    from safetensors.numpy import load_file, save_file
+
+    path = str(tmp_path_factory.mktemp("pixtral") / "px")
+    make_tiny_llava(path, config={
+        "vision_config": {
+            "model_type": "pixtral",
+            "hidden_size": 64, "intermediate_size": 128,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "image_size": 32, "patch_size": 16,
+        },
+    })
+    f = os.path.join(path, "model.safetensors")
+    t = load_file(f)
+    rng = np.random.default_rng(6)
+    D, I, p_sz = 64, 128, 16
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    # drop the CLIP tower the factory wrote; write the pixtral layout
+    t = {k: v for k, v in t.items()
+         if not k.startswith("model.vision_tower.")}
+    vt = "model.vision_tower."
+    t[vt + "patch_conv.weight"] = r(D, 3, p_sz, p_sz)
+    t[vt + "ln_pre.weight"] = np.ones(D, np.float32)
+    for i in range(2):
+        a = f"{vt}transformer.layers.{i}."
+        t[a + "attention_norm.weight"] = np.ones(D, np.float32)
+        t[a + "ffn_norm.weight"] = np.ones(D, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            t[a + f"attention.{proj}.weight"] = r(D, D)
+        t[a + "feed_forward.gate_proj.weight"] = r(I, D)
+        t[a + "feed_forward.up_proj.weight"] = r(I, D)
+        t[a + "feed_forward.down_proj.weight"] = r(D, I)
+    save_file(t, f)
+    return path
+
+
+def test_pixtral_engine_generates(tiny_pixtral):
+    from sglang_security_tpu.models.config import ModelConfig
+    from sglang_security_tpu.models.llava import (
+        LlavaForConditionalGeneration,
+    )
+
+    cfg = ModelConfig.from_pretrained(tiny_pixtral)
+    model = LlavaForConditionalGeneration(cfg)
+    assert type(model.vision_tower).__name__ == "PixtralVisionTower"
+    assert model.tokens_per_image == 4  # 32/16 grid -> 2x2, no CLS
+
+    eng = _engine(tiny_pixtral)
+    try:
+        out = eng.generate(
+            input_ids=[[1, 500, 9]], image_data=[[_image(0, size=32)]],
+            sampling_params=SP,
+        )[0]
+        assert len(out["output_ids"]) == 5
+        out2 = eng.generate(
+            input_ids=[[1, 500, 9]], image_data=[[_image(2, size=32)]],
+            sampling_params=SP,
+        )[0]
+        assert len(out2["output_ids"]) == 5
+    finally:
+        eng.shutdown()
