@@ -486,6 +486,19 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             image_token_id=outer.get("image_token_id", 49153),
             tokens_per_image=(g * g) // (sf * sf),
         )
+    if arch == "Llama4ForConditionalGeneration":
+        g = vis.get("image_size", 336) // vis.get("patch_size", 14)
+        r = vis.get("pixel_shuffle_ratio", 0.5)
+        return ImageProcessor(
+            image_size=vis.get("image_size", 336),
+            patch_size=vis.get("patch_size", 14),
+            mean=vis.get("image_mean") or [0.5, 0.5, 0.5],
+            std=vis.get("image_std") or [0.5, 0.5, 0.5],
+            image_token_id=(raw.get("_outer") or raw).get(
+                "image_token_index", 200092
+            ),
+            tokens_per_image=int((g * r) ** 2),
+        )
     if arch == "MiniCPMV":
         return ImageProcessor(
             image_size=vis.get("image_size", 448),

@@ -82,6 +82,9 @@ from sglang_security_tpu.models.chatglm import ChatGLMForCausalLM
 from sglang_security_tpu.models.dbrx import DbrxForCausalLM
 from sglang_security_tpu.models.bert import BertModel, XLMRobertaModel
 from sglang_security_tpu.models.llama4 import Llama4ForCausalLM
+from sglang_security_tpu.models.mllama4 import (
+    Llama4ForConditionalGeneration,
+)
 from sglang_security_tpu.models.gemma3_mm import (
     Gemma3ForConditionalGeneration,
 )
@@ -156,6 +159,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "ChatGLMForConditionalGeneration": ChatGLMForCausalLM,
     "DbrxForCausalLM": DbrxForCausalLM,
     "Llama4ForCausalLM": Llama4ForCausalLM,
+    "Llama4ForConditionalGeneration": Llama4ForConditionalGeneration,
     "Qwen2ForRewardModel": Qwen2ForRewardModel,
     "LlamaForSequenceClassification": LlamaForSequenceClassification,
     "Qwen2ForSequenceClassification": Qwen2ForSequenceClassification,
