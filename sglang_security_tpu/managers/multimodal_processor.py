@@ -486,6 +486,20 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             image_token_id=outer.get("image_token_id", 49153),
             tokens_per_image=(g * g) // (sf * sf),
         )
+    if arch == "KimiVLForConditionalGeneration":
+        outer = raw.get("_outer") or raw
+        g = vis.get("image_size", 392) // vis.get("patch_size", 14)
+        kh, kw = tuple(vis.get("merge_kernel_size", (2, 2)))
+        return ImageProcessor(
+            image_size=vis.get("image_size", 392),
+            patch_size=vis.get("patch_size", 14),
+            mean=vis.get("image_mean") or [0.5, 0.5, 0.5],
+            std=vis.get("image_std") or [0.5, 0.5, 0.5],
+            image_token_id=outer.get(
+                "media_placeholder_token_id", 163605
+            ),
+            tokens_per_image=(g // kh) * (g // kw),
+        )
     if arch == "Llama4ForConditionalGeneration":
         g = vis.get("image_size", 336) // vis.get("patch_size", 14)
         r = vis.get("pixel_shuffle_ratio", 0.5)

@@ -128,7 +128,8 @@ class ModelConfig:
             or arch.startswith("DeepseekV3")
             # composite VLM on the MLA body (reference deepseek_vl2.py:193
             # language_config.use_mla)
-            or (arch == "DeepseekVL2ForCausalLM"
+            or (arch in ("DeepseekVL2ForCausalLM",
+                         "KimiVLForConditionalGeneration")
                 and bool(d.get("kv_lora_rank"))),
             kv_lora_rank=d.get("kv_lora_rank", 0),
             q_lora_rank=d.get("q_lora_rank") or 0,

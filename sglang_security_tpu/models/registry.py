@@ -44,6 +44,7 @@ from sglang_security_tpu.models.mimo_mtp import MiMoMTP
 from sglang_security_tpu.models.internvl import InternVLChatModel
 from sglang_security_tpu.models.deepseek_vl2 import DeepseekVL2ForCausalLM
 from sglang_security_tpu.models.minicpmv import MiniCPMV
+from sglang_security_tpu.models.kimi_vl import KimiVLForConditionalGeneration
 from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
 from sglang_security_tpu.models.idefics2 import (
     Idefics2ForConditionalGeneration,
@@ -113,6 +114,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
     "DeepseekV3ForCausalLMNextN": DeepseekV3ForCausalLMNextN,
     "DeepseekVL2ForCausalLM": DeepseekVL2ForCausalLM,
+    "KimiVLForConditionalGeneration": KimiVLForConditionalGeneration,
     "GemmaForCausalLM": GemmaForCausalLM,
     "Gemma2ForCausalLM": Gemma2ForCausalLM,
     "Gemma3ForCausalLM": Gemma3ForCausalLM,

@@ -264,3 +264,94 @@ def test_dsvl2_engine_generates(tiny_dsvl2):
         assert len(out["output_ids"]) == 5
     finally:
         eng.shutdown()
+
+
+# --------------------------------------------------------------- Kimi-VL
+@pytest.fixture(scope="module")
+def tiny_kimivl(tmp_path_factory):
+    from safetensors.numpy import load_file, save_file
+
+    path = str(tmp_path_factory.mktemp("kimivl") / "kvl")
+    make_tiny_deepseek(path)
+    f = os.path.join(path, "model.safetensors")
+    t0 = load_file(f)
+    text_cfg = json.load(open(os.path.join(path, "config.json")))
+    H = text_cfg["hidden_size"]
+    rng = np.random.default_rng(12)
+    t = {"language_model." + k: v for k, v in t0.items()}
+    D, I = 64, 128
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    vt = "vision_tower."
+    t[vt + "patch_embed.proj.weight"] = r(D, 3, 14, 14)
+    t[vt + "patch_embed.proj.bias"] = np.zeros(D, np.float32)
+    t[vt + "patch_embed.pos_emb.weight"] = r(4, 4, D)
+    t[vt + "encoder.final_layernorm.weight"] = np.ones(D, np.float32)
+    t[vt + "encoder.final_layernorm.bias"] = np.zeros(D, np.float32)
+    for i in range(2):
+        a = f"{vt}encoder.blocks.{i}."
+        for nm in ("norm0", "norm1"):
+            t[a + nm + ".weight"] = np.ones(D, np.float32)
+            t[a + nm + ".bias"] = np.zeros(D, np.float32)
+        t[a + "wqkv.weight"] = r(3 * D, D)
+        t[a + "wqkv.bias"] = np.zeros(3 * D, np.float32)
+        t[a + "wo.weight"] = r(D, D)
+        t[a + "wo.bias"] = np.zeros(D, np.float32)
+        t[a + "mlp.fc0.weight"] = r(I, D)
+        t[a + "mlp.fc0.bias"] = np.zeros(I, np.float32)
+        t[a + "mlp.fc1.weight"] = r(D, I)
+        t[a + "mlp.fc1.bias"] = np.zeros(D, np.float32)
+    hidden = D * 4
+    pj = "multi_modal_projector."
+    t[pj + "pre_norm.weight"] = np.ones(D, np.float32)
+    t[pj + "pre_norm.bias"] = np.zeros(D, np.float32)
+    t[pj + "linear_1.weight"] = r(hidden, hidden)
+    t[pj + "linear_1.bias"] = np.zeros(hidden, np.float32)
+    t[pj + "linear_2.weight"] = r(H, hidden)
+    t[pj + "linear_2.bias"] = np.zeros(H, np.float32)
+    save_file(t, f)
+
+    cfg = {
+        "architectures": ["KimiVLForConditionalGeneration"],
+        "model_type": "kimi_vl",
+        "text_config": text_cfg,
+        "vision_config": {
+            "hidden_size": D, "intermediate_size": I,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "patch_size": 14, "image_size": 28,
+            "init_pos_emb_height": 4, "init_pos_emb_width": 4,
+            "merge_kernel_size": [2, 2],
+        },
+        "media_placeholder_token_id": 500,
+    }
+    json.dump(cfg, open(os.path.join(path, "config.json"), "w"))
+    return path
+
+
+def test_kimivl_tokens_per_image(tiny_kimivl):
+    from sglang_security_tpu.managers.multimodal_processor import (
+        get_mm_processor,
+    )
+    from sglang_security_tpu.models.config import ModelConfig
+    from sglang_security_tpu.models.registry import get_model_class
+
+    cfg = ModelConfig.from_pretrained(tiny_kimivl)
+    assert cfg.use_mla
+    model = get_model_class(cfg)(cfg)
+    # grid 2, merge 2x2 -> 1 token; pos table 4x4 interpolates to 2x2
+    assert model.tokens_per_image == 1
+    assert get_mm_processor(cfg).tokens_per_image == 1
+
+
+def test_kimivl_engine_generates(tiny_kimivl):
+    eng = _engine(tiny_kimivl)
+    try:
+        out = eng.generate(
+            input_ids=[[1, 500, 9]], image_data=[[_image(2)]],
+            sampling_params=SP,
+        )[0]
+        assert len(out["output_ids"]) == 5
+    finally:
+        eng.shutdown()
