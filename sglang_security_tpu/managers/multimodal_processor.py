@@ -486,6 +486,18 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             image_token_id=outer.get("image_token_id", 49153),
             tokens_per_image=(g * g) // (sf * sf),
         )
+    if arch in ("MultiModalityCausalLM", "JanusForConditionalGeneration"):
+        vp = vis.get("params", vis)
+        size = vp.get("image_size", 384)
+        g = size // vp.get("patch_size", 16)
+        return ImageProcessor(
+            image_size=size,
+            patch_size=vp.get("patch_size", 16),
+            mean=vp.get("image_mean") or [0.5, 0.5, 0.5],
+            std=vp.get("image_std") or [0.5, 0.5, 0.5],
+            image_token_id=raw.get("image_token_id", 100581),
+            tokens_per_image=g * g,
+        )
     if arch == "KimiVLForConditionalGeneration":
         outer = raw.get("_outer") or raw
         g = vis.get("image_size", 392) // vis.get("patch_size", 14)

@@ -1352,16 +1352,25 @@ class ModelRunner:
             self.penalty_counts = counts
         R_real = S_real * rows_per_seq
         edge_prob, edge_lp, fallback, fallback_lp = extras
+        # ONE host transfer: each device_get pays a full tunnel
+        # round-trip (~35 ms on axon), and six of them made a spec round
+        # ~6x more expensive than the verify compute itself.  f32 holds
+        # token ids exactly (vocab << 2^24).
+        packed = np.asarray(jax.device_get(jnp.stack([
+            tokens.astype(jnp.float32),
+            logprobs.astype(jnp.float32),
+            edge_prob.astype(jnp.float32),
+            edge_lp.astype(jnp.float32),
+            fallback.astype(jnp.float32),
+            fallback_lp.astype(jnp.float32),
+        ])))
         return {
-            k: np.asarray(jax.device_get(v))[:R_real]
-            for k, v in {
-                "tokens": tokens,
-                "logprobs": logprobs,
-                "edge_prob": edge_prob,
-                "edge_lp": edge_lp,
-                "fallback": fallback,
-                "fallback_lp": fallback_lp,
-            }.items()
+            "tokens": packed[0, :R_real].astype(np.int64),
+            "logprobs": packed[1, :R_real],
+            "edge_prob": packed[2, :R_real],
+            "edge_lp": packed[3, :R_real],
+            "fallback": packed[4, :R_real].astype(np.int64),
+            "fallback_lp": packed[5, :R_real],
         }
 
     def penalty_add(self, slots: np.ndarray, tokens: np.ndarray) -> None:
@@ -1559,9 +1568,15 @@ class ModelRunner:
 
     @staticmethod
     def wait_decode(handle: "DecodeHandle") -> Tuple[np.ndarray, np.ndarray]:
-        """Materialize a dispatched decode round (blocks until done)."""
-        toks = np.asarray(jax.device_get(handle.toks))
-        lps = np.asarray(jax.device_get(handle.lps))
+        """Materialize a dispatched decode round (blocks until done).
+        Tokens+logprobs ride ONE f32 transfer: every device_get is a
+        full tunnel round-trip (~35 ms on axon)."""
+        packed = np.asarray(jax.device_get(jnp.stack([
+            handle.toks.astype(jnp.float32),
+            handle.lps.astype(jnp.float32),
+        ])))
+        toks = packed[0].astype(np.int64)
+        lps = packed[1]
         if handle.out_slot is not None:  # dp attention: request order
             return toks[:, handle.out_slot], lps[:, handle.out_slot]
         return toks[:, : handle.S_real], lps[:, : handle.S_real]
@@ -1836,8 +1851,11 @@ class ModelRunner:
                 S_real=S_real,
                 lp_dev=lp_dev if prompt_lp else None,
             )
-        tokens_np = np.asarray(jax.device_get(tokens))
-        logprobs_np = np.asarray(jax.device_get(logprobs))
+        packed = np.asarray(jax.device_get(jnp.stack([
+            tokens.astype(jnp.float32), logprobs.astype(jnp.float32),
+        ])))  # one tunnel round-trip, not two
+        tokens_np = packed[0].astype(np.int64)
+        logprobs_np = packed[1]
         if out_slot is not None:  # dp attention: back to request order
             tokens_np = tokens_np[out_slot]
             logprobs_np = logprobs_np[out_slot]
@@ -1851,8 +1869,12 @@ class ModelRunner:
     def wait_prefill(self, handle: "PrefillHandle"):
         """Materialize a dispatched prefill chunk (blocks until done).
         Returns (tokens [S_real], logprobs [S_real], input_lps or None)."""
-        tokens_np = np.asarray(jax.device_get(handle.toks))
-        logprobs_np = np.asarray(jax.device_get(handle.lps))
+        packed = np.asarray(jax.device_get(jnp.stack([
+            handle.toks.astype(jnp.float32),
+            handle.lps.astype(jnp.float32),
+        ])))  # one tunnel round-trip, not two
+        tokens_np = packed[0].astype(np.int64)
+        logprobs_np = packed[1]
         if handle.out_slot is not None:
             tokens_np = tokens_np[handle.out_slot]
             logprobs_np = logprobs_np[handle.out_slot]

@@ -45,6 +45,7 @@ from sglang_security_tpu.models.internvl import InternVLChatModel
 from sglang_security_tpu.models.deepseek_vl2 import DeepseekVL2ForCausalLM
 from sglang_security_tpu.models.minicpmv import MiniCPMV
 from sglang_security_tpu.models.kimi_vl import KimiVLForConditionalGeneration
+from sglang_security_tpu.models.janus_pro import MultiModalityCausalLM
 from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
 from sglang_security_tpu.models.idefics2 import (
     Idefics2ForConditionalGeneration,
@@ -115,6 +116,9 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "DeepseekV3ForCausalLMNextN": DeepseekV3ForCausalLMNextN,
     "DeepseekVL2ForCausalLM": DeepseekVL2ForCausalLM,
     "KimiVLForConditionalGeneration": KimiVLForConditionalGeneration,
+    # Janus-Pro (reference deepseek_janus_pro.py)
+    "MultiModalityCausalLM": MultiModalityCausalLM,
+    "JanusForConditionalGeneration": MultiModalityCausalLM,
     "GemmaForCausalLM": GemmaForCausalLM,
     "Gemma2ForCausalLM": Gemma2ForCausalLM,
     "Gemma3ForCausalLM": Gemma3ForCausalLM,

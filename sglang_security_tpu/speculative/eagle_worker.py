@@ -570,7 +570,10 @@ class EagleWorker:
             jnp.asarray(pad2(ft_slots)),
         )
         self.pool.k_pages, self.pool.v_pages = kd, vd
+        packed = np.asarray(jax.device_get(jnp.stack([
+            tokens.astype(jnp.float32), parents.astype(jnp.float32),
+        ])))  # one tunnel round-trip, not two
         return (
-            np.asarray(jax.device_get(tokens))[:B],
-            np.asarray(jax.device_get(parents))[:B],
+            packed[0, :B].astype(np.int64),
+            packed[1, :B].astype(np.int64),
         )

@@ -208,3 +208,87 @@ def test_pixtral_engine_generates(tiny_pixtral):
         assert len(out2["output_ids"]) == 5
     finally:
         eng.shutdown()
+
+
+# ---------------------------------------------------------------- Janus-Pro
+@pytest.fixture(scope="module")
+def tiny_janus(tmp_path_factory):
+    from safetensors.numpy import load_file, save_file
+
+    path = str(tmp_path_factory.mktemp("janus") / "jp")
+    make_tiny_llama(path)
+    f = os.path.join(path, "model.safetensors")
+    t0 = load_file(f)
+    lang_cfg = json.load(open(os.path.join(path, "config.json")))
+    H = lang_cfg["hidden_size"]
+    rng = np.random.default_rng(8)
+    t = {"language_model." + k: v for k, v in t0.items()}
+    D, I, p_sz = 64, 128, 14
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    vt = "vision_model."
+    t[vt + "patch_embed.proj.weight"] = r(D, 3, p_sz, p_sz)
+    t[vt + "patch_embed.proj.bias"] = np.zeros(D, np.float32)
+    t[vt + "pos_embed"] = r(1, 4, D)
+    t[vt + "norm.weight"] = np.ones(D, np.float32)
+    t[vt + "norm.bias"] = np.zeros(D, np.float32)
+    for i in range(2):
+        a = f"{vt}blocks.{i}."
+        for nm in ("norm1", "norm2"):
+            t[a + nm + ".weight"] = np.ones(D, np.float32)
+            t[a + nm + ".bias"] = np.zeros(D, np.float32)
+        t[a + "attn.qkv.weight"] = r(3 * D, D)
+        t[a + "attn.qkv.bias"] = np.zeros(3 * D, np.float32)
+        t[a + "attn.proj.weight"] = r(D, D)
+        t[a + "attn.proj.bias"] = np.zeros(D, np.float32)
+        t[a + "mlp.fc1.weight"] = r(I, D)
+        t[a + "mlp.fc1.bias"] = np.zeros(I, np.float32)
+        t[a + "mlp.fc2.weight"] = r(D, I)
+        t[a + "mlp.fc2.bias"] = np.zeros(D, np.float32)
+    t["aligner.layers.0.weight"] = r(H, D)
+    t["aligner.layers.0.bias"] = np.zeros(H, np.float32)
+    t["aligner.layers.2.weight"] = r(H, H)
+    t["aligner.layers.2.bias"] = np.zeros(H, np.float32)
+    save_file(t, f)
+
+    cfg = {
+        "architectures": ["MultiModalityCausalLM"],
+        "model_type": "multi_modality",
+        "language_config": lang_cfg,
+        "vision_config": {
+            "cls": "CLIPVisionTower",
+            "params": {
+                "hidden_size": D, "intermediate_size": I,
+                "layers": 2, "heads": 4,
+                "image_size": 28, "patch_size": p_sz,
+            },
+        },
+        "aligner_config": {
+            "cls": "MlpProjector",
+            "params": {"projector_type": "mlp_gelu", "depth": 2},
+        },
+        "image_token_id": 500,
+    }
+    json.dump(cfg, open(os.path.join(path, "config.json"), "w"))
+    return path
+
+
+def test_janus_engine_generates(tiny_janus):
+    from sglang_security_tpu.managers.multimodal_processor import (
+        get_mm_processor,
+    )
+    from sglang_security_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig.from_pretrained(tiny_janus)
+    assert get_mm_processor(cfg).tokens_per_image == 4
+    eng = _engine(tiny_janus)
+    try:
+        out = eng.generate(
+            input_ids=[[1, 500, 9]], image_data=[[_image(0)]],
+            sampling_params=SP,
+        )[0]
+        assert len(out["output_ids"]) == 5
+    finally:
+        eng.shutdown()
