@@ -46,6 +46,7 @@ from sglang_security_tpu.models.deepseek_vl2 import DeepseekVL2ForCausalLM
 from sglang_security_tpu.models.minicpmv import MiniCPMV
 from sglang_security_tpu.models.kimi_vl import KimiVLForConditionalGeneration
 from sglang_security_tpu.models.janus_pro import MultiModalityCausalLM
+from sglang_security_tpu.models.clip import CLIPModel
 from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
 from sglang_security_tpu.models.idefics2 import (
     Idefics2ForConditionalGeneration,
@@ -181,6 +182,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     ),
     # bidirectional encoders (embedding path)
     "BertModel": BertModel,
+    "CLIPModel": CLIPModel,
     "Contriever": BertModel,
     "RobertaModel": XLMRobertaModel,
     "XLMRobertaModel": XLMRobertaModel,
