@@ -430,7 +430,10 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
         "vision_config"
     )
     if vis is None:
-        return None
+        if arch == "Phi4MMForCausalLM":
+            vis = {}  # navit siglip-448 defaults (models/phi4mm.py)
+        else:
+            return None
     if arch in ("LlavaForConditionalGeneration", "LlavaLlamaForCausalLM",
                 "YiVLForCausalLM"):
         return ImageProcessor(
@@ -485,6 +488,20 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             std=vis.get("image_std") or [0.5, 0.5, 0.5],
             image_token_id=outer.get("image_token_id", 49153),
             tokens_per_image=(g * g) // (sf * sf),
+        )
+    if arch == "Phi4MMForCausalLM":
+        embd = (raw.get("embd_layer") or {}).get("image_embd_layer", {})
+        size = vis.get("image_size", 448)
+        g = size // vis.get("patch_size", 14)
+        h = g // embd.get("base_feat_height_reduction", 2)
+        return ImageProcessor(
+            image_size=size,
+            patch_size=vis.get("patch_size", 14),
+            mean=vis.get("image_mean") or [0.5, 0.5, 0.5],
+            std=vis.get("image_std") or [0.5, 0.5, 0.5],
+            # <|image_1|> expands host-side; config carries the id
+            image_token_id=raw.get("image_token_id", 200010),
+            tokens_per_image=h * (h + 1) + 1,
         )
     if arch in ("MultiModalityCausalLM", "JanusForConditionalGeneration"):
         vp = vis.get("params", vis)

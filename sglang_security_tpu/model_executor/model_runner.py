@@ -1569,14 +1569,14 @@ class ModelRunner:
     @staticmethod
     def wait_decode(handle: "DecodeHandle") -> Tuple[np.ndarray, np.ndarray]:
         """Materialize a dispatched decode round (blocks until done).
-        Tokens+logprobs ride ONE f32 transfer: every device_get is a
-        full tunnel round-trip (~35 ms on axon)."""
-        packed = np.asarray(jax.device_get(jnp.stack([
-            handle.toks.astype(jnp.float32),
-            handle.lps.astype(jnp.float32),
-        ])))
-        toks = packed[0].astype(np.int64)
-        lps = packed[1]
+
+        NOTE: do NOT fuse these transfers with an extra device op (e.g.
+        jnp.stack): with the overlap scheduler the NEXT round is already
+        dispatched, so a new op enqueues BEHIND it in the device FIFO
+        and the wait would serialize the pipeline (measured -7% e2e,
+        round 4).  Plain gets of already-produced arrays don't queue."""
+        toks = np.asarray(jax.device_get(handle.toks))
+        lps = np.asarray(jax.device_get(handle.lps))
         if handle.out_slot is not None:  # dp attention: request order
             return toks[:, handle.out_slot], lps[:, handle.out_slot]
         return toks[:, : handle.S_real], lps[:, : handle.S_real]
@@ -1851,11 +1851,8 @@ class ModelRunner:
                 S_real=S_real,
                 lp_dev=lp_dev if prompt_lp else None,
             )
-        packed = np.asarray(jax.device_get(jnp.stack([
-            tokens.astype(jnp.float32), logprobs.astype(jnp.float32),
-        ])))  # one tunnel round-trip, not two
-        tokens_np = packed[0].astype(np.int64)
-        logprobs_np = packed[1]
+        tokens_np = np.asarray(jax.device_get(tokens))
+        logprobs_np = np.asarray(jax.device_get(logprobs))
         if out_slot is not None:  # dp attention: back to request order
             tokens_np = tokens_np[out_slot]
             logprobs_np = logprobs_np[out_slot]
@@ -1869,12 +1866,10 @@ class ModelRunner:
     def wait_prefill(self, handle: "PrefillHandle"):
         """Materialize a dispatched prefill chunk (blocks until done).
         Returns (tokens [S_real], logprobs [S_real], input_lps or None)."""
-        packed = np.asarray(jax.device_get(jnp.stack([
-            handle.toks.astype(jnp.float32),
-            handle.lps.astype(jnp.float32),
-        ])))  # one tunnel round-trip, not two
-        tokens_np = packed[0].astype(np.int64)
-        logprobs_np = packed[1]
+        # plain gets: see wait_decode's FIFO note — the next chunk is
+        # already dispatched, a packing op would enqueue behind it
+        tokens_np = np.asarray(jax.device_get(handle.toks))
+        logprobs_np = np.asarray(jax.device_get(handle.lps))
         if handle.out_slot is not None:
             tokens_np = tokens_np[handle.out_slot]
             logprobs_np = logprobs_np[handle.out_slot]

@@ -47,6 +47,7 @@ from sglang_security_tpu.models.minicpmv import MiniCPMV
 from sglang_security_tpu.models.kimi_vl import KimiVLForConditionalGeneration
 from sglang_security_tpu.models.janus_pro import MultiModalityCausalLM
 from sglang_security_tpu.models.clip import CLIPModel
+from sglang_security_tpu.models.phi4mm import Phi4MMForCausalLM
 from sglang_security_tpu.models.mllama import MllamaForConditionalGeneration
 from sglang_security_tpu.models.idefics2 import (
     Idefics2ForConditionalGeneration,
@@ -126,6 +127,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "Gemma3ForConditionalGeneration": Gemma3ForConditionalGeneration,
     "Phi3ForCausalLM": Phi3ForCausalLM,
     "Phi4ForCausalLM": Phi3ForCausalLM,
+    "Phi4MMForCausalLM": Phi4MMForCausalLM,
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
     "InternVLChatModel": InternVLChatModel,
     "InternLM3ForCausalLM": LlamaForCausalLM,

@@ -292,3 +292,103 @@ def test_janus_engine_generates(tiny_janus):
         assert len(out["output_ids"]) == 5
     finally:
         eng.shutdown()
+
+
+# ---------------------------------------------------------------- Phi-4-MM
+@pytest.fixture(scope="module")
+def tiny_phi4mm(tmp_path_factory):
+    from safetensors.numpy import save_file
+
+    from sglang_security_tpu.test_utils import _write_tiny_tokenizer
+
+    path = str(tmp_path_factory.mktemp("phi4mm") / "p4")
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(15)
+    H, I, hd, Hq, Hkv, V, L = 128, 256, 32, 4, 2, 512, 2
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    t = {"model.embed_tokens.weight": r(V, H),
+         "model.norm.weight": np.ones(H, np.float32),
+         "lm_head.weight": r(V, H)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        t[p + "self_attn.qkv_proj.weight"] = r((Hq + 2 * Hkv) * hd, H)
+        t[p + "self_attn.o_proj.weight"] = r(H, Hq * hd)
+        t[p + "mlp.gate_up_proj.weight"] = r(2 * I, H)
+        t[p + "mlp.down_proj.weight"] = r(H, I)
+    # navit tower (tiny siglip) + GN separators + projection
+    D, Iv, p_sz = 64, 128, 14
+    ve = "model.vision_embed_tokens."
+    e = ve + "img_processor.embeddings."
+    t[e + "patch_embedding.weight"] = r(D, 3, p_sz, p_sz)
+    t[e + "patch_embedding.bias"] = np.zeros(D, np.float32)
+    t[e + "position_embedding.weight"] = r(4, D)
+    t[ve + "img_processor.post_layernorm.weight"] = np.ones(D, np.float32)
+    t[ve + "img_processor.post_layernorm.bias"] = np.zeros(D, np.float32)
+    for i in range(2):
+        a = f"{ve}img_processor.encoder.layers.{i}."
+        for ln in ("layer_norm1", "layer_norm2"):
+            t[a + ln + ".weight"] = np.ones(D, np.float32)
+            t[a + ln + ".bias"] = np.zeros(D, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            t[a + f"self_attn.{proj}.weight"] = r(D, D)
+            t[a + f"self_attn.{proj}.bias"] = np.zeros(D, np.float32)
+        t[a + "mlp.fc1.weight"] = r(Iv, D)
+        t[a + "mlp.fc1.bias"] = np.zeros(Iv, np.float32)
+        t[a + "mlp.fc2.weight"] = r(D, Iv)
+        t[a + "mlp.fc2.bias"] = np.zeros(D, np.float32)
+    t[ve + "glb_GN"] = r(1, 1, 4 * D)
+    t[ve + "sub_GN"] = r(1, 1, 1, 4 * D)
+    t[ve + "img_projection.0.weight"] = r(H, 4 * D)
+    t[ve + "img_projection.0.bias"] = np.zeros(H, np.float32)
+    t[ve + "img_projection.2.weight"] = r(H, H)
+    t[ve + "img_projection.2.bias"] = np.zeros(H, np.float32)
+    save_file(t, os.path.join(path, "model.safetensors"))
+
+    cfg = {
+        "architectures": ["Phi4MMForCausalLM"],
+        "model_type": "phi4mm",
+        "hidden_size": H, "intermediate_size": I,
+        "num_hidden_layers": L, "num_attention_heads": Hq,
+        "num_key_value_heads": Hkv, "head_dim": hd, "vocab_size": V,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "max_position_embeddings": 2048, "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+        "vision_config": {
+            "hidden_size": D, "intermediate_size": Iv,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "image_size": 28, "patch_size": p_sz,
+            "hidden_act": "gelu_pytorch_tanh",
+        },
+        "embd_layer": {
+            "image_embd_layer": {"base_feat_height_reduction": 2},
+        },
+        "image_token_id": 500,
+    }
+    json.dump(cfg, open(os.path.join(path, "config.json"), "w"))
+    _write_tiny_tokenizer(path, V)
+    return path
+
+
+def test_phi4mm_engine_generates(tiny_phi4mm):
+    from sglang_security_tpu.managers.multimodal_processor import (
+        get_mm_processor,
+    )
+    from sglang_security_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig.from_pretrained(tiny_phi4mm)
+    # grid 2, reduction 2 -> h=1 -> 1*2+1 = 3 tokens
+    assert get_mm_processor(cfg).tokens_per_image == 3
+    eng = _engine(tiny_phi4mm)
+    try:
+        out = eng.generate(
+            input_ids=[[1, 500, 9]], image_data=[[_image(1)]],
+            sampling_params=SP,
+        )[0]
+        assert len(out["output_ids"]) == 5
+    finally:
+        eng.shutdown()
