@@ -57,6 +57,9 @@ _DISABLE_DECODE_PIPELINE = bool(
 _DISABLE_PREFILL_PIPELINE = bool(
     int(os.environ.get("SGLANG_TPU_DISABLE_PREFILL_PIPELINE", "0"))
 )
+_DISABLE_FUSED_SPEC = bool(
+    int(os.environ.get("SGLANG_TPU_DISABLE_FUSED_SPEC", "0"))
+)
 
 
 @dataclass
@@ -1133,6 +1136,28 @@ class Scheduler:
         spec_ok = not any(
             r.sampling_params.custom_logit_processor for r in self.running
         )
+        if (
+            self.spec_drafter is not None
+            and not _DISABLE_FUSED_SPEC
+            and getattr(self.spec_drafter, "ngram", 0) == 2
+            and self.runner.mesh is None
+            and self.dp_attn == 1
+            and not getattr(self.runner.model, "uses_mrope", False)
+            and all(
+                r.sampling_params.temperature == 0.0
+                and not r.needs_penalties()
+                and r.grammar is None
+                and r.sampling_params.logit_bias is None
+                and r.sampling_params.custom_logit_processor is None
+                and r.lora_path is None
+                for r in self.running
+            )
+        ):
+            # device-resident fused spec rounds (greedy NGRAM): the
+            # whole draft/verify/accept loop runs R rounds per host trip
+            self._drain_decode()
+            if self._run_spec_decode_fused():
+                return
         if self.eagle is not None and spec_ok:
             self._drain_decode()
             if self._run_eagle_decode():
@@ -1564,6 +1589,61 @@ class Scheduler:
                 np.asarray(fsrc_all or [0], np.int32),
                 np.asarray(fdst_all or [-1], np.int32),
             )
+        for req in finished:
+            self.running.remove(req)
+            self._cache_finished(req)
+            self._release_penalty_slot(req)
+            if req.finished_reason == FinishReason.ABORT:
+                self._emit(req, [], finished=True,
+                           reason=FinishReason.ABORT)
+        self._decode_tokens_since_log += produced
+        self._log_decode_stats()
+        return True
+
+    def _run_spec_decode_fused(self) -> bool:
+        """Device-resident speculative rounds (greedy NGRAM): R rounds
+        of draft+verify+accept in ONE jit call
+        (``model_runner._get_fused_spec_step``).  Host-driven spec pays
+        a dispatch round-trip per round because drafting needs the
+        previous round's tokens; fusing amortizes R rounds per trip —
+        measured on the axon chip the host-driven ngram loop ran at
+        0.09x non-spec throughput purely on round-trips."""
+        K = self.spec_drafter.num_draft_tokens
+        R = max(1, self.server_args.decode_steps_per_batch // 2)
+        worst = R * (K + 1)
+        self._maybe_retract(worst)
+        if not self.running:
+            return True
+        reqs = self.running
+        for req in reqs:
+            need = cdiv(req.seq_len - 1 + worst + 1, self.page_size) - len(
+                req.pages
+            )
+            if need > 0:
+                pages = self._alloc_pages(need, req.dp_shard)
+                req.pages = np.concatenate([req.pages, pages])
+        toks, lps = self.runner.execute_spec_fused(
+            reqs, K, R, ngram=self.spec_drafter.ngram
+        )  # [R, S, K+1] (-1 pad)
+        finished: List[Req] = []
+        produced = 0
+        for r in range(R):
+            for i, req in enumerate(reqs):
+                if req.finished():
+                    continue
+                row = toks[r, i]
+                commit = [int(t) for t in row if t >= 0]
+                self.spec_accept_sum += len(commit)
+                self.spec_verify_count += 1
+                for j, tok in enumerate(commit):
+                    if req.finished():
+                        break
+                    self._append_token(req, tok, float(lps[r, i, j]))
+                    produced += 1
+                req.computed_len = req.seq_len - 1
+        for req in reqs:
+            if req.finished():
+                finished.append(req)
         for req in finished:
             self.running.remove(req)
             self._cache_finished(req)

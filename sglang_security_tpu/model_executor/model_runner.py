@@ -1302,6 +1302,160 @@ class ModelRunner:
 
     SPEC_BLOCK_Q = 8
 
+    # ------------------------------------------------ fused spec rounds
+    def _get_fused_spec_step(self, S: int, PPS: int, L_hist: int,
+                             K: int, R: int, ngram: int):
+        """Device-resident speculative serving loop (greedy NGRAM):
+        ``R`` rounds of [prompt-lookup draft -> chain verify -> accept ->
+        history update] inside ONE jit.  Host-driven speculative rounds
+        are serial (each draft needs the previous round's tokens), so on
+        a dispatch-latency-heavy link every round pays a full
+        round-trip; device-side drafting amortizes R rounds per trip —
+        the speculative analog of the multi-step decode scan.  The
+        reference's equivalent loop (eagle_worker.py round loop) is
+        host-driven because GPU dispatch is ~free; on TPU the loop
+        belongs in the program."""
+        key = ("fusedspec", S, PPS, L_hist, K, R, ngram)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        interpret = self.interpret
+        page_size = self.page_size
+        bq = self.SPEC_BLOCK_Q
+        assert K + 1 <= bq
+        T = S * bq
+
+        def draft_one(hist, n):
+            """Prompt-lookup (spec_algorithm.NgramDrafter.draft): most
+            recent earlier occurrence of the trailing `ngram` tokens;
+            propose the K tokens that followed."""
+            idx = jnp.arange(L_hist - 1)
+            a = hist[jnp.clip(n - 2, 0, L_hist - 1)]
+            b = hist[jnp.clip(n - 1, 0, L_hist - 1)]
+            match = (hist[:-1] == a) & (
+                jnp.roll(hist, -1)[:-1] == b
+            ) & (idx <= n - 3)
+            j = jnp.max(jnp.where(match, idx, -1))
+            has = j >= 0
+            dpos = j + ngram + jnp.arange(K)
+            draft = hist[jnp.clip(dpos, 0, L_hist - 1)]
+            # no match: propose repeats of the last token (the verify
+            # keeps output lossless either way)
+            return jnp.where(has & (dpos < n), draft, b)
+
+        def round_body(params, carry, _):
+            hist, n, k_pages, v_pages, pi = carry
+            alive = n > 0
+            draft = jax.vmap(draft_one)(hist, n)  # [S, K]
+            last = jax.vmap(
+                lambda h, m: h[jnp.clip(m - 1, 0, L_hist - 1)]
+            )(hist, n)
+            fed = jnp.concatenate([last[:, None], draft], axis=1)  # [S, K+1]
+            pos0 = n - 1  # position of the fed last-committed token
+            j = jnp.arange(K + 1)
+            positions = pos0[:, None] + j[None, :]  # [S, K+1]
+            page = positions // page_size
+            slot = jax.vmap(
+                lambda p_row, pg_row: p_row[
+                    jnp.clip(pg_row, 0, PPS - 1)
+                ] * page_size
+            )(pi, page) + positions % page_size
+            row_ok = alive[:, None]
+            slot = jnp.where(row_ok, slot, -1)
+
+            def pad_rows(x, fill):
+                out = jnp.full((S, bq), fill, x.dtype)
+                return out.at[:, : K + 1].set(x).reshape(T)
+
+            fb = ForwardBatch(
+                token_ids=pad_rows(fed, 0),
+                positions=pad_rows(jnp.maximum(positions, 0), 0),
+                slots=pad_rows(slot, -1),
+                q_starts=jnp.arange(S, dtype=jnp.int32) * bq,
+                q_lens=jnp.where(alive, K + 1, 0).astype(jnp.int32),
+                kv_lens=jnp.where(alive, n + K, 0).astype(jnp.int32),
+                page_indices=pi,
+                out_rows=(
+                    jnp.arange(S, dtype=jnp.int32)[:, None] * bq + j
+                ).reshape(-1),
+            )
+            hidden, k_pages, v_pages = model.forward(
+                params, k_pages, v_pages, fb, block_q=bq,
+                interpret=interpret,
+            )
+            logits = model.compute_logits(params, hidden)  # [S*(K+1), V]
+            t = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lp = jnp.max(jax.nn.log_softmax(logits, axis=-1), axis=-1)
+            t = t.reshape(S, K + 1)
+            lp = lp.reshape(S, K + 1).astype(jnp.float32)
+            # chain accept: leading exact matches of draft vs target
+            ok = jnp.cumprod(
+                (draft == t[:, :-1]).astype(jnp.int32), axis=1
+            )
+            n_acc = jnp.sum(ok, axis=1)  # [S] accepted draft tokens
+            commit_mask = (j[None, :] <= n_acc[:, None]) & alive[:, None]
+            out_t = jnp.where(commit_mask, t, -1)
+            out_lp = jnp.where(commit_mask, lp, 0.0)
+            # history scatter + length advance
+            wpos = jnp.where(commit_mask, n[:, None] + j[None, :], L_hist)
+            hist = jax.vmap(
+                lambda h, p, v: h.at[p].set(v, mode="drop")
+            )(hist, wpos, t)
+            n = jnp.where(alive, n + n_acc + 1, n)
+            return (hist, n, k_pages, v_pages, pi), (out_t, out_lp)
+
+        def fused(params, k_pages, v_pages, hist0, len0, page_indices):
+            body = functools.partial(round_body, params)
+            (hist, n, k_pages, v_pages, _), (toks, lps) = jax.lax.scan(
+                body, (hist0, len0, k_pages, v_pages, page_indices),
+                None, length=R,
+            )
+            return toks, lps, k_pages, v_pages
+
+        # single-chip path (the scheduler gates on mesh is None; the
+        # sharded serving paths keep the host-driven spec rounds)
+        fn = jax.jit(fused, donate_argnums=(1, 2))
+        self._step_cache[key] = fn
+        logger.info(
+            "compiling fused spec rounds S=%d PPS=%d K=%d R=%d",
+            S, PPS, K, R,
+        )
+        return fn
+
+    def execute_spec_fused(self, reqs, K: int, R: int, ngram: int):
+        """Run R fused speculative rounds over `reqs` (greedy, plain
+        sampling).  Returns (tokens [R, S_real, K+1] with -1 padding,
+        logprobs [R, S_real, K+1]).  Pages for the worst-case R*(K+1)
+        new tokens must be preallocated by the caller."""
+        sa = self.server_args
+        S_real = len(reqs)
+        S = next_bucket(S_real, sa.decode_bs_buckets)
+        pps_real = max(len(r.pages) for r in reqs)
+        PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
+        max_len = max(r.seq_len + R * (K + 1) for r in reqs)
+        L_hist = 1 << max(8, (max_len - 1).bit_length())
+        hist0 = np.zeros((S, L_hist), np.int32)
+        len0 = np.zeros(S, np.int32)
+        pi = np.zeros((S, PPS), np.int32)
+        for i, r in enumerate(reqs):
+            ids = r.all_ids()
+            hist0[i, : len(ids)] = ids
+            len0[i] = r.seq_len
+            m = min(len(r.pages), PPS)
+            pi[i, :m] = r.pages[:m]
+        fn = self._get_fused_spec_step(S, PPS, L_hist, K, R,
+                                       ngram=ngram)
+        toks, lps, k_pages, v_pages = fn(
+            self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
+            jnp.asarray(hist0), jnp.asarray(len0), jnp.asarray(pi),
+        )
+        self.kv_pool.k_pages = k_pages
+        self.kv_pool.v_pages = v_pages
+        toks = np.asarray(jax.device_get(toks))[:, :S_real]
+        lps = np.asarray(jax.device_get(lps))[:, :S_real]
+        return toks, lps
+
     def execute_spec_verify(
         self, plan: BatchPlan, rows_per_seq: int,
         block_q: Optional[int] = None,

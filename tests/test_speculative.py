@@ -84,3 +84,90 @@ def test_spec_lossless_and_accepts(model_path):
         assert sched.check_memory()
     finally:
         eng.shutdown()
+
+
+def test_fused_spec_path_taken_and_fallback(model_path):
+    """Greedy plain sampling takes the device-fused rounds
+    (scheduler._run_spec_decode_fused); temperature>0 falls back to the
+    host-driven stochastic verify.  Both stay lossless/correct."""
+    sp = {"temperature": 0.0, "max_new_tokens": 24, "ignore_eos": True}
+    prompts = [[7, 8, 9, 10] * 4, [3, 4, 5] * 5, [11, 12] * 6]
+
+    eng = make_engine(model_path, spec=True)
+    try:
+        import sglang_security_tpu.managers.scheduler as sched_mod
+
+        calls = {"fused": 0}
+        orig = sched_mod.Scheduler._run_spec_decode_fused
+
+        def counting(self):
+            calls["fused"] += 1
+            return orig(self)
+
+        sched_mod.Scheduler._run_spec_decode_fused = counting
+        try:
+            outs = eng.generate(input_ids=prompts, sampling_params=sp)
+        finally:
+            sched_mod.Scheduler._run_spec_decode_fused = orig
+        assert calls["fused"] > 0
+        assert all(len(o["output_ids"]) == 24 for o in outs)
+
+        # temperature > 0: fused path must NOT be taken
+        calls["fused"] = 0
+        sched_mod.Scheduler._run_spec_decode_fused = counting
+        try:
+            eng.generate(
+                input_ids=prompts[0],
+                sampling_params={"temperature": 1.0, "max_new_tokens": 8,
+                                 "ignore_eos": True},
+            )
+        finally:
+            sched_mod.Scheduler._run_spec_decode_fused = orig
+        assert calls["fused"] == 0
+    finally:
+        eng.shutdown()
+
+
+def test_fused_spec_matches_host_rounds(model_path):
+    """Fused device rounds produce the same greedy tokens as the
+    host-driven ngram loop (SGLANG_TPU_DISABLE_FUSED_SPEC=1)."""
+    import sglang_security_tpu.managers.scheduler as sched_mod
+
+    sp = {"temperature": 0.0, "max_new_tokens": 32, "ignore_eos": True}
+    prompts = [[7, 8, 9, 10] * 4, [1, 2, 3, 1, 2] * 3]
+
+    eng = make_engine(model_path, spec=True)
+    try:
+        fused = [o["output_ids"]
+                 for o in eng.generate(input_ids=prompts, sampling_params=sp)]
+    finally:
+        eng.shutdown()
+
+    sched_mod._DISABLE_FUSED_SPEC = True
+    try:
+        eng = make_engine(model_path, spec=True)
+        try:
+            host = [o["output_ids"] for o in
+                    eng.generate(input_ids=prompts, sampling_params=sp)]
+        finally:
+            eng.shutdown()
+    finally:
+        sched_mod._DISABLE_FUSED_SPEC = False
+    assert fused == host
+
+
+def test_fused_spec_eos_stops(model_path):
+    """EOS inside a fused round stops the request (overshoot trimmed)."""
+    sp = {"temperature": 0.0, "max_new_tokens": 64}
+    eng = make_engine(model_path, spec=True)
+    try:
+        out = eng.generate(
+            input_ids=[7, 8, 9, 10] * 4, sampling_params=sp
+        )
+        ids = out["output_ids"]
+        eos = eng.scheduler.eos_token_ids
+        if any(t in eos for t in ids):
+            assert ids[-1] in eos  # stopped AT the eos, nothing after
+        assert len(ids) <= 64
+    finally:
+        eng.shutdown()
