@@ -542,7 +542,7 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             ),
             tokens_per_image=int((g * r) ** 2),
         )
-    if arch == "MiniCPMV":
+    if arch in ("MiniCPMV", "MiniCPMO"):
         return ImageProcessor(
             image_size=vis.get("image_size", 448),
             patch_size=vis.get("patch_size", 14),

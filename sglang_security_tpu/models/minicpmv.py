@@ -159,3 +159,14 @@ class MiniCPMV(LlamaForCausalLM):
     @property
     def tokens_per_image(self) -> int:
         return self.num_queries
+
+
+class MiniCPMO(MiniCPMV):
+    """MiniCPM-O 2.6 (reference ``srt/models/minicpmo.py``): the same
+    SigLIP vpm + resampler + qwen2 llm as MiniCPM-V 2.6 with an added
+    Whisper-style audio tower (``apm.*``) and streaming-TTS head.  The
+    image/text serving path below is shared with MiniCPMV verbatim; the
+    audio encoder and TTS generation are out of scope for this build
+    (the reference's audio path needs the audio tokenizer service)."""
+
+    pass

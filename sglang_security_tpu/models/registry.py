@@ -43,7 +43,7 @@ from sglang_security_tpu.models.yivl import YiVLForCausalLM
 from sglang_security_tpu.models.mimo_mtp import MiMoMTP
 from sglang_security_tpu.models.internvl import InternVLChatModel
 from sglang_security_tpu.models.deepseek_vl2 import DeepseekVL2ForCausalLM
-from sglang_security_tpu.models.minicpmv import MiniCPMV
+from sglang_security_tpu.models.minicpmv import MiniCPMO, MiniCPMV
 from sglang_security_tpu.models.kimi_vl import KimiVLForConditionalGeneration
 from sglang_security_tpu.models.janus_pro import MultiModalityCausalLM
 from sglang_security_tpu.models.clip import CLIPModel
@@ -153,6 +153,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "ExaoneForCausalLM": ExaoneForCausalLM,
     "MiniCPMForCausalLM": MiniCPMForCausalLM,
     "MiniCPMV": MiniCPMV,
+    "MiniCPMO": MiniCPMO,
     "MiniCPM3ForCausalLM": MiniCPM3ForCausalLM,
     "MiMoForCausalLM": LlamaForCausalLM,  # qwen2 body (reference mimo.py)
     "MiMoMTP": MiMoMTP,  # MTP draft head (reference mimo_mtp.py)
