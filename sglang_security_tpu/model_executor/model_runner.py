@@ -1315,8 +1315,7 @@ class ModelRunner:
         reference's equivalent loop (eagle_worker.py round loop) is
         host-driven because GPU dispatch is ~free; on TPU the loop
         belongs in the program."""
-        key = ("fusedspec", S, PPS, L_hist, K, R, ngram,
-               self.decode_act_int8)
+        key = ("fusedspec", S, PPS, L_hist, K, R, ngram)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -1447,19 +1446,13 @@ class ModelRunner:
             pi[i, :m] = r.pages[:m]
         fn = self._get_fused_spec_step(S, PPS, L_hist, K, R,
                                        ngram=ngram)
-        act_int8 = self.decode_act_int8
-        if act_int8:  # w4a8 verify matmuls (2x MXU rate), traced once
-            from sglang_security_tpu.layers.linear import set_act_override
-
-            set_act_override("int8")
-        try:
-            toks, lps, k_pages, v_pages = fn(
-                self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
-                jnp.asarray(hist0), jnp.asarray(len0), jnp.asarray(pi),
-            )
-        finally:
-            if act_int8:
-                set_act_override(None)
+        # NOTE: measured on-chip, int8 activations in the fused verify
+        # were a 2-4x REGRESSION at these tiny M (43.9-177.8 tok/s vs
+        # 201.7 bf16-act at B=8) — bf16-act group dots win below M~128
+        toks, lps, k_pages, v_pages = fn(
+            self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
+            jnp.asarray(hist0), jnp.asarray(len0), jnp.asarray(pi),
+        )
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
         toks = np.asarray(jax.device_get(toks))[:, :S_real]
