@@ -44,6 +44,14 @@ if hasattr(sched_mod.Scheduler, "_run_spec_decode"):
     sched_mod.Scheduler._run_spec_decode = timed(
         "spec_round_total", sched_mod.Scheduler._run_spec_decode
     )
+if hasattr(mr_mod.ModelRunner, "execute_spec_fused"):
+    mr_mod.ModelRunner.execute_spec_fused = timed(
+        "fused_call", mr_mod.ModelRunner.execute_spec_fused
+    )
+if hasattr(sched_mod.Scheduler, "_run_spec_decode_fused"):
+    sched_mod.Scheduler._run_spec_decode_fused = timed(
+        "fused_round_total", sched_mod.Scheduler._run_spec_decode_fused
+    )
 if hasattr(sched_mod.Scheduler, "_run_eagle_decode"):
     sched_mod.Scheduler._run_eagle_decode = timed(
         "eagle_round_total", sched_mod.Scheduler._run_eagle_decode
@@ -74,7 +82,7 @@ eng = Engine(ServerArgs(
     max_prefill_tokens=4096, chunked_prefill_size=4096,
     decode_bs_buckets=[n_reqs], prefill_token_buckets=[4096],
     max_seq_pages_buckets=[4],
-    
+    decode_steps_per_batch=int(os.environ.get("BENCH_DECODE_STEPS", 16)),
     enable_warmup=False, random_seed=0, log_level="warning",
     speculative_algorithm=algo,
     speculative_num_steps=spec_steps,
