@@ -1609,7 +1609,10 @@ class Scheduler:
         measured on the axon chip the host-driven ngram loop ran at
         0.09x non-spec throughput purely on round-trips."""
         K = self.spec_drafter.num_draft_tokens
-        R = max(1, self.server_args.decode_steps_per_batch // 2)
+        # NOT decode_steps_per_batch: spec mode pins that to 1 (host
+        # loops), which silently degraded the fused path to one round
+        # per dispatch (measured ~70 ms/call ≈ pure round-trip)
+        R = max(1, self.server_args.speculative_fused_rounds)
         worst = R * (K + 1)
         self._maybe_retract(worst)
         if not self.running:

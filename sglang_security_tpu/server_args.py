@@ -90,6 +90,11 @@ class ServerArgs:
     # decode tokens generated per host round-trip (device-chained sampling;
     # the TPU analog of the reference's overlap scheduler). 1 = off.
     decode_steps_per_batch: int = 8
+    # device-resident fused speculative rounds per dispatch (greedy
+    # NGRAM path; scheduler._run_spec_decode_fused).  Independent of
+    # decode_steps_per_batch, which spec mode forces to 1 for the
+    # host-driven draft/verify loops.
+    speculative_fused_rounds: int = 8
     retract_decode_steps: int = 20
     new_token_ratio: float = 0.4
     min_new_token_ratio: float = 0.2
