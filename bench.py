@@ -89,6 +89,9 @@ def main() -> None:
             speculative_num_steps=spec_steps,
             speculative_num_draft_tokens=spec_steps,
             speculative_eagle_topk=spec_topk if spec == "tree" else 1,
+            speculative_fused_rounds=int(
+                os.environ.get("BENCH_FUSED_ROUNDS", 8)
+            ),
         )
 
     rng = np.random.default_rng(0)

@@ -1446,13 +1446,21 @@ class ModelRunner:
             pi[i, :m] = r.pages[:m]
         fn = self._get_fused_spec_step(S, PPS, L_hist, K, R,
                                        ngram=ngram)
-        # NOTE: measured on-chip, int8 activations in the fused verify
-        # were a 2-4x REGRESSION at these tiny M (43.9-177.8 tok/s vs
-        # 201.7 bf16-act at B=8) — bf16-act group dots win below M~128
-        toks, lps, k_pages, v_pages = fn(
-            self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
-            jnp.asarray(hist0), jnp.asarray(len0), jnp.asarray(pi),
-        )
+        act_int8 = bool(int(os.environ.get(
+            "SGLANG_TPU_FUSED_SPEC_ACT_INT8", "0"
+        )))
+        if act_int8:  # A/B knob: w4a8 verify matmuls
+            from sglang_security_tpu.layers.linear import set_act_override
+
+            set_act_override("int8")
+        try:
+            toks, lps, k_pages, v_pages = fn(
+                self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
+                jnp.asarray(hist0), jnp.asarray(len0), jnp.asarray(pi),
+            )
+        finally:
+            if act_int8:
+                set_act_override(None)
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
         toks = np.asarray(jax.device_get(toks))[:, :S_real]
