@@ -93,6 +93,18 @@ class PendingDecode:
         return self.handle.last_tokens
 
 
+@dataclass
+class PendingSpec:
+    """A dispatched-but-uncommitted fused speculative call (R device
+    rounds in flight; the spec analog of PendingDecode — the token
+    history lives on device, so call N+1 chains off call N's outputs
+    and the host commit overlaps device compute)."""
+
+    reqs: tuple  # running-batch snapshot at dispatch, in row order
+    worst: int  # max tokens a call can advance any sequence: R*(K+1)
+    handle: object  # model_runner.spec_fused_dispatch handle
+
+
 class Scheduler:
     def __init__(
         self,
@@ -130,6 +142,7 @@ class Scheduler:
         self.waiting: List[Req] = []
         self.running: List[Req] = []
         self._pending_decode: Optional[PendingDecode] = None
+        self._pending_spec: Optional[PendingSpec] = None
         self._pending_prefill: Optional[PendingPrefill] = None
         self.inflight: List[Req] = []
         self.chunked_req: Optional[Req] = None
@@ -381,6 +394,7 @@ class Scheduler:
         return bool(
             self.waiting or self.running or self.chunked_req
             or self.disagg_waiting or self._pending_prefill is not None
+            or self._pending_spec is not None
         )
 
     # ------------------------------------------------------------- stepping
@@ -1158,6 +1172,9 @@ class Scheduler:
             self._drain_decode()
             if self._run_spec_decode_fused():
                 return
+        # fused-spec conditions no longer hold: materialize any
+        # in-flight fused call before other decode paths touch state
+        self._drain_spec()
         if self.eagle is not None and spec_ok:
             self._drain_decode()
             if self._run_eagle_decode():
@@ -1614,22 +1631,70 @@ class Scheduler:
         # per dispatch (measured ~70 ms/call ≈ pure round-trip)
         R = max(1, self.server_args.speculative_fused_rounds)
         worst = R * (K + 1)
-        self._maybe_retract(worst)
+        # ---- pipelined fused calls: dispatch call N+1 chained off call
+        # N's on-device history BEFORE materializing N, so the ~45 ms
+        # per-call fixed cost (dispatch RTT + device_gets + host commit,
+        # measured via the R-slope in PERF_NOTES) overlaps device
+        # compute — the decode overlap scheduler applied to spec rounds.
+        self._maybe_retract(2 * worst)  # drains first if it must retract
+        pend = self._pending_spec
+        if pend is not None and pend.reqs != tuple(self.running):
+            # membership changed (finish/retract/join): commit the
+            # in-flight call and restart the device history from host
+            # state next dispatch
+            self._drain_spec()
+            pend = None
         if not self.running:
             return True
         reqs = self.running
+        if pend is not None and all(
+            len(r.output_ids) + pend.worst
+            >= r.sampling_params.max_new_tokens
+            for r in reqs
+        ):
+            # every request exhausts its budget within the in-flight
+            # call — dispatching another would be pure waste
+            self._drain_spec()
+            return True
         for req in reqs:
-            need = cdiv(req.seq_len - 1 + worst + 1, self.page_size) - len(
-                req.pages
-            )
+            # slack for the in-flight call + this call (the host has not
+            # seen the in-flight commits, so allocate worst-case; the
+            # device clamps history writes and page lookups to what the
+            # table holds)
+            need = cdiv(
+                req.seq_len - 1 + 2 * worst + 1, self.page_size
+            ) - len(req.pages)
             if need > 0:
                 pages = self._alloc_pages(need, req.dp_shard)
                 req.pages = np.concatenate([req.pages, pages])
-        toks, lps = self.runner.execute_spec_fused(
-            reqs, K, R, ngram=self.spec_drafter.ngram
-        )  # [R, S, K+1] (-1 pad)
+        handle = self.runner.spec_fused_dispatch(
+            reqs, K, R, ngram=self.spec_drafter.ngram,
+            state=pend.handle[-1] if pend is not None else None,
+        )
+        new_pend = PendingSpec(reqs=tuple(reqs), worst=worst, handle=handle)
+        if pend is not None:
+            toks, lps = self.runner.spec_fused_wait(pend.handle)
+            self._pending_spec = new_pend
+            self._commit_spec_fused(list(pend.reqs), toks, lps)
+        else:
+            self._pending_spec = new_pend
+        return True
+
+    def _drain_spec(self) -> None:
+        """Materialize and commit the in-flight fused-spec call, if any."""
+        pend = self._pending_spec
+        if pend is None:
+            return
+        self._pending_spec = None
+        toks, lps = self.runner.spec_fused_wait(pend.handle)
+        self._commit_spec_fused(list(pend.reqs), toks, lps)
+
+    def _commit_spec_fused(self, reqs, toks, lps) -> None:
+        """Apply one fused call's accepted tokens ([R, S, K+1], -1 pad)."""
+        R = toks.shape[0]
         finished: List[Req] = []
         produced = 0
+        running_ids = {id(r) for r in self.running}
         for r in range(R):
             for i, req in enumerate(reqs):
                 if req.finished():
@@ -1645,7 +1710,7 @@ class Scheduler:
                     produced += 1
                 req.computed_len = req.seq_len - 1
         for req in reqs:
-            if req.finished():
+            if req.finished() and id(req) in running_ids:
                 finished.append(req)
         for req in finished:
             self.running.remove(req)
@@ -1656,7 +1721,10 @@ class Scheduler:
                            reason=FinishReason.ABORT)
         self._decode_tokens_since_log += produced
         self._log_decode_stats()
-        return True
+        if not self.running and self._pending_spec is not None:
+            # every request finished mid-pipeline: the in-flight call
+            # is pure overshoot - drain so the engine goes truly idle
+            self._drain_spec()
 
     def _run_spec_decode(self) -> bool:
         """Draft + single-verify speculative decode round (reference
@@ -1773,6 +1841,9 @@ class Scheduler:
                 # commit.  Then re-evaluate — the commit may have
                 # finished requests and freed their pages.
                 self._drain_decode()
+                continue
+            if self._pending_spec is not None:
+                self._drain_spec()
                 continue
             victim = max(
                 self.running, key=lambda r: (len(r.output_ids), r.time_stats.queued)
@@ -2155,6 +2226,7 @@ class Scheduler:
     def flush_cache(self) -> bool:
         self._drain_prefill()
         self._drain_decode()
+        self._drain_spec()
         if self.running or self.waiting:
             return False
         for cache in self.tree_caches:
@@ -2168,6 +2240,7 @@ class Scheduler:
         """Idle leak assertion (reference scheduler.py:1314-1361)."""
         self._drain_prefill()
         self._drain_decode()
+        self._drain_spec()
         if self.running or self.waiting or self.chunked_req:
             return True
         for tree, alloc in zip(self.tree_caches, self.allocators):

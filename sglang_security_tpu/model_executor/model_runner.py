@@ -1383,7 +1383,7 @@ class ModelRunner:
             )
             hidden, k_pages, v_pages = model.forward(
                 params, k_pages, v_pages, fb, block_q=bq,
-                interpret=interpret,
+                interpret=interpret, spec_verify=True,
             )
             logits = model.compute_logits(params, hidden)  # [S*(K+1), V]
             t = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -1412,11 +1412,14 @@ class ModelRunner:
                 body, (hist0, len0, k_pages, v_pages, page_indices),
                 None, length=R,
             )
-            return toks, lps, k_pages, v_pages
+            # hist/n returned so chained calls keep the token history
+            # device-resident (pipelined fused rounds: no host rebuild,
+            # no round-trip on the dispatch path)
+            return toks, lps, hist, n, k_pages, v_pages
 
         # single-chip path (the scheduler gates on mesh is None; the
         # sharded serving paths keep the host-driven spec rounds)
-        fn = jax.jit(fused, donate_argnums=(1, 2))
+        fn = jax.jit(fused, donate_argnums=(1, 2, 3, 4))
         self._step_cache[key] = fn
         logger.info(
             "compiling fused spec rounds S=%d PPS=%d K=%d R=%d",
@@ -1424,27 +1427,53 @@ class ModelRunner:
         )
         return fn
 
-    def execute_spec_fused(self, reqs, K: int, R: int, ngram: int):
-        """Run R fused speculative rounds over `reqs` (greedy, plain
-        sampling).  Returns (tokens [R, S_real, K+1] with -1 padding,
-        logprobs [R, S_real, K+1]).  Pages for the worst-case R*(K+1)
-        new tokens must be preallocated by the caller."""
+    def spec_fused_dispatch(self, reqs, K: int, R: int, ngram: int,
+                            state=None):
+        """Dispatch R device-resident speculative rounds WITHOUT
+        blocking (the spec analog of ``dispatch_decode_multi``).
+
+        With ``state`` (from a previous handle), the token history and
+        per-seq lengths stay device-resident — call N+1 chains off call
+        N's on-device outputs, so dispatch never waits on a host
+        round-trip.  The page table re-uploads each call (the host owns
+        allocation; an upload rides the dispatch at no RTT cost).
+        Pages for 2*R*(K+1) tokens of overshoot must be preallocated by
+        the caller (in-flight call + this call, worst case).
+
+        Returns a handle for :meth:`spec_fused_wait`; ``handle[-1]`` is
+        the state tuple for the next chained dispatch."""
         sa = self.server_args
         S_real = len(reqs)
         S = next_bucket(S_real, sa.decode_bs_buckets)
         pps_real = max(len(r.pages) for r in reqs)
         PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
-        max_len = max(r.seq_len + R * (K + 1) for r in reqs)
-        L_hist = 1 << max(8, (max_len - 1).bit_length())
-        hist0 = np.zeros((S, L_hist), np.int32)
-        len0 = np.zeros(S, np.int32)
         pi = np.zeros((S, PPS), np.int32)
         for i, r in enumerate(reqs):
-            ids = r.all_ids()
-            hist0[i, : len(ids)] = ids
-            len0[i] = r.seq_len
             m = min(len(r.pages), PPS)
             pi[i, :m] = r.pages[:m]
+        if state is None:
+            # size the history for the WHOLE remaining generation plus
+            # two calls of overshoot slack, so chained calls never
+            # change the hist bucket mid-stream
+            max_len = max(
+                r.seq_len
+                + max(
+                    r.sampling_params.max_new_tokens - len(r.output_ids), 0
+                )
+                + 2 * R * (K + 1)
+                for r in reqs
+            )
+            L_hist = 1 << max(8, (max_len - 1).bit_length())
+            hist0 = np.zeros((S, L_hist), np.int32)
+            len0 = np.zeros(S, np.int32)
+            for i, r in enumerate(reqs):
+                ids = r.all_ids()
+                hist0[i, : len(ids)] = ids
+                len0[i] = r.seq_len
+            hist, n = jnp.asarray(hist0), jnp.asarray(len0)
+        else:
+            hist, n, L_hist = state
+            assert hist.shape[0] == S, (hist.shape, S)
         fn = self._get_fused_spec_step(S, PPS, L_hist, K, R,
                                        ngram=ngram)
         act_int8 = bool(int(os.environ.get(
@@ -1455,18 +1484,30 @@ class ModelRunner:
 
             set_act_override("int8")
         try:
-            toks, lps, k_pages, v_pages = fn(
+            toks, lps, hist, n, k_pages, v_pages = fn(
                 self.params, self.kv_pool.k_pages, self.kv_pool.v_pages,
-                jnp.asarray(hist0), jnp.asarray(len0), jnp.asarray(pi),
+                hist, n, jnp.asarray(pi),
             )
         finally:
             if act_int8:
                 set_act_override(None)
         self.kv_pool.k_pages = k_pages
         self.kv_pool.v_pages = v_pages
+        return (toks, lps, S_real, (hist, n, L_hist))
+
+    @staticmethod
+    def spec_fused_wait(handle):
+        """Materialize a dispatched fused-spec call: (tokens
+        [R, S_real, K+1] with -1 padding, logprobs [R, S_real, K+1])."""
+        toks, lps, S_real, _ = handle
         toks = np.asarray(jax.device_get(toks))[:, :S_real]
         lps = np.asarray(jax.device_get(lps))[:, :S_real]
         return toks, lps
+
+    def execute_spec_fused(self, reqs, K: int, R: int, ngram: int):
+        """Synchronous fused spec rounds (dispatch + wait)."""
+        handle = self.spec_fused_dispatch(reqs, K, R, ngram)
+        return self.spec_fused_wait(handle)
 
     def execute_spec_verify(
         self, plan: BatchPlan, rows_per_seq: int,

@@ -41,6 +41,7 @@ from sglang_security_tpu.model_executor.forward_batch import ForwardBatch
 from sglang_security_tpu.models.config import ModelConfig
 from sglang_security_tpu.ops.ragged_paged_attention import (
     paged_decode_attention,
+    paged_verify_attention,
     ragged_paged_attention,
 )
 
@@ -371,6 +372,8 @@ class LlamaForCausalLM:
         dp_axis: Optional[str] = None,  # dp-attention axis (inside shard_map)
         lora=None,  # LoRAManager.step_params() pytree, or None
         return_all: bool = False,  # also return every row's hidden (EAGLE)
+        spec_verify: bool = False,  # fused-spec verify: block_q rows/seq,
+        # new KV lands via the verify kernel's in-kernel RMW (no scatter)
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (selected_hidden [S, H], k_pages, v_pages); with
         ``return_all``, (selected, all_hidden [T, H], k_pages, v_pages) —
@@ -448,7 +451,7 @@ class LlamaForCausalLM:
                     block_q=block_q, pages_per_block=pages_per_block,
                     interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
                     lora_lp=lora_lp, lora_ids=lora_ids,
-                    lora_scale=lora_scale,
+                    lora_scale=lora_scale, spec_verify=spec_verify,
                 ),
                 lambda h: self._ffn_apply(
                     lp, h, tp_size, tp_axis,
@@ -675,7 +678,7 @@ class LlamaForCausalLM:
     def _attn_apply(
         self, lp, h, fb, k_pages, v_pages, li, safe_slots, *,
         block_q, pages_per_block, interpret, tp_size, tp_axis,
-        lora_lp=None, lora_ids=None, lora_scale=None,
+        lora_lp=None, lora_ids=None, lora_scale=None, spec_verify=False,
     ):
         """Standard GQA attention (MLA models override; models/deepseek_v2.py)."""
         cfg = self.config
@@ -724,6 +727,28 @@ class LlamaForCausalLM:
 
         ds = getattr(self, "ds_cfg", None)
         if (
+            spec_verify
+            and not isinstance(k_pages, tuple)
+            and cfg.sliding_window is None
+        ):
+            # fused-spec verify: block_q new rows per sequence attend
+            # paged prefix + in-register new KV in one kernel that also
+            # lands the rows in the pool (no XLA scatter, no generic
+            # prefill-path grid) — ops/ragged_paged_attention.py
+            # paged_verify_attention
+            S = T // block_q
+            attn, k_pages, v_pages = paged_verify_attention(
+                q.reshape(S, block_q, Hq, hd), k_pages, v_pages,
+                fb.kv_lens, fb.q_lens, fb.page_indices,
+                k.reshape(S, block_q, Hkv, hd),
+                v.reshape(S, block_q, Hkv, hd),
+                fb.slots.reshape(S, block_q),
+                page_size=self.kv_page_size, layer=li,
+                sm_scale=self._sm_scale(), soft_cap=cfg.attn_softcap,
+                interpret=interpret,
+            )
+            attn = attn.reshape(T, Hq, hd)
+        elif (
             ds is not None
             and block_q == 1
             and not isinstance(k_pages, tuple)

@@ -1147,3 +1147,538 @@ def paged_decode_attention(
         out, k_pages, v_pages = res
         return out[:B].astype(orig_dtype), k_pages, v_pages
     return res[:B].astype(orig_dtype)
+
+
+# ======================================================================
+# Verify-specialized kernel: bq query rows per sequence, in-register
+# new-token KV, in-kernel pool write
+# ======================================================================
+#
+# Speculative verify feeds each sequence [last_committed, *draft]
+# (bq rows).  Routing it through the generic prefill kernel costs
+# per-(q-block, kv-block) grid-cell overhead AND an XLA scatter per
+# layer to land the new rows in the pool (~5 ms + ~3 ms of a ~23 ms
+# verify round at B=8, tools/spec_decompose.py).  This kernel is the
+# decode kernel's shape generalized to bq query rows: the page walk is
+# identical (block_s sequences per cell, double-buffered DMA waves),
+# the new tokens' K/V arrive in-register and join the flash update as
+# one dense causal block, and the pool write happens inside the kernel
+# as read-modify-writes of the <=3 sublane-aligned windows that cover
+# each sequence's new rows (new rows span <=2 contiguous slot runs —
+# they cross at most one page boundary — and each run spans <=2
+# aligned W-row windows; run B starts page-aligned so it needs 1).
+# Replaces the reference's target-verify attention
+# (sgl-kernel/csrc/speculative/ + flashinfer verify wrappers) the TPU
+# way: one kernel, no scatter, no separate accept kernel launch.
+
+
+def _verify_kernel(
+    # --- scalar prefetch ---
+    kv_lens_ref,  # [B] i32 total tokens incl the q_len new rows
+    q_lens_ref,  # [B] i32 number of real new rows (0 = dead)
+    page_indices_ref,  # [B * pages_per_seq] i32 flat
+    layer_ref,  # [1] i32
+    slots_ref,  # [B * bq] i32 pool row per new token (-1 = pad)
+    wins_ref,  # [B * 3] i32 window indices, base = idx * W (-1 = none)
+    # --- tensor ---
+    q_ref,  # [block_s, bq*Hq, hd]
+    k_pages_ref,  # [L, Hkv, tokens, hd] (ANY)
+    v_pages_ref,
+    kn_ref,  # [block_s, Hkv, bq, hd]
+    vn_ref,
+    o_ref,  # [block_s, bq*Hq, hd]
+    kp_out,  # aliased pools (ANY)
+    vp_out,
+    k_buf,  # [2, block_s, Hkv, blk, hd]
+    v_buf,
+    k_sems,
+    v_sems,
+    r_sems,  # [block_s, 3]
+    w_sems,
+    kw_scr,  # [block_s, Hkv, W, hd]
+    vw_scr,
+    m_scr,  # [block_s, bq*Hq, 128]
+    l_scr,
+    acc_scr,  # [block_s, bq*Hq, hd]
+    *,
+    bq: int,
+    block_s: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    page_size: int,
+    num_kv_heads: int,
+    sm_scale: float,
+    soft_cap: Optional[float],
+):
+    sb = pl.program_id(0)
+    blk = pages_per_block * page_size
+    rows = q_ref.shape[1]  # bq * Hq
+    num_q_heads = rows // bq
+    g = num_q_heads // num_kv_heads
+    head_dim = q_ref.shape[-1]
+    layer = layer_ref[0]
+    W = kw_scr.shape[2]
+    NW = 3  # max RMW windows per sequence
+
+    def kvlen(s):
+        return kv_lens_ref[sb * block_s + s]
+
+    def qlen(s):
+        return q_lens_ref[sb * block_s + s]
+
+    def pagelen(s):
+        """Tokens read from pages: everything before the new rows."""
+        return kvlen(s) - qlen(s)
+
+    def nblocks(s):
+        return lax.div(pagelen(s) + blk - 1, blk)
+
+    nmax = nblocks(0)
+    for s in range(1, block_s):
+        nmax = jnp.maximum(nmax, nblocks(s))
+
+    def page_copies(s, j, slot):
+        base = (sb * block_s + s) * pages_per_seq + j * pages_per_block
+        copies = []
+        for p in range(pages_per_block):
+            pg = page_indices_ref[base + p]
+            row0 = pg * page_size
+            copies.append(
+                pltpu.make_async_copy(
+                    k_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                    k_buf.at[slot, s, :, pl.ds(p * page_size, page_size)],
+                    k_sems.at[slot],
+                )
+            )
+            copies.append(
+                pltpu.make_async_copy(
+                    v_pages_ref.at[layer, :, pl.ds(row0, page_size)],
+                    v_buf.at[slot, s, :, pl.ds(p * page_size, page_size)],
+                    v_sems.at[slot],
+                )
+            )
+        return copies
+
+    def win_base(s, w):
+        # wins holds window INDICES (base // W): multiplying by W here
+        # lets Mosaic prove the DMA slice offset is sublane-tile-aligned
+        # (a raw prefetched base is opaque to its divisibility analysis)
+        return wins_ref[(sb * block_s + s) * NW + w] * W
+
+    def rmw_reads(s, w):
+        base = win_base(s, w)
+        return [
+            pltpu.make_async_copy(
+                k_pages_ref.at[layer, :, pl.ds(base, W)],
+                kw_scr.at[s],
+                r_sems.at[s, w],
+            ),
+            pltpu.make_async_copy(
+                v_pages_ref.at[layer, :, pl.ds(base, W)],
+                vw_scr.at[s],
+                r_sems.at[s, w],
+            ),
+        ]
+
+    def rmw_writes(s, w):
+        base = win_base(s, w)
+        return [
+            pltpu.make_async_copy(
+                kw_scr.at[s],
+                kp_out.at[layer, :, pl.ds(base, W)],
+                w_sems.at[s, w],
+            ),
+            pltpu.make_async_copy(
+                vw_scr.at[s],
+                vp_out.at[layer, :, pl.ds(base, W)],
+                w_sems.at[s, w],
+            ),
+        ]
+
+    m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # kick the first window's RMW reads early so they overlap the walk;
+    # windows are processed serially per seq (one kw_scr slab per seq)
+    for s in range(block_s):
+
+        @pl.when(win_base(s, 0) >= 0)
+        def _start_first_rmw():
+            for c in rmw_reads(s, 0):
+                c.start()
+
+    for s in range(block_s):
+
+        @pl.when(nblocks(s) > 0)
+        def _prefetch_first():
+            for c in page_copies(s, 0, 0):
+                c.start()
+
+    # row r of the folded q block is token r // Hq, head r % Hq
+    row_tok = lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // num_q_heads
+    row_group = (
+        lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % num_q_heads
+    ) // g
+
+    def body(j, carry):
+        slot = lax.rem(j, 2)
+        nslot = lax.rem(j + 1, 2)
+        for s in range(block_s):
+
+            @pl.when(j + 1 < nblocks(s))
+            def _prefetch_next():
+                for c in page_copies(s, j + 1, nslot):
+                    c.start()
+
+        for s in range(block_s):
+
+            @pl.when(j < nblocks(s))
+            def _compute():
+                for c in page_copies(s, j, slot):
+                    c.wait()
+                q_s = q_ref[s]  # [bq*Hq, hd]
+                k_all = k_buf[slot, s]
+                if k_all.dtype == jnp.float8_e4m3fn:
+                    k_all = k_all.astype(jnp.bfloat16)
+                k_all = k_all.reshape(num_kv_heads * blk, head_dim)
+                qk_full = lax.dot_general(
+                    q_s, k_all, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bq*Hq, Hkv*blk]
+                qk_full *= sm_scale
+                if soft_cap is not None:
+                    qk_full = soft_cap * jnp.tanh(qk_full / soft_cap)
+                qk = jnp.zeros((rows, blk), jnp.float32)
+                for h in range(num_kv_heads):
+                    qk += jnp.where(
+                        row_group == h,
+                        qk_full[:, h * blk : (h + 1) * blk],
+                        0.0,
+                    )
+                kv_pos = j * blk + lax.broadcasted_iota(
+                    jnp.int32, (rows, blk), 1
+                )
+                # page tokens all precede every new row: plain bound mask
+                qk = jnp.where(kv_pos < pagelen(s), qk, MASK_VALUE)
+
+                m_prev = m_scr[s]
+                l_prev = l_scr[s]
+                m_curr = jnp.max(qk, axis=-1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(qk - m_next[:, 0:1])
+                l_scr[s] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[s] = m_next
+
+                v_all = v_buf[slot, s]
+                if v_all.dtype == jnp.float8_e4m3fn:
+                    v_all = v_all.astype(jnp.bfloat16)
+                v_all = v_all.reshape(num_kv_heads * blk, head_dim)
+                p_cast = p.astype(v_all.dtype)
+                p_full = jnp.concatenate(
+                    [
+                        jnp.where(row_group == h, p_cast, 0)
+                        for h in range(num_kv_heads)
+                    ],
+                    axis=1,
+                )
+                pv = lax.dot_general(
+                    p_full, v_all, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[s] = acc_scr[s] * alpha[:, 0:1] + pv
+
+        return carry
+
+    lax.fori_loop(0, nmax, body, 0, unroll=False)
+
+    # dense causal block over the in-register new tokens: q row (i, h)
+    # attends new kv row (hk, jt) iff hk == h's group, jt <= i, jt real
+    col_tok = lax.broadcasted_iota(
+        jnp.int32, (rows, num_kv_heads * bq), 1
+    ) % bq
+    col_group = lax.broadcasted_iota(
+        jnp.int32, (rows, num_kv_heads * bq), 1
+    ) // bq
+    for s in range(block_s):
+
+        @pl.when(qlen(s) > 0)
+        def _new_block():
+            q_s = q_ref[s]  # [bq*Hq, hd]
+            k_n = kn_ref[s].reshape(num_kv_heads * bq, head_dim)
+            qk_n = lax.dot_general(
+                q_s, k_n, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq*Hq, Hkv*bq]
+            qk_n *= sm_scale
+            if soft_cap is not None:
+                qk_n = soft_cap * jnp.tanh(qk_n / soft_cap)
+            allow = (
+                (col_group == row_group)
+                & (col_tok <= row_tok)
+                & (col_tok < qlen(s))
+            )
+            qk_n = jnp.where(allow, qk_n, MASK_VALUE)
+            m_prev = m_scr[s]
+            m_curr = jnp.max(qk_n, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p_n = jnp.exp(qk_n - m_next[:, 0:1])
+            # head-mismatched columns carry exp(MASK - m) ~ 0 already,
+            # so p_n is safe to feed the dense matmul directly
+            l_scr[s] = alpha * l_scr[s] + jnp.sum(
+                p_n, axis=-1, keepdims=True
+            )
+            m_scr[s] = m_next
+            v_n = vn_ref[s].reshape(num_kv_heads * bq, head_dim)
+            pv_n = lax.dot_general(
+                p_n.astype(v_n.dtype), v_n, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[s] = acc_scr[s] * alpha[:, 0:1] + pv_n
+
+    for s in range(block_s):
+        l = l_scr[s][:, 0:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[s] = (acc_scr[s] * l_inv).astype(o_ref.dtype)
+
+    # ---- pool write: serial RMW over each sequence's <=3 windows ----
+    row_iota = lax.broadcasted_iota(
+        jnp.int32, (num_kv_heads, W, head_dim), 1
+    )
+    for w in range(NW):
+        for s in range(block_s):
+
+            @pl.when(win_base(s, w) >= 0)
+            def _merge_and_write():
+                for c in rmw_reads(s, w):
+                    c.wait()
+                base = win_base(s, w)
+                kw = kw_scr[s]
+                vw = vw_scr[s]
+                for t in range(bq):
+                    idx = slots_ref[(sb * block_s + s) * bq + t] - base
+                    sel = row_iota == idx  # idx<0 or >=W selects nothing
+                    kw = jnp.where(
+                        sel, kn_ref[s, :, t, :][:, None, :].astype(kw.dtype),
+                        kw,
+                    )
+                    vw = jnp.where(
+                        sel, vn_ref[s, :, t, :][:, None, :].astype(vw.dtype),
+                        vw,
+                    )
+                kw_scr[s] = kw
+                vw_scr[s] = vw
+                for c in rmw_writes(s, w):
+                    c.start()
+                for c in rmw_writes(s, w):
+                    c.wait()
+                if w + 1 < NW:
+
+                    @pl.when(win_base(s, w + 1) >= 0)
+                    def _next_read():
+                        for c in rmw_reads(s, w + 1):
+                            c.start()
+
+
+def _verify_windows(slots, W: int):
+    """Distinct sublane-aligned W-row window bases covering each
+    sequence's valid new-row slots (-1 entries ignored); [B, 3] with -1
+    padding, as window INDICES (base = idx * W — the kernel multiplies so
+    Mosaic can prove DMA alignment).  New rows form <=2 contiguous slot
+    runs (one page crossing max), so <=3 aligned windows always
+    suffice."""
+    big = jnp.int32(2**30)
+    valid = slots >= 0
+    aligned = jnp.where(valid, slots // W, big)
+    lo = jnp.min(aligned, axis=1)
+    hi = jnp.where(valid, aligned, -1).max(axis=1)
+    # middle distinct value, if any
+    mid_c = jnp.where((aligned > lo[:, None]) & (aligned < hi[:, None]),
+                      aligned, -1)
+    mid = jnp.max(mid_c, axis=1)
+    any_valid = jnp.any(valid, axis=1)
+    w0 = jnp.where(any_valid, lo, -1)
+    # pack left (no -1 gaps): the kernel chains window w+1's RMW read
+    # off window w's merge, so actives must be contiguous
+    has_mid = mid > w0
+    w1 = jnp.where(has_mid, mid, jnp.where(hi > w0, hi, -1))
+    w2 = jnp.where(has_mid & (hi > mid), hi, -1)
+    return jnp.stack([w0, w1, w2], axis=1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size", "sm_scale", "soft_cap",
+        "pages_per_block", "block_s", "interpret",
+    ),
+)
+def paged_verify_attention(
+    q,  # [B, bq, num_q_heads, head_dim]
+    k_pages,  # [L, Hkv, tokens, hd]
+    v_pages,
+    kv_lens,  # [B] i32 total tokens incl new rows (0 = dead)
+    q_lens,  # [B] i32 real new rows per seq
+    page_indices,  # [B, pages_per_seq]
+    k_new,  # [B, bq, Hkv, hd]
+    v_new,
+    slots,  # [B, bq] i32 pool row per new token (-1 = pad)
+    *,
+    page_size: int,
+    layer=0,
+    sm_scale: Optional[float] = None,
+    soft_cap: Optional[float] = None,
+    pages_per_block: Optional[int] = None,
+    block_s: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """Speculative-verify attention + KV landing in one kernel.
+
+    Returns ``(out [B, bq, Hq, hd], k_pages, v_pages)`` with the new
+    rows written into the (aliased) pools.  Chain (causal) masking over
+    the new rows; pages hold only tokens preceding them."""
+    B, bq, num_q_heads, head_dim = q.shape
+    L, num_kv_heads, _, pool_hd = k_pages.shape
+    S, pages_per_seq = page_indices.shape
+    assert S == B
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    if interpret is None:
+        interpret = use_interpret_mode()
+    if head_dim != pool_hd:
+        pad = ((0, 0), (0, 0), (0, 0), (0, pool_hd - head_dim))
+        out, k_pages, v_pages = paged_verify_attention(
+            jnp.pad(q, pad), k_pages, v_pages, kv_lens, q_lens,
+            page_indices, jnp.pad(k_new, pad), jnp.pad(v_new, pad),
+            slots, page_size=page_size, layer=layer, sm_scale=sm_scale,
+            soft_cap=soft_cap, pages_per_block=pages_per_block,
+            block_s=block_s, interpret=interpret,
+        )
+        return out[..., :head_dim], k_pages, v_pages
+    head_dim = pool_hd
+    if pages_per_block is None:
+        pages_per_block = max(1, min(256 // page_size, 4))
+        buf_bytes_per_token = (
+            2 * 2 * block_s * num_kv_heads * pool_hd
+            * (1 if k_pages.dtype == jnp.int8 else 2)
+        )
+        while (
+            pages_per_block > 1
+            and pages_per_block * page_size * buf_bytes_per_token
+            > 40 * 2**20
+        ):
+            pages_per_block //= 2
+    if B < block_s:
+        block_s = max(1, B)
+    if B % block_s:
+        padn = block_s - B % block_s
+        q = jnp.pad(q, ((0, padn), (0, 0), (0, 0), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, (0, padn))
+        q_lens = jnp.pad(q_lens, (0, padn))
+        page_indices = jnp.pad(page_indices, ((0, padn), (0, 0)))
+        k_new = jnp.pad(k_new, ((0, padn), (0, 0), (0, 0), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, padn), (0, 0), (0, 0), (0, 0)))
+        slots = jnp.pad(slots, ((0, padn), (0, 0)), constant_values=-1)
+    Bp = q.shape[0]
+    if pages_per_seq % pages_per_block:
+        padp = pages_per_block - pages_per_seq % pages_per_block
+        page_indices = jnp.pad(page_indices, ((0, 0), (0, padp)))
+        pages_per_seq += padp
+
+    # sublane tile rows for the pool dtype (bf16 -> 16)
+    W = max(8, 32 // k_pages.dtype.itemsize)
+    W = min(W, page_size)
+    assert page_size % W == 0, (page_size, W)
+    wins = _verify_windows(slots, W)
+
+    orig_dtype = q.dtype
+    blk = pages_per_block * page_size
+    kernel = functools.partial(
+        _verify_kernel,
+        bq=bq,
+        block_s=block_s,
+        pages_per_block=pages_per_block,
+        pages_per_seq=pages_per_seq,
+        page_size=page_size,
+        num_kv_heads=num_kv_heads,
+        sm_scale=sm_scale,
+        soft_cap=soft_cap,
+    )
+    rows = bq * num_q_heads
+    q_flat = q.reshape(Bp, rows, head_dim)
+    kn = k_new.transpose(0, 2, 1, 3)  # [B, Hkv, bq, hd]
+    vn = v_new.transpose(0, 2, 1, 3)
+    q_spec = pl.BlockSpec((block_s, rows, head_dim), lambda sb, *_: (sb, 0, 0))
+    nkv_spec = pl.BlockSpec(
+        (block_s, num_kv_heads, bq, head_dim), lambda sb, *_: (sb, 0, 0, 0)
+    )
+    out_specs = [
+        pl.BlockSpec((block_s, rows, head_dim), lambda sb, *_: (sb, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bp, rows, head_dim), q.dtype),
+        jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+        jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((2, block_s, num_kv_heads, blk, head_dim), k_pages.dtype),
+        pltpu.VMEM((2, block_s, num_kv_heads, blk, head_dim), v_pages.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((block_s, 3)),
+        pltpu.SemaphoreType.DMA((block_s, 3)),
+        pltpu.VMEM((block_s, num_kv_heads, W, head_dim), k_pages.dtype),
+        pltpu.VMEM((block_s, num_kv_heads, W, head_dim), v_pages.dtype),
+        pltpu.VMEM((block_s, rows, 128), jnp.float32),
+        pltpu.VMEM((block_s, rows, 128), jnp.float32),
+        pltpu.VMEM((block_s, rows, head_dim), jnp.float32),
+    ]
+    cast = lambda x, dt: (
+        jnp.clip(x.astype(jnp.float32), -448.0, 448.0).astype(dt)
+        if dt == jnp.float8_e4m3fn else x.astype(dt)
+    )
+    out, k_pages, v_pages = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(Bp // block_s,),
+            in_specs=[
+                q_spec,
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                nkv_spec,
+                nkv_spec,
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        # flat operands: 6 scalars, q, k_pages(7), v_pages(8), kn, vn
+        input_output_aliases={7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        kv_lens.astype(jnp.int32),
+        q_lens.astype(jnp.int32),
+        page_indices.reshape(-1).astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        slots.reshape(-1).astype(jnp.int32),
+        wins.reshape(-1),
+        q_flat,
+        k_pages,
+        v_pages,
+        cast(kn, k_pages.dtype),
+        cast(vn, v_pages.dtype),
+    )
+    return (
+        out[:B].reshape(B, bq, num_q_heads, head_dim).astype(orig_dtype),
+        k_pages,
+        v_pages,
+    )

@@ -88,6 +88,7 @@ eng = Engine(ServerArgs(
     speculative_num_steps=spec_steps,
     speculative_num_draft_tokens=spec_steps,
     speculative_eagle_topk=2 if spec == "tree" else 1,
+    speculative_fused_rounds=int(os.environ.get("BENCH_FUSED_ROUNDS", 8)),
 ))
 rng = np.random.default_rng(0)
 prompts = [rng.integers(10, 120000, in_len).tolist() for _ in range(n_reqs)]

@@ -161,6 +161,77 @@ def prefill_attention_serving():
                     ref[st:st + ql], 2e-2, 2e-2)
 
 
+def verify_attention_serving():
+    """Fused-spec verify kernel at serving shapes: B=8, bq=8 rows/seq,
+    page_size=128, with a page-boundary-crossing row run.  Oracle:
+    ref_ragged_paged_attention over pages with the new rows pre-written
+    (identical semantics: causal anchored at kv_len - q_len)."""
+    from sglang_security_tpu.ops.ragged_paged_attention import (
+        paged_verify_attention,
+    )
+
+    rng = np.random.default_rng(4)
+    Hkv, Hq, hd, ps = 8, 32, 128, 128
+    B, bq, pages_per_seq = 8, 8, 4
+    num_pages = B * pages_per_seq + 1
+    # committed lengths n; rows at n-1 .. n+bq-2; one seq crosses a page
+    ns = [200, ps - 3, 40, 2 * ps - 1, 17, 300, 90, 128]
+    q_lens_np = np.full(B, bq, np.int32)
+    kv_lens = np.asarray([n + bq - 1 for n in ns], np.int32)
+    perm = rng.permutation(num_pages - 1) + 1
+    page_indices = perm[: B * pages_per_seq].reshape(B, pages_per_seq).astype(
+        np.int32
+    )
+    k_pages = rng.standard_normal((Hkv, num_pages, ps, hd)).astype(np.float32)
+    v_pages = rng.standard_normal((Hkv, num_pages, ps, hd)).astype(np.float32)
+    q = rng.standard_normal((B, bq, Hq, hd)).astype(np.float32)
+    k_new = rng.standard_normal((B, bq, Hkv, hd)).astype(np.float32)
+    v_new = rng.standard_normal((B, bq, Hkv, hd)).astype(np.float32)
+
+    def slot_of(b, pos):
+        return int(page_indices[b, pos // ps]) * ps + pos % ps
+
+    slots = np.zeros((B, bq), np.int32)
+    for b in range(B):
+        for j in range(bq):
+            slots[b, j] = slot_of(b, ns[b] - 1 + j)
+
+    kf2 = np.array(flat(k_pages), copy=True)
+    vf2 = np.array(flat(v_pages), copy=True)
+    for b in range(B):
+        for j in range(bq):
+            kf2[0, :, slots[b, j]] = k_new[b, j]
+            vf2[0, :, slots[b, j]] = v_new[b, j]
+    ref = ref_ragged_paged_attention(
+        jnp.asarray(q.reshape(B * bq, Hq, hd)),
+        jnp.asarray(kf2).reshape(Hkv, num_pages, ps, hd),
+        jnp.asarray(vf2).reshape(Hkv, num_pages, ps, hd),
+        kv_lens, page_indices,
+        np.arange(B, dtype=np.int32) * bq, q_lens_np,
+    )
+    out, k2, v2 = paged_verify_attention(
+        jnp.asarray(q, jnp.bfloat16),
+        jnp.asarray(flat(k_pages), jnp.bfloat16),
+        jnp.asarray(flat(v_pages), jnp.bfloat16),
+        jnp.asarray(kv_lens), jnp.asarray(q_lens_np),
+        jnp.asarray(page_indices),
+        jnp.asarray(k_new, jnp.bfloat16), jnp.asarray(v_new, jnp.bfloat16),
+        jnp.asarray(slots), page_size=ps, interpret=False,
+    )
+    check("verify_attn B=8 bq=8 ps=128 out",
+          out.reshape(B * bq, Hq, hd), ref, 2e-2, 2e-2)
+    k2r = np.asarray(
+        k2[0, :, slots.reshape(-1)], np.float32
+    ).transpose(1, 0, 2)  # [Hkv, B*bq, hd] -> [B*bq, Hkv, hd]
+    v2r = np.asarray(
+        v2[0, :, slots.reshape(-1)], np.float32
+    ).transpose(1, 0, 2)
+    check("verify_attn new k rows", k2r,
+          k_new.reshape(B * bq, Hkv, hd), 2e-2, 2e-2)
+    check("verify_attn new v rows", v2r,
+          v_new.reshape(B * bq, Hkv, hd), 2e-2, 2e-2)
+
+
 def int4_serving():
     """w4a16 + w4a8 at decode (M=128) and prefill (M=2048) 8B shapes."""
     rng = np.random.default_rng(2)
@@ -211,6 +282,7 @@ def main():
     print("devices:", jax.devices())
     decode_attention_serving()
     prefill_attention_serving()
+    verify_attention_serving()
     int4_serving()
     w8a8_serving()
     n_fail = sum(1 for _, ok, _, _ in RESULTS if not ok)
