@@ -347,7 +347,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     def _attn_apply(
         self, lp, h, fb, k_pages, v_pages, li, safe_slots, *,
         block_q, pages_per_block, interpret, tp_size, tp_axis,
-        lora_lp=None, lora_ids=None, lora_scale=None,
+        lora_lp=None, lora_ids=None, lora_scale=None, **kw,
     ):
         cfg = self.config
         if not cfg.use_mla:  # DeepSeek v1: standard GQA path
@@ -356,6 +356,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 block_q=block_q, pages_per_block=pages_per_block,
                 interpret=interpret, tp_size=tp_size, tp_axis=tp_axis,
                 lora_lp=lora_lp, lora_ids=lora_ids, lora_scale=lora_scale,
+                **kw,
             )
         T = h.shape[0]
         c, nope, rope, vdim, hd_pad = self._dims

@@ -103,7 +103,7 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
     # ------------------------------------------------------------ forward
     def _attn_apply(self, lp, h, fb, k_pages, v_pages, li, safe_slots, *,
                     block_q, pages_per_block, interpret, tp_size, tp_axis,
-                    lora_lp=None, lora_ids=None, lora_scale=None):
+                    lora_lp=None, lora_ids=None, lora_scale=None, **kw):
         cfg = self.config
         assert isinstance(li, int), (
             "Gemma2 needs unroll_layers (per-layer static sliding window)"
