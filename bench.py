@@ -178,6 +178,19 @@ def main() -> None:
         }
         if accept is not None:
             out["accept_length"] = round(accept, 3)
+        # machine-checkable spec progress across rounds (VERDICT r4
+        # weak #6): every spec bench run leaves a JSON artifact next to
+        # the driver's BENCH_r{N}.json
+        art = os.environ.get(
+            "BENCH_SPEC_OUT",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_SPEC_{spec}.json",
+            ),
+        )
+        with open(art, "w") as f:
+            json.dump(out, f)
+            f.write("\n")
     else:
         throughput, _ = measure({})
         out = {

@@ -960,11 +960,14 @@ class ModelRunner:
         the TPU-native form of the reference running the vision tower
         inside the LM forward (srt/models/llava.py): features become
         content-addressed and reusable across chunks/requests."""
-        uniq, seen = [], set()
+        uniq, uniq_audio, seen = [], [], set()
         for it in items:
             if it.hash not in self.mm_cache and it.hash not in seen:
                 seen.add(it.hash)
-                uniq.append(it)
+                if getattr(it, "modality", "image") == "audio":
+                    uniq_audio.append(it)
+                else:
+                    uniq.append(it)
         if uniq and getattr(self.model, "varlen_vision", False):
             for it in uniq:
                 self.mm_cache[it.hash] = self._encode_varlen_item(it)
@@ -978,6 +981,30 @@ class ModelRunner:
             feats = feats.astype(self.dtype)
             for i, it in enumerate(uniq):
                 # slice per image; [n_tok, H] rows stay on device
+                self.mm_cache[it.hash] = feats[i, : it.num_tokens]
+        if uniq_audio:
+            # audio clips: pad mel frames to a power-of-two bucket
+            # (bounded retraces), mask padding via per-clip lengths
+            n_real = len(uniq_audio)
+            n = 1 << (n_real - 1).bit_length()
+            fmax = max(it.pixel_values.shape[1] for it in uniq_audio)
+            F = 1 << max(7, (fmax - 1).bit_length())
+            n_mels = uniq_audio[0].pixel_values.shape[0]
+            mels = np.zeros((n, n_mels, F), np.float32)
+            lens = np.zeros(n, np.int32)
+            for i, it in enumerate(uniq_audio):
+                mels[i, :, : it.pixel_values.shape[1]] = it.pixel_values
+                lens[i] = it.audio_len
+            fn = self._step_cache.get("mm_encode_audio")
+            if fn is None:
+                model = self.model
+                fn = jax.jit(
+                    lambda p, m, l: model.encode_audio(p, m, l)
+                )
+                self._step_cache["mm_encode_audio"] = fn
+            feats = fn(self.params, jnp.asarray(mels), jnp.asarray(lens))
+            feats = feats.astype(self.dtype)
+            for i, it in enumerate(uniq_audio):
                 self.mm_cache[it.hash] = feats[i, : it.num_tokens]
         while len(self.mm_cache) > self.mm_cache_capacity:
             oldest = next(iter(self.mm_cache))
@@ -1452,17 +1479,15 @@ class ModelRunner:
             m = min(len(r.pages), PPS)
             pi[i, :m] = r.pages[:m]
         if state is None:
-            # size the history for the WHOLE remaining generation plus
-            # two calls of overshoot slack, so chained calls never
-            # change the hist bucket mid-stream
-            max_len = max(
-                r.seq_len
-                + max(
-                    r.sampling_params.max_new_tokens - len(r.output_ids), 0
-                )
-                + 2 * R * (K + 1)
-                for r in reqs
-            )
+            # size the history to the CURRENT lengths plus pipeline
+            # slack (in-flight call + this call + two more before the
+            # scheduler's rebucket guard triggers), NOT the whole
+            # remaining generation: the per-round ngram match scan is
+            # O(L_hist), so one request with a huge max_new_tokens must
+            # not inflate every round (ADVICE r4).  Power-of-2 buckets
+            # mean long generations rebucket (drain + recompile) once
+            # per doubling.
+            max_len = max(r.seq_len for r in reqs) + 4 * R * (K + 1)
             L_hist = 1 << max(8, (max_len - 1).bit_length())
             hist0 = np.zeros((S, L_hist), np.int32)
             len0 = np.zeros(S, np.int32)
@@ -1508,6 +1533,286 @@ class ModelRunner:
         """Synchronous fused spec rounds (dispatch + wait)."""
         handle = self.spec_fused_dispatch(reqs, K, R, ngram)
         return self.spec_fused_wait(handle)
+
+    # ------------------------------------------- fused EAGLE rounds
+    def _get_fused_eagle_step(self, S: int, PPS: int, K: int, R: int,
+                              Amax: int, eagle3: bool):
+        """Device-resident EAGLE/NEXTN rounds (greedy chain): ``R``
+        rounds of [draft-extend over last round's accepted (token,
+        feature) pairs -> K-step greedy draft chain -> target verify ->
+        chain accept -> feature handoff] inside ONE jit.  The host-driven
+        EAGLE loop pays a dispatch round-trip for the draft call AND the
+        verify call every round (measured 0.087x non-spec on the axon
+        chip); here the only host work per R rounds is the dispatch and
+        the token materialization — the EAGLE analog of
+        ``_get_fused_spec_step`` (reference round loop:
+        ``srt/speculative/eagle_worker.py:273`` host-driven because GPU
+        dispatch is ~free; on TPU the loop belongs in the program).
+
+        Feature plumbing per round: verify returns every row's hidden
+        (EAGLE-1/NEXTN: post-final-norm; EAGLE3: the 3-layer aux concat),
+        and the accepted rows' features become the next round's
+        draft-extend inputs — the feature table is only touched at
+        dispatch (seed) and drain (writeback)."""
+        key = ("fusedeagle", S, PPS, K, R, Amax, eagle3)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        model = self.model
+        dmodel = self.eagle.model
+        interpret = self.interpret
+        page_size = self.page_size
+        bq = self.SPEC_BLOCK_Q
+        assert K + 1 <= bq and K + 1 <= Amax
+        T = S * bq
+        jrow = jnp.arange(K + 1)
+
+        def slot_of(pi_row, pos):
+            page = pos // page_size
+            return (
+                pi_row[jnp.clip(page, 0, PPS - 1)] * page_size
+                + pos % page_size
+            )
+
+        def round_body(params, dparams, pi, carry, _):
+            pend_f, pend_t, counts, n, k_pages, v_pages, kd, vd = carry
+            alive = n > 0
+            # ---- draft-extend: one block_q=Amax ragged batch over the
+            # pending accepted pairs (token t_{p+1}, feature f_p)
+            rows = jnp.arange(Amax)
+            feats = pend_f.reshape(S * Amax, -1)
+            valid = (rows[None, :] < counts[:, None]) & alive[:, None]
+            q_starts = jnp.arange(S, dtype=jnp.int32) * Amax
+            pos_rows = n[:, None] - counts[:, None] - 1 + rows[None, :]
+            slot_rows = jax.vmap(
+                lambda p_row, pos: slot_of(p_row, pos)
+            )(pi, jnp.maximum(pos_rows, 0))
+            fb_ext = ForwardBatch(
+                token_ids=pend_t.reshape(S * Amax),
+                positions=jnp.maximum(pos_rows, 0).reshape(-1),
+                slots=jnp.where(valid, slot_rows, -1).reshape(-1),
+                q_starts=q_starts,
+                q_lens=jnp.where(alive, counts, 0).astype(jnp.int32),
+                kv_lens=(jnp.maximum(n - 1, 0) * alive).astype(jnp.int32),
+                page_indices=pi,
+                out_rows=q_starts + jnp.maximum(counts - 1, 0),
+            )
+            g, kd, vd = dmodel.forward_draft(
+                dparams, kd, vd, feats, fb_ext,
+                block_q=Amax, interpret=interpret,
+            )  # [S, Hf] chain seed features
+
+            # ---- K-step greedy draft chain
+            def chain_body(carry2, i):
+                g, kd, vd = carry2
+                d = dmodel.draft_greedy(model, params, dparams, g)
+                pos = jnp.maximum(n - 1 + i, 0)
+                cslot = jax.vmap(slot_of)(pi, pos[:, None])[:, 0]
+                fb_c = ForwardBatch(
+                    token_ids=d,
+                    positions=pos,
+                    slots=jnp.where(alive, cslot, -1),
+                    q_starts=jnp.arange(S, dtype=jnp.int32),
+                    q_lens=alive.astype(jnp.int32),
+                    kv_lens=((n + i) * alive).astype(jnp.int32),
+                    page_indices=pi,
+                    out_rows=jnp.arange(S, dtype=jnp.int32),
+                )
+                g, kd, vd = dmodel.forward_draft(
+                    dparams, kd, vd, g, fb_c,
+                    block_q=1, interpret=interpret,
+                )
+                return (g, kd, vd), d
+
+            (g, kd, vd), drafts = jax.lax.scan(
+                chain_body, (g, kd, vd), jnp.arange(K)
+            )
+            draft = drafts.T  # [S, K]
+
+            # ---- target verify (same layout as the fused ngram verify)
+            last = jax.vmap(
+                lambda t, c: t[jnp.clip(c - 1, 0, Amax - 1)]
+            )(pend_t, counts)
+            fed = jnp.concatenate([last[:, None], draft], axis=1)
+            pos0 = n - 1
+            positions = pos0[:, None] + jrow[None, :]  # [S, K+1]
+            vslot = jax.vmap(
+                lambda p_row, pos: slot_of(p_row, pos)
+            )(pi, jnp.maximum(positions, 0))
+            vslot = jnp.where(alive[:, None], vslot, -1)
+
+            def pad_rows(x, fill):
+                out = jnp.full((S, bq), fill, x.dtype)
+                return out.at[:, : K + 1].set(x).reshape(T)
+
+            out_rows = (
+                jnp.arange(S, dtype=jnp.int32)[:, None] * bq + jrow
+            ).reshape(-1)
+            fb_v = ForwardBatch(
+                token_ids=pad_rows(fed, 0),
+                positions=pad_rows(jnp.maximum(positions, 0), 0),
+                slots=pad_rows(vslot, -1),
+                q_starts=jnp.arange(S, dtype=jnp.int32) * bq,
+                q_lens=jnp.where(alive, K + 1, 0).astype(jnp.int32),
+                kv_lens=jnp.where(alive, n + K, 0).astype(jnp.int32),
+                page_indices=pi,
+                out_rows=out_rows,
+            )
+            out = model.forward(
+                params, k_pages, v_pages, fb_v, block_q=bq,
+                interpret=interpret, spec_verify=True,
+                return_all=eagle3,
+            )
+            if eagle3:
+                hidden, x_all, k_pages, v_pages = out
+                featsrc = x_all[jnp.clip(out_rows, 0, T - 1)]
+            else:
+                hidden, k_pages, v_pages = out
+                featsrc = hidden
+            logits = model.compute_logits(params, hidden)
+            t = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lp = jnp.max(jax.nn.log_softmax(logits, axis=-1), axis=-1)
+            t = t.reshape(S, K + 1)
+            lp = lp.reshape(S, K + 1).astype(jnp.float32)
+            ok = jnp.cumprod(
+                (draft == t[:, :-1]).astype(jnp.int32), axis=1
+            )
+            n_acc = jnp.sum(ok, axis=1)
+            commit_mask = (jrow[None, :] <= n_acc[:, None]) & alive[:, None]
+            out_t = jnp.where(commit_mask, t, -1)
+            out_lp = jnp.where(commit_mask, lp, 0.0)
+            # next round's pending pairs = this round's committed rows
+            featsrc = featsrc.reshape(S, K + 1, -1)
+            pend_f = jnp.zeros_like(pend_f).at[:, : K + 1].set(
+                jnp.where(
+                    commit_mask[..., None],
+                    featsrc.astype(pend_f.dtype), 0,
+                )
+            )
+            pend_t = jnp.zeros_like(pend_t).at[:, : K + 1].set(
+                jnp.where(commit_mask, t, 0)
+            )
+            counts = jnp.where(alive, n_acc + 1, counts)
+            n = jnp.where(alive, n + n_acc + 1, n)
+            return (
+                (pend_f, pend_t, counts, n, k_pages, v_pages, kd, vd),
+                (out_t, out_lp),
+            )
+
+        def fused(params, dparams, k_pages, v_pages, kd, vd,
+                  pend_f, pend_t, counts, n, pi):
+            body = functools.partial(round_body, params, dparams, pi)
+            carry, (toks, lps) = jax.lax.scan(
+                body, (pend_f, pend_t, counts, n, k_pages, v_pages,
+                       kd, vd),
+                None, length=R,
+            )
+            pend_f, pend_t, counts, n, k_pages, v_pages, kd, vd = carry
+            return (toks, lps, pend_f, pend_t, counts, n,
+                    k_pages, v_pages, kd, vd)
+
+        fn = jax.jit(fused, donate_argnums=(2, 3, 4, 5, 6))
+        self._step_cache[key] = fn
+        logger.info(
+            "compiling fused eagle rounds S=%d PPS=%d K=%d R=%d", S, PPS,
+            K, R,
+        )
+        return fn
+
+    def eagle_fused_dispatch(self, reqs, K: int, R: int, state=None):
+        """Dispatch R device-resident EAGLE rounds without blocking.
+        With ``state`` (from the previous handle) the pending (token,
+        feature) pairs and lengths stay device-resident, so chained
+        dispatches never wait on a host round-trip.  Returns a handle
+        for :meth:`spec_fused_wait`; ``handle[-1]`` is the next chained
+        dispatch's state."""
+        worker = self.eagle
+        sa = self.server_args
+        Amax = worker.rows_per_slot
+        S_real = len(reqs)
+        S = next_bucket(S_real, sa.decode_bs_buckets)
+        pps_real = max(len(r.pages) for r in reqs)
+        PPS = round_up(next_bucket(pps_real, sa.max_seq_pages_buckets), 8)
+        pi = np.zeros((S, PPS), np.int32)
+        for i, r in enumerate(reqs):
+            m = min(len(r.pages), PPS)
+            pi[i, :m] = r.pages[:m]
+        if state is None:
+            pend_t0 = np.zeros((S, Amax), np.int32)
+            counts0 = np.zeros(S, np.int32)
+            n0 = np.zeros(S, np.int32)
+            ft_rows = np.full((S, Amax), worker.ft.shape[0], np.int32)
+            for i, r in enumerate(reqs):
+                pend = r.spec_pending[-min(len(r.spec_pending), Amax):]
+                counts0[i] = len(pend)
+                pend_t0[i, : len(pend)] = pend
+                n0[i] = r.seq_len
+                ft_rows[i] = worker.ft_row(r.spec_slot, 0) + np.arange(
+                    Amax
+                )
+            gather = self._step_cache.get("eagle_ft_gather")
+            if gather is None:
+                gather = jax.jit(
+                    lambda ft, rows: ft[
+                        jnp.clip(rows, 0, ft.shape[0] - 1)
+                    ]
+                )
+                self._step_cache["eagle_ft_gather"] = gather
+            pend_f = gather(worker.ft, jnp.asarray(ft_rows))
+            pend_t, counts, n = (
+                jnp.asarray(pend_t0), jnp.asarray(counts0),
+                jnp.asarray(n0),
+            )
+        else:
+            pend_f, pend_t, counts, n = state
+            assert pend_f.shape[0] == S, (pend_f.shape, S)
+        fn = self._get_fused_eagle_step(
+            S, PPS, K, R, Amax, eagle3=worker.is_eagle3
+        )
+        (toks, lps, pend_f, pend_t, counts, n, k_pages, v_pages,
+         kd, vd) = fn(
+            self.params, worker.params,
+            self.kv_pool.k_pages, self.kv_pool.v_pages,
+            worker.pool.k_pages, worker.pool.v_pages,
+            pend_f, pend_t, counts, n, jnp.asarray(pi),
+        )
+        self.kv_pool.k_pages = k_pages
+        self.kv_pool.v_pages = v_pages
+        worker.pool.k_pages = kd
+        worker.pool.v_pages = vd
+        return (toks, lps, S_real, (pend_f, pend_t, counts, n))
+
+    def eagle_fused_writeback(self, reqs, state) -> None:
+        """Sync the device-resident fused-EAGLE state back into the
+        host-path structures (feature table + ``spec_pending``) so the
+        host-driven rounds/prefill can resume after a drain."""
+        worker = self.eagle
+        Amax = worker.rows_per_slot
+        pend_f, pend_t, counts, n = state
+        S = pend_f.shape[0]
+        ft_rows = np.full((S, Amax), worker.ft.shape[0], np.int32)
+        for i, r in enumerate(reqs):
+            if r.spec_slot >= 0:
+                ft_rows[i] = worker.ft_row(r.spec_slot, 0) + np.arange(
+                    Amax
+                )
+        scatter = self._step_cache.get("eagle_ft_scatter")
+        if scatter is None:
+            scatter = jax.jit(
+                lambda ft, rows, f: ft.at[rows.reshape(-1)].set(
+                    f.reshape(rows.size, -1).astype(ft.dtype),
+                    mode="drop",
+                ),
+                donate_argnums=(0,),
+            )
+            self._step_cache["eagle_ft_scatter"] = scatter
+        worker.ft = scatter(worker.ft, jnp.asarray(ft_rows), pend_f)
+        pend_t = np.asarray(jax.device_get(pend_t))
+        counts = np.asarray(jax.device_get(counts))
+        for i, r in enumerate(reqs):
+            c = int(counts[i])
+            if c > 0:
+                r.spec_pending = [int(t) for t in pend_t[i, :c]]
 
     def execute_spec_verify(
         self, plan: BatchPlan, rows_per_seq: int,

@@ -158,6 +158,13 @@ class ServerArgs:
     speculative_num_steps: int = 5
     speculative_eagle_topk: int = 1  # >1 (tree drafting) not implemented
     speculative_num_draft_tokens: int = 8
+    # Host-driven spec rounds pay a full dispatch round-trip per round —
+    # measured 0.087x NON-spec throughput on the real chip (PERF_NOTES).
+    # When the device-resident fused path is ineligible (mesh, mrope,
+    # sampling extras), the scheduler falls back to PLAIN decode and
+    # warns, unless this opts the host rounds back in.  None = auto:
+    # allowed on the CPU/interpret backend (tests), refused on TPU.
+    speculative_allow_host_rounds: Optional[bool] = None
 
     # ---- LoRA ----
     lora_paths: Optional[List[str]] = None

@@ -68,6 +68,11 @@ def test_eagle_oracle_draft_accept_length(tiny, ref_outputs):
     accept length must approach K+1 — proving verify/accept bookkeeping
     doesn't truncate accepted spans."""
     K = 4
+    # the oracle monkeypatches worker.draft — a host-path hook the
+    # device-resident fused rounds never call — so force host rounds
+    import sglang_security_tpu.managers.scheduler as sched_mod
+
+    sched_mod._DISABLE_FUSED_SPEC = True
     eng = _engine(tiny, speculative_algorithm="EAGLE",
                   speculative_num_steps=K)
     sched = eng.scheduler
@@ -104,9 +109,31 @@ def test_eagle_oracle_draft_accept_length(tiny, ref_outputs):
         got = [o["output_ids"] for o in outs]
     finally:
         eng.shutdown()
+        sched_mod._DISABLE_FUSED_SPEC = False
     assert got == ref_outputs
     avg = sched.spec_accept_sum / sched.spec_verify_count
     assert avg > 1.9, avg
+
+
+def test_eagle_fused_matches_host_rounds(tiny, ref_outputs):
+    """Device-resident fused EAGLE rounds == host-driven rounds == plain
+    decode, token for token (greedy lossless through both spec paths)."""
+    import sglang_security_tpu.managers.scheduler as sched_mod
+
+    eng = _engine(tiny, speculative_algorithm="EAGLE",
+                  speculative_num_steps=3, speculative_fused_rounds=2)
+    try:
+        assert not sched_mod._DISABLE_FUSED_SPEC
+        outs = eng.generate(prompt=PROMPTS, sampling_params=SP)
+        got = [o["output_ids"] for o in outs]
+        # the fused path must actually have engaged
+        assert any(
+            isinstance(k, tuple) and k and k[0] == "fusedeagle"
+            for k in eng.scheduler.runner._step_cache
+        )
+    finally:
+        eng.shutdown()
+    assert got == ref_outputs
 
 
 def test_eagle_under_tp2(tiny, ref_outputs):

@@ -86,6 +86,11 @@ def test_nextn_oracle_accept_length(tiny, ref_outputs):
     """Oracle drafter: accept length approaches K+1 through the MTP
     draft KV bookkeeping (MLA latent pool)."""
     K = 4
+    # the oracle monkeypatches worker.draft — a host-path hook the
+    # device-resident fused rounds never call — so force host rounds
+    import sglang_security_tpu.managers.scheduler as sched_mod
+
+    sched_mod._DISABLE_FUSED_SPEC = True
     eng = _engine(tiny, speculative_algorithm="NEXTN",
                   speculative_num_steps=K)
     sched = eng.scheduler
@@ -118,6 +123,7 @@ def test_nextn_oracle_accept_length(tiny, ref_outputs):
         got = [o["output_ids"] for o in outs]
     finally:
         eng.shutdown()
+        sched_mod._DISABLE_FUSED_SPEC = False
     assert got == ref_outputs
     avg = sched.spec_accept_sum / sched.spec_verify_count
     assert avg > 1.9, avg

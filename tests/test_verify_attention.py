@@ -161,12 +161,17 @@ def test_verify_attention_parity(cross_page):
                 v_pages2[layer, :, s], v_new[b, j], rtol=1e-6
             )
     # windows may rewrite neighbor rows of the same seq's pages with
-    # their original values; check a sample of untouched rows unchanged
-    for s in [0, 17, tokens - 1]:
-        if s not in touched:
-            np.testing.assert_allclose(
-                k_pages2[layer, :, s], k_pages[layer, :, s]
-            )
+    # their original values; ALL rows outside the touched slot set must
+    # be bit-identical (a clobbered neighbor inside an RMW window would
+    # otherwise go unnoticed — ADVICE r4)
+    untouched = np.ones(tokens, bool)
+    untouched[list(touched)] = False
+    np.testing.assert_array_equal(
+        k_pages2[layer][:, untouched], np.asarray(k_pages)[layer][:, untouched]
+    )
+    np.testing.assert_array_equal(
+        v_pages2[layer][:, untouched], np.asarray(v_pages)[layer][:, untouched]
+    )
     # other layer fully intact
     np.testing.assert_allclose(k_pages2[0], k_pages[0])
     np.testing.assert_allclose(v_pages2[0], v_pages[0])
