@@ -361,6 +361,7 @@ class Engine:
         bootstrap_room: Optional[int] = None,
         lora_path: Optional[str] = None,
         image_data=None,
+        audio_data=None,
     ):
         gri = GenerateReqInput(
             text=prompt,
@@ -377,6 +378,7 @@ class Engine:
             bootstrap_room=bootstrap_room,
             lora_path=lora_path,
             image_data=image_data,
+            audio_data=audio_data,
         )
         treqs = self.tokenizer_manager.make_reqs(gri)
         qs = [self._submit(t) for t in treqs]

@@ -24,6 +24,9 @@ class GenerateReqInput:
     # request; for batched requests, a list aligned with text/input_ids
     # (reference GenerateReqInput.image_data, io_struct.py)
     image_data: Optional[Any] = None
+    # audio clips (waveform ndarray / wav path / base64 wav), same
+    # per-request alignment rules (reference GenerateReqInput.audio_data)
+    audio_data: Optional[Any] = None
     stream: bool = False
     return_logprob: bool = False
     top_logprobs_num: int = 0

@@ -36,14 +36,17 @@ _IM_HASH_WINDOW = 1 << 24
 
 @dataclass
 class MultimodalDataItem:
-    """One processed image (reference MultimodalDataItem)."""
+    """One processed media item (reference MultimodalDataItem)."""
 
-    pixel_values: np.ndarray  # [3, S, S] f32, or [n_patches, pd] (Qwen-VL)
+    pixel_values: np.ndarray  # [3, S, S] f32, [n_patches, pd] (Qwen-VL),
+    # or [n_mels, frames] log-mel features (modality == "audio")
     hash: int  # content hash (feature-cache key)
     num_tokens: int  # language-model tokens this image expands to
     offset: int = -1  # first token index in the expanded prompt
     grid_thw: Optional[tuple] = None  # (t, h, w) patch grid (Qwen-VL)
     vis_meta: Optional[dict] = None  # qwen_vision_metadata (Qwen-VL)
+    modality: str = "image"  # "image" | "audio"
+    audio_len: int = 0  # post-conv valid length (attention mask)
 
     def pad_ids(self) -> List[int]:
         h = IM_TOKEN_BASE + (self.hash % _IM_HASH_WINDOW)
@@ -93,6 +96,44 @@ def _decode_image(image) -> np.ndarray:
     return arr
 
 
+def _decode_audio(audio) -> np.ndarray:
+    """Accept a float waveform (ndarray/list, 16 kHz mono), a .wav path,
+    raw WAV bytes, or base64 WAV data; return [n_samples] f32."""
+    if isinstance(audio, np.ndarray):
+        return audio.astype(np.float32).reshape(-1)
+    if isinstance(audio, (list, tuple)):
+        return np.asarray(audio, np.float32).reshape(-1)
+    if isinstance(audio, dict):  # {"array": ..., "sampling_rate": ...}
+        return np.asarray(audio["array"], np.float32).reshape(-1)
+    if isinstance(audio, (str, bytes)):
+        if isinstance(audio, bytes):
+            data = audio
+        elif audio.startswith("data:"):
+            data = base64.b64decode(audio.split(",", 1)[1])
+        elif len(audio) > 512 or not ("/" in audio or "." in audio):
+            data = base64.b64decode(audio)
+        else:
+            with open(audio, "rb") as f:
+                data = f.read()
+        import wave
+
+        with wave.open(io.BytesIO(data)) as w:
+            n = w.getnframes()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(n)
+        dt = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        pcm = np.frombuffer(raw, dt).astype(np.float32)
+        if width == 1:
+            pcm = (pcm - 128.0) / 128.0
+        else:
+            pcm = pcm / float(2 ** (8 * width - 1))
+        if ch > 1:
+            pcm = pcm.reshape(-1, ch).mean(axis=1)
+        return pcm
+    raise TypeError(f"unsupported audio type {type(audio)}")
+
+
 def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
     """[H, W, 3] float -> [size, size, 3] bilinear (numpy, no deps)."""
     H, W, _ = img.shape
@@ -119,7 +160,9 @@ class ImageProcessor:
 
     def __init__(self, image_size: int, patch_size: int,
                  mean, std, image_token_id: int,
-                 tokens_per_image: Optional[int] = None):
+                 tokens_per_image: Optional[int] = None,
+                 audio_token_id: Optional[int] = None,
+                 audio_pool_step: int = 0):
         self.image_size = image_size
         self.patch_size = patch_size
         self.mean = np.asarray(mean, np.float32).reshape(1, 1, 3)
@@ -127,6 +170,9 @@ class ImageProcessor:
         self.image_token_id = image_token_id
         grid = image_size // patch_size
         self.tokens_per_image = tokens_per_image or grid * grid
+        # audio input (MiniCPM-O): >0 pool step enables the modality
+        self.audio_token_id = audio_token_id
+        self.audio_pool_step = audio_pool_step
 
     def process_one(self, image) -> MultimodalDataItem:
         arr = _decode_image(image).astype(np.float32)
@@ -142,15 +188,36 @@ class ImageProcessor:
             pixel_values=chw, hash=h, num_tokens=self.tokens_per_image
         )
 
+    def process_one_audio(self, audio) -> MultimodalDataItem:
+        """One audio clip -> log-mel item (MiniCPM-O apm path; token
+        count per reference ``_get_feat_extract_output_lengths``)."""
+        from sglang_security_tpu.layers.audio import log_mel_spectrogram
+
+        wav = _decode_audio(audio)
+        mel = log_mel_spectrogram(wav)  # [80, frames]
+        frames = mel.shape[1]
+        after_cnn = (frames - 1) // 2 + 1
+        p = self.audio_pool_step
+        n_tok = max(1, (after_cnn - p) // p + 1)
+        h = int.from_bytes(
+            hashlib.sha1(mel.tobytes()).digest()[:8], "little"
+        )
+        return MultimodalDataItem(
+            pixel_values=mel, hash=h, num_tokens=n_tok,
+            modality="audio", audio_len=after_cnn,
+        )
+
     def expand_prompt(
-        self, input_ids: List[int], images: List
+        self, input_ids: List[int], images: List, audios: List = ()
     ) -> tuple:
-        """Replace each image_token_id in input_ids with the image's
-        pseudo-token span; returns (new_ids, MultimodalInputs)."""
+        """Replace each image_token_id / audio_token_id in input_ids
+        with that item's pseudo-token span; returns
+        (new_ids, MultimodalInputs)."""
         items = [self.process_one(im) for im in images]
+        audio_items = [self.process_one_audio(a) for a in audios]
         out: List[int] = []
         mm = MultimodalInputs()
-        idx = 0
+        idx = aidx = 0
         for tok in input_ids:
             if tok == self.image_token_id and idx < len(items):
                 it = items[idx]
@@ -158,11 +225,21 @@ class ImageProcessor:
                 out.extend(it.pad_ids())
                 mm.items.append(it)
                 idx += 1
+            elif (
+                self.audio_token_id is not None
+                and tok == self.audio_token_id
+                and aidx < len(audio_items)
+            ):
+                it = audio_items[aidx]
+                it.offset = len(out)
+                out.extend(it.pad_ids())
+                mm.items.append(it)
+                aidx += 1
             else:
                 out.append(tok)
-        # images without a placeholder: prepend (reference behavior for
-        # plain /generate calls with image_data)
-        for it in items[idx:]:
+        # items without a placeholder: prepend (reference behavior for
+        # plain /generate calls with image_data/audio_data)
+        for it in list(items[idx:]) + list(audio_items[aidx:]):
             span = it.pad_ids()
             for existing in mm.items:
                 existing.offset += len(span)
@@ -432,6 +509,8 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
     if vis is None:
         if arch == "Phi4MMForCausalLM":
             vis = {}  # navit siglip-448 defaults (models/phi4mm.py)
+        elif arch == "MiniCPMO":
+            vis = {}  # audio-only MiniCPM-O config (apm still served)
         else:
             return None
     if arch in ("LlavaForConditionalGeneration", "LlavaLlamaForCausalLM",
@@ -543,6 +622,13 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             tokens_per_image=int((g * r) ** 2),
         )
     if arch in ("MiniCPMV", "MiniCPMO"):
+        kw = {}
+        if arch == "MiniCPMO":
+            # speech input (reference minicpmo.py get_audio_embedding)
+            kw = dict(
+                audio_token_id=raw.get("audio_token_id"),
+                audio_pool_step=raw.get("audio_pool_step", 2),
+            )
         return ImageProcessor(
             image_size=vis.get("image_size", 448),
             patch_size=vis.get("patch_size", 14),
@@ -551,6 +637,7 @@ def get_mm_processor(config) -> Optional[ImageProcessor]:
             image_token_id=raw.get("image_token_id", 32000),
             # resampler emits query_num tokens regardless of grid
             tokens_per_image=raw.get("query_num", 64),
+            **kw,
         )
     if arch == "InternVLChatModel":
         outer = raw.get("_outer") or raw

@@ -102,12 +102,13 @@ class TokenizerManager:
                 sps = [sps] * n
             rids = gri.rid or [None] * n
             imgs = gri.image_data or [None] * n
+            auds = gri.audio_data or [None] * n
             out = []
             for i in range(n):
                 out.append(
                     self._one(
                         texts[i], idss[i], sps[i],
-                        rids[i], gri, imgs[i],
+                        rids[i], gri, imgs[i], auds[i],
                     )
                 )
             return out
@@ -115,22 +116,32 @@ class TokenizerManager:
             gri.sampling_params or {}
         )
         return [
-            self._one(gri.text, gri.input_ids, sp, gri.rid, gri, gri.image_data)
+            self._one(gri.text, gri.input_ids, sp, gri.rid, gri,
+                      gri.image_data, gri.audio_data)
         ]
 
     def _one(self, text, input_ids, sp_dict, rid, gri,
-             image_data=None) -> TokenizedGenerateReqInput:
+             image_data=None, audio_data=None) -> TokenizedGenerateReqInput:
         if input_ids is None:
             input_ids = self.tokenize(text)
         mm_inputs = None
         images = _as_image_list(image_data)
-        if images:
+        audios = _as_image_list(audio_data)
+        if images or audios:
             if self.mm_processor is None:
                 raise ValueError(
-                    "image_data given but the served model is not multimodal"
+                    "image/audio data given but the served model is not "
+                    "multimodal"
+                )
+            if audios and getattr(
+                self.mm_processor, "audio_pool_step", 0
+            ) <= 0:
+                raise ValueError(
+                    "audio_data given but the served model has no audio "
+                    "encoder"
                 )
             input_ids, mm_inputs = self.mm_processor.expand_prompt(
-                list(input_ids), images
+                list(input_ids), images or [], audios or []
             )
         ctx = self.model_context_len
         if ctx is not None and len(input_ids) >= ctx:

@@ -9,8 +9,9 @@ with 2D sincos position embeddings on the KV side
 model (``llm``) is the shared llama body (MiniCPM-V 2.5 = Llama-3,
 2.6 = Qwen2; both are config switches of ``models/llama.py``).
 
-The MiniCPM-O audio tower (``minicpmo.py``) is out of scope here; the
-image path below is what both checkpoints share.
+MiniCPM-O (``minicpmo.py``) adds the Whisper-style audio tower on top —
+see the MiniCPMO subclass below (speech input served; TTS generation is
+out of scope, as in the reference which ships it disabled).
 """
 
 from __future__ import annotations
@@ -162,11 +163,95 @@ class MiniCPMV(LlamaForCausalLM):
 
 
 class MiniCPMO(MiniCPMV):
-    """MiniCPM-O 2.6 (reference ``srt/models/minicpmo.py``): the same
-    SigLIP vpm + resampler + qwen2 llm as MiniCPM-V 2.6 with an added
-    Whisper-style audio tower (``apm.*``) and streaming-TTS head.  The
-    image/text serving path below is shared with MiniCPMV verbatim; the
-    audio encoder and TTS generation are out of scope for this build
-    (the reference's audio path needs the audio tokenizer service)."""
+    """MiniCPM-O 2.6 (reference ``srt/models/minicpmo.py:1413``): the
+    same SigLIP vpm + resampler + qwen2 llm as MiniCPM-V 2.6 plus the
+    Whisper-style audio tower (``apm.*`` — reference
+    ``MiniCPMWhisperEncoder``, ``minicpmo.py:1181``), a time avg-pool of
+    step ``audio_pool_step`` and a 2-layer ReLU projector into the LM
+    embedding space (``minicpmo.py:1400`` MultiModalProjector).  Audio
+    embeddings ride the same content-addressed feature cache and
+    token-row substitution as images (modality="audio" items).  The
+    streaming-TTS generation head (ConditionalChatTTS) is out of scope —
+    it is a separate generation service, not a serving-path module (the
+    reference ships it disabled: ``minicpmo.py:1447`` init_tts=False)."""
 
-    pass
+    has_audio = True
+
+    def __init__(self, config, quantization=None, tp_size: int = 1):
+        super().__init__(config, quantization=quantization,
+                         tp_size=tp_size)
+        from sglang_security_tpu.layers.audio import WhisperEncoderTower
+
+        raw = config.raw
+        self.audio_config = raw.get("audio_config") or {}
+        self.apm = WhisperEncoderTower(self.audio_config)
+        self.audio_pool_step = raw.get("audio_pool_step", 2)
+        # chunk attention: audio_chunk_length seconds * 50 frames/s
+        # (reference get_audio_embedding chunk_length handling)
+        self.audio_chunk_frames = int(
+            float(raw.get("audio_chunk_length", 1.0)) * 50
+        )
+
+    def audio_num_tokens(self, mel_frames: int) -> int:
+        """LM tokens for a clip (reference
+        ``_get_feat_extract_output_lengths``, minicpmo.py:1532)."""
+        after_cnn = (mel_frames - 1) // 2 + 1
+        p = self.audio_pool_step
+        return (after_cnn - p) // p + 1
+
+    def load_weights(self, get_tensor, dtype=jnp.bfloat16):
+        params = super().load_weights(get_tensor, dtype=dtype)
+        params["apm"] = self.apm.load_weights(
+            get_tensor, "apm.", dtype=jnp.float32
+        )
+        a = "audio_projection_layer."
+        t32 = lambda n: jnp.asarray(get_tensor(n), jnp.float32)
+        params["audio_proj"] = {
+            "w1": t32(a + "linear1.weight").T,
+            "b1": t32(a + "linear1.bias"),
+            "w2": t32(a + "linear2.weight").T,
+            "b2": t32(a + "linear2.bias"),
+        }
+        return params
+
+    def init_dummy_params(self, seed: int = 0, dtype=jnp.bfloat16,
+                          unique_layers: bool = False):
+        params = super().init_dummy_params(seed, dtype, unique_layers)
+        rng = np.random.default_rng(seed + 31)
+        params["apm"] = self.apm.init_dummy_params(rng, jnp.float32)
+        Din = self.apm.ffn_dim // 4  # reference audio_output_dim
+        D = self.config.hidden_size
+
+        def r(*shape, scale=0.02):
+            return jnp.asarray(rng.standard_normal(shape) * scale,
+                               jnp.float32)
+
+        params["audio_proj"] = {
+            "w1": r(Din, D), "b1": jnp.zeros(D, jnp.float32),
+            "w2": r(D, D), "b2": jnp.zeros(D, jnp.float32),
+        }
+        return params
+
+    def encode_audio(self, params, mels: jax.Array,
+                     lens: jax.Array) -> jax.Array:
+        """[N, 80, F] log-mel (+ per-clip post-conv lengths) ->
+        [N, T_pool, H] LM-space audio embeddings (reference
+        ``get_audio_embedding``, minicpmo.py:1646: apm last hidden ->
+        projector -> avg-pool over time)."""
+        states = self.apm.forward(
+            params["apm"], mels.astype(jnp.float32), lens,
+            chunk_frames=self.audio_chunk_frames,
+        )  # [N, T, D_apm]
+        # reference: audio_output_dim = encoder_ffn_dim // 4 (== d_model
+        # for standard whisper shapes); the projector consumes that slice
+        Din = self.apm.ffn_dim // 4
+        states = states[..., :Din]
+        ap = params["audio_proj"]
+        h = jax.nn.relu(states @ ap["w1"] + ap["b1"])
+        h = h @ ap["w2"] + ap["b2"]  # [N, T, H]
+        # avg-pool over time, stride == kernel == pool_step
+        p = self.audio_pool_step
+        T = h.shape[1]
+        Tp = (T - p) // p + 1
+        h = h[:, : Tp * p].reshape(h.shape[0], Tp, p, -1).mean(axis=2)
+        return h

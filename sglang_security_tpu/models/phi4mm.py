@@ -9,8 +9,14 @@ Capability parity with the reference's ``srt/models/phi4mm.py``
 uses the global view (one crop; the reference's dynamic multi-crop HD
 tiling is a processor-side resolution policy).  The vision/speech LoRA
 adapters the reference merges per-modality (``phi4mm.py:396-455``) ride
-the shared LoRA machinery when exported as adapters; speech (audio
-encoder) is out of scope here.
+the shared LoRA machinery when exported as adapters.
+
+Speech: the REFERENCE ITSELF does not serve Phi-4-MM audio — its weight
+loader explicitly drops every ``audio`` tensor
+(``/root/reference/python/sglang/srt/models/phi4mm.py:473`` skip_list),
+so vision-only here is exact behavior parity, not a gap.  The served
+audio modality lives in MiniCPM-O (``models/minicpmv.py`` MiniCPMO +
+``layers/audio.py`` Whisper tower), which the reference does serve.
 """
 
 from __future__ import annotations
