@@ -33,6 +33,7 @@ from sglang_security_tpu.models.mixtral import (
     XverseMoeForCausalLM,
 )
 from sglang_security_tpu.models.grok import Grok1ForCausalLM
+from sglang_security_tpu.models.phi3_small import Phi3SmallForCausalLM
 from sglang_security_tpu.models.phi3 import (
     InternLM2ForCausalLM,
     Phi3ForCausalLM,
@@ -104,7 +105,14 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "SmolLMForCausalLM": LlamaForCausalLM,
     "LlamaForCausalLMEagle": EagleLlamaForCausalLM,
     "LlamaForCausalLMEagle3": Eagle3LlamaForCausalLM,
+    # Quantized Mixtral checkpoints too: the reference keeps a separate
+    # mixtral_quant.py because its fused-MoE kernels lack quant support
+    # (per-expert ReplicatedLinear fallback); here quantization composes
+    # with the grouped-expert path directly (layers/moe.py
+    # pack_expert_params + quantize_experts, tests/test_moe.py w8a8), so
+    # one class serves both (reference mixtral.py + mixtral_quant.py).
     "MixtralForCausalLM": MixtralForCausalLM,
+    "QuantMixtralForCausalLM": MixtralForCausalLM,
     "Grok1ForCausalLM": Grok1ForCausalLM,
     "Grok1ModelForCausalLM": Grok1ForCausalLM,
     "XverseForCausalLM": LlamaForCausalLM,
@@ -126,6 +134,7 @@ MODEL_REGISTRY: Dict[str, Type] = {
     "Gemma3ForCausalLM": Gemma3ForCausalLM,
     "Gemma3ForConditionalGeneration": Gemma3ForConditionalGeneration,
     "Phi3ForCausalLM": Phi3ForCausalLM,
+    "Phi3SmallForCausalLM": Phi3SmallForCausalLM,
     "Phi4ForCausalLM": Phi3ForCausalLM,
     "Phi4MMForCausalLM": Phi4MMForCausalLM,
     "InternLM2ForCausalLM": InternLM2ForCausalLM,
