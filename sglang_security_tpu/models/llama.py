@@ -23,6 +23,7 @@ Param tree:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -51,6 +52,12 @@ def _act(name: str):
     return {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu,
             "gelu_pytorch_tanh": gelu_tanh, "gelu_new": gelu_tanh,
             "gelu_fast": gelu_tanh}[name]
+
+
+def _interp_default() -> bool:
+    from sglang_security_tpu.utils import use_interpret_mode
+
+    return use_interpret_mode()
 
 
 def _scatter_kv(k_pages, v_pages, k, v, li, safe_slots):
@@ -188,15 +195,37 @@ class LlamaForCausalLM:
         H, hd = cfg.hidden_size, cfg.head_dim
         Hq, Hkv, I = cfg.num_q_heads, cfg.num_kv_heads, cfg.intermediate_size
 
+        structured = os.environ.get(
+            "SGLANG_TPU_DUMMY_SPECTRUM", ""
+        ) == "structured"
+
         def rand(*shape, scale=None):
             scale = scale or (1.0 / np.sqrt(shape[0]))
             counter[0] += 1
-            return (
+            w = (
                 jax.random.normal(
                     jax.random.fold_in(key, counter[0]), shape, jnp.float32
                 )
                 * scale
             )
+            if structured and len(shape) == 2:
+                # realistic per-channel dynamic range (quant_fidelity
+                # proxy): lognormal column scales + ~1% outlier channels
+                # x8 — the weight statistic that actually stresses
+                # group-wise int4/int8 quantization in real checkpoints
+                counter[0] += 1
+                k2 = jax.random.fold_in(key, counter[0])
+                s = jnp.exp(
+                    0.5 * jax.random.normal(k2, (shape[1],), jnp.float32)
+                )
+                counter[0] += 1
+                k3 = jax.random.fold_in(key, counter[0])
+                outlier = (
+                    jax.random.uniform(k3, (shape[1],)) < 0.01
+                )
+                s = jnp.where(outlier, s * 8.0, s)
+                w = w * s[None, :]
+            return w
 
         def lin(k, n, bias):
             return make_linear_params(
@@ -244,8 +273,20 @@ class LlamaForCausalLM:
             "layers": stacked,
         }
         if not cfg.tie_word_embeddings:
+            if structured:
+                # low-rank-dominant head (real lm_heads have fast
+                # singular-value decay): rank-256 product + 5% noise, so
+                # logit gaps are non-degenerate and top-1 agreement
+                # under quantization measures something
+                r = min(256, H)
+                w = rand(H, r, scale=1.0) @ rand(
+                    r, cfg.vocab_size, scale=1.0
+                ) / np.sqrt(H * r)
+                w = w + 0.05 * rand(H, cfg.vocab_size)
+            else:
+                w = rand(H, cfg.vocab_size)
             params["lm_head"] = make_linear_params(
-                rand(H, cfg.vocab_size),
+                w,
                 quantization=getattr(self, "lm_head_quant", None),
                 dtype=dtype,
             )
@@ -786,6 +827,33 @@ class LlamaForCausalLM:
                 interpret=interpret,
                 k_new=k, v_new=v, slots=fb.slots,
             )
+        elif (
+            block_q == 1
+            and isinstance(k_pages, tuple)
+            and k_pages[0].dtype == jnp.int8
+            and (
+                self.kv_page_size % 128 == 0
+                or (interpret if interpret is not None
+                    else _interp_default())
+            )
+        ):
+            # int8-KV decode fast path: int8-native attention (int8 MXU
+            # dots, post-dot scale dequant) + in-kernel quantize/RMW of
+            # the new token — no scatter, no int8->bf16 block retile
+            kd, ks = k_pages
+            vd, vs = v_pages
+            attn, kd, vd, ks, vs = paged_decode_attention(
+                q, kd, vd, fb.kv_lens, fb.page_indices,
+                page_size=self.kv_page_size,
+                layer=li,
+                sm_scale=self._sm_scale(),
+                sliding_window=cfg.sliding_window,
+                soft_cap=cfg.attn_softcap,
+                interpret=interpret,
+                k_scales=ks, v_scales=vs,
+                k_new=k, v_new=v, slots=fb.slots,
+            )
+            k_pages, v_pages = (kd, ks), (vd, vs)
         else:
             k_pages, v_pages = _scatter_kv(
                 k_pages, v_pages, k, v, li, safe_slots

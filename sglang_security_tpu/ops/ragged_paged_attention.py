@@ -299,9 +299,11 @@ def _kernel(
                 rows, head_dim
             )
             if quantized:
-                k_h = k_buf[slot, h].astype(jnp.bfloat16) * ks_buf[
-                    slot, h
-                ].astype(jnp.bfloat16)[:, None]
+                # dequant on the [rows, block_kv] OUTPUT, not the
+                # [block_kv, d] K block: per-token scales multiply qk
+                # columns (also dodges Mosaic's bf16 minor-dim-insert
+                # limitation on the old k * ks[:, None] form)
+                k_h = k_buf[slot, h].astype(jnp.bfloat16)
             else:
                 k_h = k_buf[slot, h]  # [block_kv, d] (contiguous per head)
                 if k_h.dtype == jnp.float8_e4m3fn:  # static-scale fp8 KV
@@ -312,6 +314,8 @@ def _kernel(
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if quantized:
+                qk *= ks_buf[slot, h].astype(jnp.float32)[None, :]
             qk *= sm_scale
             if soft_cap is not None:
                 qk = soft_cap * jnp.tanh(qk / soft_cap)
@@ -328,9 +332,10 @@ def _kernel(
             l_scr[h] = l_next
 
             if quantized:
-                v_h = v_buf[slot, h].astype(jnp.bfloat16) * vs_buf[
-                    slot, h
-                ].astype(jnp.bfloat16)[:, None]
+                # fold the per-token V scales into p's columns (the
+                # contraction rows) instead of dequantizing the V block
+                v_h = v_buf[slot, h].astype(jnp.bfloat16)
+                p = p * vs_buf[slot, h].astype(jnp.float32)[None, :]
             else:
                 v_h = v_buf[slot, h]
                 if v_h.dtype == jnp.float8_e4m3fn:
@@ -597,7 +602,15 @@ def _decode_kernel(
 ):
     kn_ref = vn_ref = kp_out = vp_out = w_sems = None
     kw_scr = vw_scr = r_sems = None
-    if quantized:
+    ks_out = vs_out = ksw_scr = vsw_scr = None
+    if quantized and fused_write:
+        (q_ref, k_pages_ref, v_pages_ref, ks_pages_ref, vs_pages_ref,
+         kn_ref, vn_ref,
+         o_ref, kp_out, vp_out, ks_out, vs_out,
+         k_buf, v_buf, ks_buf, vs_buf, k_sems, v_sems, r_sems, w_sems,
+         kw_scr, vw_scr, ksw_scr, vsw_scr,
+         m_scr, l_scr, acc_scr) = refs
+    elif quantized:
         (q_ref, k_pages_ref, v_pages_ref, ks_pages_ref, vs_pages_ref,
          o_ref, k_buf, v_buf, ks_buf, vs_buf, k_sems, v_sems,
          m_scr, l_scr, acc_scr) = refs
@@ -674,6 +687,22 @@ def _decode_kernel(
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
+    # int8-native path: quantize q once per sequence (NOT per kv block —
+    # the rowwise absmax + round would otherwise repeat every block)
+    int8_native = quantized and k_buf.dtype == jnp.int8
+    q_i8_all, qs_all = [], []
+    if int8_native:
+        for s in range(block_s):
+            qf = q_ref[s].astype(jnp.float32)
+            qs_row = (
+                jnp.maximum(
+                    jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-6
+                )
+                / 127.0
+            )
+            q_i8_all.append(jnp.round(qf / qs_row).astype(jnp.int8))
+            qs_all.append(qs_row)
+
     # Fused pool write is a read-modify-write of the W-row aligned window
     # containing the slot: Mosaic requires token-dim DMA slices to be
     # sublane-tile aligned, so a bare 1-row write does not lower.  The
@@ -686,9 +715,16 @@ def _decode_kernel(
         slot = slots_ref[sb * block_s + s]
         return (slot // W) * W
 
+    def scale_base(s):
+        # scale pages are [L, Hkv, tokens] with token on the LANE dim:
+        # the RMW window is the whole page holding the slot (page_size
+        # must be lane-tile aligned — asserted in the wrapper)
+        slot = slots_ref[sb * block_s + s]
+        return (slot // page_size) * page_size
+
     def rmw_reads(s):
         base = win_base(s)
-        return [
+        copies = [
             pltpu.make_async_copy(
                 k_pages_ref.at[layer, :, pl.ds(base, W)],
                 kw_scr.at[s],
@@ -700,10 +736,25 @@ def _decode_kernel(
                 r_sems.at[s],
             ),
         ]
+        if ksw_scr is not None:
+            sbase = scale_base(s)
+            copies += [
+                pltpu.make_async_copy(
+                    ks_pages_ref.at[layer, :, pl.ds(sbase, page_size)],
+                    ksw_scr.at[s],
+                    r_sems.at[s],
+                ),
+                pltpu.make_async_copy(
+                    vs_pages_ref.at[layer, :, pl.ds(sbase, page_size)],
+                    vsw_scr.at[s],
+                    r_sems.at[s],
+                ),
+            ]
+        return copies
 
     def rmw_writes(s):
         base = win_base(s)
-        return [
+        copies = [
             pltpu.make_async_copy(
                 kw_scr.at[s],
                 kp_out.at[layer, :, pl.ds(base, W)],
@@ -715,6 +766,21 @@ def _decode_kernel(
                 w_sems.at[s],
             ),
         ]
+        if ksw_scr is not None:
+            sbase = scale_base(s)
+            copies += [
+                pltpu.make_async_copy(
+                    ksw_scr.at[s],
+                    ks_out.at[layer, :, pl.ds(sbase, page_size)],
+                    w_sems.at[s],
+                ),
+                pltpu.make_async_copy(
+                    vsw_scr.at[s],
+                    vs_out.at[layer, :, pl.ds(sbase, page_size)],
+                    w_sems.at[s],
+                ),
+            ]
+        return copies
 
     if fused_write:
         for s in range(block_s):
@@ -751,7 +817,32 @@ def _decode_kernel(
                 for c in page_copies(s, j, slot):
                     c.wait()
                 q_s = q_ref[s]  # [Hq, hd]
-                if quantized:
+                if int8_native:
+                    # int8-NATIVE attention: K/V blocks stay int8 in
+                    # VMEM end-to-end (the int8->bf16 cast of a
+                    # [Hkv*blk, hd] block forces a Mosaic sublane
+                    # retile that cost 2.4x the halved HBM read —
+                    # PERF_NOTES fp8_static postmortem).  q is
+                    # pre-quantized rowwise, the q.k dot runs on the
+                    # int8 MXU at 2x rate, and the per-token K scales
+                    # dequantize the SMALL [Hq, Hkv*blk] output instead
+                    # of the K block.  (Reference fp8-KV fast path:
+                    # memory_pool.py:416 fused_downcast + flashinfer
+                    # fp8 kernels.)
+                    k_all = k_buf[slot, s].reshape(
+                        num_kv_heads * blk, head_dim
+                    )
+                    qk_full = lax.dot_general(
+                        q_i8_all[s],
+                        k_all,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    ks_flat = ks_buf[slot, s].astype(jnp.float32).reshape(
+                        num_kv_heads * blk
+                    )
+                    qk_full = qk_full * qs_all[s] * ks_flat[None, :]
+                elif quantized:
                     k_all = (
                         k_buf[slot, s].astype(jnp.bfloat16)
                         * ks_buf[slot, s].astype(jnp.bfloat16)[..., None]
@@ -761,12 +852,13 @@ def _decode_kernel(
                     if k_all.dtype == jnp.float8_e4m3fn:  # static fp8 KV
                         k_all = k_all.astype(jnp.bfloat16)
                     k_all = k_all.reshape(num_kv_heads * blk, head_dim)
-                qk_full = lax.dot_general(
-                    q_s,
-                    k_all,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [Hq, Hkv*blk] — all (q-head, kv-head) pairs
+                if not int8_native:
+                    qk_full = lax.dot_general(
+                        q_s,
+                        k_all,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [Hq, Hkv*blk] — all (q-head, kv-head) pairs
                 qk_full *= sm_scale
                 if soft_cap is not None:
                     qk_full = soft_cap * jnp.tanh(qk_full / soft_cap)
@@ -798,31 +890,68 @@ def _decode_kernel(
                 l_scr[s] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
                 m_scr[s] = m_next
 
-                if quantized:
-                    v_all = (
-                        v_buf[slot, s].astype(jnp.bfloat16)
-                        * vs_buf[slot, s].astype(jnp.bfloat16)[..., None]
-                    ).reshape(num_kv_heads * blk, head_dim)
+                if int8_native:
+                    # fold the per-token V scales into p (elementwise on
+                    # the SMALL [Hq, Hkv*blk] matrix), quantize p rowwise
+                    # to int8, and run the p.v dot on the int8 MXU — V
+                    # never leaves int8
+                    v_all = v_buf[slot, s].reshape(
+                        num_kv_heads * blk, head_dim
+                    )
+                    vs_flat = vs_buf[slot, s].astype(
+                        jnp.float32
+                    ).reshape(num_kv_heads * blk)
+                    p_full = jnp.concatenate(
+                        [
+                            jnp.where(row_group == h, p, 0.0)
+                            for h in range(num_kv_heads)
+                        ],
+                        axis=1,
+                    ) * vs_flat[None, :]  # [Hq, Hkv*blk] f32
+                    ps_row = (
+                        jnp.maximum(
+                            jnp.max(
+                                jnp.abs(p_full), axis=-1, keepdims=True
+                            ),
+                            1e-20,
+                        )
+                        / 127.0
+                    )
+                    p_i8 = jnp.round(p_full / ps_row).astype(jnp.int8)
+                    pv = lax.dot_general(
+                        p_i8,
+                        v_all,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * ps_row
                 else:
-                    v_all = v_buf[slot, s]
-                    if v_all.dtype == jnp.float8_e4m3fn:
-                        v_all = v_all.astype(jnp.bfloat16)
-                    v_all = v_all.reshape(num_kv_heads * blk, head_dim)
-                # block-diagonal p so one matmul handles every head group
-                p_cast = p.astype(v_all.dtype)
-                p_full = jnp.concatenate(
-                    [
-                        jnp.where(row_group == h, p_cast, 0)
-                        for h in range(num_kv_heads)
-                    ],
-                    axis=1,
-                )  # [Hq, Hkv*blk]
-                pv = lax.dot_general(
-                    p_full,
-                    v_all,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                    if quantized:
+                        v_all = (
+                            v_buf[slot, s].astype(jnp.bfloat16)
+                            * vs_buf[slot, s].astype(jnp.bfloat16)[
+                                ..., None
+                            ]
+                        ).reshape(num_kv_heads * blk, head_dim)
+                    else:
+                        v_all = v_buf[slot, s]
+                        if v_all.dtype == jnp.float8_e4m3fn:
+                            v_all = v_all.astype(jnp.bfloat16)
+                        v_all = v_all.reshape(num_kv_heads * blk, head_dim)
+                    # block-diagonal p: one matmul handles every head group
+                    p_cast = p.astype(v_all.dtype)
+                    p_full = jnp.concatenate(
+                        [
+                            jnp.where(row_group == h, p_cast, 0)
+                            for h in range(num_kv_heads)
+                        ],
+                        axis=1,
+                    )  # [Hq, Hkv*blk]
+                    pv = lax.dot_general(
+                        p_full,
+                        v_all,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 acc_scr[s] = acc_scr[s] * alpha[:, 0:1] + pv
 
         return carry
@@ -873,12 +1002,49 @@ def _decode_kernel(
                     c.wait()
                 idx = slots_ref[sb * block_s + s] - win_base(s)
                 sel = row_iota == idx
-                kw_scr[s] = jnp.where(
-                    sel, kn_ref[s].astype(kw_scr.dtype), kw_scr[s]
-                )
-                vw_scr[s] = jnp.where(
-                    sel, vn_ref[s].astype(vw_scr.dtype), vw_scr[s]
-                )
+                if ksw_scr is not None:
+                    # quantized pool: the new token's bf16 K/V is
+                    # quantized in-register (per-head symmetric absmax,
+                    # the _scatter_kv/fused_downcast convention) and its
+                    # scale merged into the page's scale-window column
+                    kf = kn_ref[s].astype(jnp.float32)  # [Hkv, 1, hd]
+                    vf = vn_ref[s].astype(jnp.float32)
+                    ka = jnp.maximum(
+                        jnp.max(jnp.abs(kf), axis=-1, keepdims=True),
+                        1e-6,
+                    ) / 127.0
+                    va = jnp.maximum(
+                        jnp.max(jnp.abs(vf), axis=-1, keepdims=True),
+                        1e-6,
+                    ) / 127.0
+                    k_q = jnp.clip(
+                        jnp.round(kf / ka), -127, 127
+                    ).astype(kw_scr.dtype)
+                    v_q = jnp.clip(
+                        jnp.round(vf / va), -127, 127
+                    ).astype(vw_scr.dtype)
+                    kw_scr[s] = jnp.where(sel, k_q, kw_scr[s])
+                    vw_scr[s] = jnp.where(sel, v_q, vw_scr[s])
+                    col = slots_ref[sb * block_s + s] - scale_base(s)
+                    col_iota = lax.broadcasted_iota(
+                        jnp.int32, (num_kv_heads, page_size), 1
+                    )
+                    csel = col_iota == col
+                    ksw_scr[s] = jnp.where(
+                        csel, ka[:, :, 0].astype(ksw_scr.dtype),
+                        ksw_scr[s],
+                    )
+                    vsw_scr[s] = jnp.where(
+                        csel, va[:, :, 0].astype(vsw_scr.dtype),
+                        vsw_scr[s],
+                    )
+                else:
+                    kw_scr[s] = jnp.where(
+                        sel, kn_ref[s].astype(kw_scr.dtype), kw_scr[s]
+                    )
+                    vw_scr[s] = jnp.where(
+                        sel, vn_ref[s].astype(vw_scr.dtype), vw_scr[s]
+                    )
                 for c in rmw_writes(s):
                     c.start()
 
@@ -940,14 +1106,23 @@ def paged_decode_attention(
     with the kv walk) and folds that token into the flash update
     in-register — replacing the XLA scatter that cost ~5 ms/step at B=128
     (1024 scattered rows/layer).  Returns ``(out, k_pages, v_pages)``.
-    Incompatible with quantized KV (use the scatter path there)."""
+
+    int8 KV composes with the fused write: the new token is quantized
+    in-kernel (per-head absmax) and the page's scale column RMW'd
+    alongside the data window; the compute path then runs int8-NATIVE
+    (int8 MXU q.k / p.v dots, scales dequantize the small qk output) —
+    returns ``(out, k_pages, v_pages, k_scales, v_scales)``."""
     B, num_q_heads, head_dim = q.shape
     _, num_kv_heads, _, pool_hd = k_pages.shape
     S, pages_per_seq = page_indices.shape
     assert S == B
     quantized = k_scales is not None
     fused_write = k_new is not None
-    assert not (fused_write and quantized)
+    if fused_write and quantized:
+        assert k_pages.dtype == jnp.int8, (
+            "fused-write quantized KV supports int8 pools (fp8 has no "
+            "MXU dot on v5e)"
+        )
     if sm_scale is None:
         sm_scale = head_dim**-0.5
     if head_dim != pool_hd:
@@ -966,6 +1141,9 @@ def paged_decode_attention(
             interpret=interpret, k_scales=k_scales, v_scales=v_scales,
             k_new=k_new, v_new=v_new, slots=slots,
         )
+        if fused_write and quantized:
+            out, k_pages, v_pages, k_scales, v_scales = res
+            return out[..., :head_dim], k_pages, v_pages, k_scales, v_scales
         if fused_write:
             out, k_pages, v_pages = res
             return out[..., :head_dim], k_pages, v_pages
@@ -983,8 +1161,11 @@ def paged_decode_attention(
         # at B=128, kv=250.  Capped so the double-buffered K/V scratch
         # stays within VMEM.
         # capped at 4 pages: page_copies unrolls per page, so tiny pages
-        # (tests use 8) would explode trace/compile time for no DMA win
-        pages_per_block = max(1, min(256 // page_size, 4))
+        # (tests use 8) would explode trace/compile time for no DMA win.
+        # int8 pools: same buffer bytes buy 512-token waves (half the
+        # per-DMA issue count for the same VMEM footprint)
+        wave = 512 if k_pages.dtype == jnp.int8 else 256
+        pages_per_block = max(1, min(wave // page_size, 4))
         buf_bytes_per_token = (
             2 * 2 * block_s * num_kv_heads * pool_hd
             * (1 if k_pages.dtype == jnp.int8 else 2)
@@ -1070,9 +1251,12 @@ def paged_decode_attention(
             lambda sb, *_: (sb, 0, 0, 0),
         )
         def _to_store(x, dt):
+            if quantized:
+                return x  # quantization happens in-kernel at the merge
             if dt == jnp.float8_e4m3fn:
                 # saturate: XLA's convert maps out-of-range to NaN
                 x = jnp.clip(x.astype(jnp.float32), -448.0, 448.0)
+                return x.astype(dt)
             return x.astype(dt)
 
         in_specs += [nkv_spec, nkv_spec]
@@ -1092,6 +1276,17 @@ def paged_decode_attention(
         ]
         # flattened operand order: 4 scalars, q, k_pages, v_pages, ...
         io_aliases = {5: 1, 6: 2}
+        if quantized:
+            out_specs += [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
+                jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
+            ]
+            # ..., ks_pages(7), vs_pages(8), kn(9), vn(10)
+            io_aliases = {5: 1, 6: 2, 7: 3, 8: 4}
     scratch += [
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -1108,6 +1303,23 @@ def paged_decode_attention(
             pltpu.VMEM((block_s, num_kv_heads, W, head_dim), k_pages.dtype),
             pltpu.VMEM((block_s, num_kv_heads, W, head_dim), v_pages.dtype),
         ]
+        if quantized:
+            # scale windows: token is the LANE dim of [L, Hkv, tokens],
+            # so the RMW window is one full page of scale columns;
+            # lane-dim DMA slices need 128-element alignment on real
+            # Mosaic (serving uses page_size=128; interpret unchecked)
+            assert interpret or page_size % 128 == 0, (
+                "fused-write int8 KV needs page_size % 128 == 0 "
+                f"(got {page_size})"
+            )
+            scratch += [
+                pltpu.VMEM(
+                    (block_s, num_kv_heads, page_size), k_scales.dtype
+                ),
+                pltpu.VMEM(
+                    (block_s, num_kv_heads, page_size), v_scales.dtype
+                ),
+            ]
     scratch += [
         pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
         pltpu.VMEM((block_s, num_q_heads, 128), jnp.float32),
@@ -1143,6 +1355,10 @@ def paged_decode_attention(
         slots_arr,
         *inputs,
     )
+    if fused_write and quantized:
+        out, k_pages, v_pages, k_scales, v_scales = res
+        return (out[:B].astype(orig_dtype), k_pages, v_pages,
+                k_scales, v_scales)
     if fused_write:
         out, k_pages, v_pages = res
         return out[:B].astype(orig_dtype), k_pages, v_pages
@@ -1591,6 +1807,18 @@ def paged_verify_attention(
     W = max(8, 32 // k_pages.dtype.itemsize)
     W = min(W, page_size)
     assert page_size % W == 0, (page_size, W)
+    # The 3-window cover in _verify_windows assumes each sequence's new
+    # rows (<= bq contiguous slots, at most one page crossing) touch at
+    # most 3 aligned W-row windows — true iff bq <= 2*W... but only <=3
+    # DISTINCT windows are landed, so bq rows spanning a 4th window
+    # would be silently dropped (ADVICE r4: silent KV corruption).
+    # ceil((bq-1)/W)+1 windows cover any aligned run of bq rows.
+    assert bq <= 2 * W + 1, (
+        f"paged_verify_attention: bq={bq} new rows can span more than 3 "
+        f"aligned {W}-row windows (pool dtype {k_pages.dtype}); the "
+        "in-kernel RMW landing would drop rows — reduce draft count or "
+        "extend NW in _verify_windows/_verify_kernel"
+    )
     wins = _verify_windows(slots, W)
 
     orig_dtype = q.dtype

@@ -58,6 +58,80 @@ def test_decode_kernel_int8_kv(rng):
     )
 
 
+def test_decode_kernel_int8_kv_fused_write(rng):
+    """int8-native fused-write decode: the kernel quantizes the new
+    token in-register, RMWs data window + scale column, and the output
+    matches the dequantized oracle including the new token."""
+    L, Hkv, Hq, hd, ps = 2, 2, 4, 64, 128
+    num_pages, PPS, B = 16, 4, 5
+    layer = 1
+    kv_lens = np.array([3, 9, 130, 200, 17], np.int32)  # incl new token
+    kq, ks, kdeq = quantize_pages(rng, L, Hkv, num_pages * ps, hd)
+    vq, vs, vdeq = quantize_pages(rng, L, Hkv, num_pages * ps, hd)
+    perm = 1 + rng.permutation(num_pages - 1)  # page 0 unused
+    page_indices = np.zeros((B, PPS), np.int32)
+    n = 0
+    for b, kl in enumerate(kv_lens):
+        used = -(-int(kl) // ps)
+        page_indices[b, :used] = perm[n : n + used]
+        n += used
+    slots = np.array(
+        [
+            page_indices[b, (kv_lens[b] - 1) // ps] * ps
+            + (kv_lens[b] - 1) % ps
+            for b in range(B)
+        ],
+        np.int32,
+    )
+    q = jnp.asarray(rng.standard_normal((B, Hq, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    out, kq2, vq2, ks2, vs2 = paged_decode_attention(
+        q, kq, vq, jnp.asarray(kv_lens), jnp.asarray(page_indices),
+        page_size=ps, layer=layer, k_scales=ks, v_scales=vs,
+        k_new=k_new, v_new=v_new, slots=jnp.asarray(slots),
+    )
+    # oracle: dense attention over dequantized old rows + exact new row
+    kd_ref = kdeq.copy()
+    vd_ref = vdeq.copy()
+    for b in range(B):
+        kd_ref[layer, :, slots[b]] = np.asarray(k_new[b])
+        vd_ref[layer, :, slots[b]] = np.asarray(v_new[b])
+    ref = ref_ragged_paged_attention(
+        q,
+        jnp.asarray(kd_ref[layer].reshape(Hkv, num_pages, ps, hd)),
+        jnp.asarray(vd_ref[layer].reshape(Hkv, num_pages, ps, hd)),
+        kv_lens, page_indices,
+        np.arange(B, dtype=np.int32), np.ones(B, np.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=4e-2, atol=4e-2
+    )
+    # pool writes: the new rows dequantize back to ~the exact values
+    kq2, ks2 = np.asarray(kq2), np.asarray(ks2, np.float32)
+    vq2, vs2 = np.asarray(vq2), np.asarray(vs2, np.float32)
+    for b in range(B):
+        got_k = kq2[layer, :, slots[b]].astype(np.float32) * ks2[
+            layer, :, slots[b]
+        ][:, None]
+        np.testing.assert_allclose(
+            got_k, np.asarray(k_new[b]), rtol=3e-2, atol=3e-2
+        )
+        got_v = vq2[layer, :, slots[b]].astype(np.float32) * vs2[
+            layer, :, slots[b]
+        ][:, None]
+        np.testing.assert_allclose(
+            got_v, np.asarray(v_new[b]), rtol=3e-2, atol=3e-2
+        )
+    # untouched rows + other layer intact
+    touched = set(int(s) for s in slots)
+    untouched = np.ones(num_pages * ps, bool)
+    untouched[list(touched)] = False
+    np.testing.assert_array_equal(
+        kq2[0][:, untouched], np.asarray(kq)[0][:, untouched]
+    )
+
+
 def test_prefill_kernel_int8_kv(rng):
     L, Hkv, hd, ps = 1, 2, 64, 8
     num_pages, PPS = 64, 16

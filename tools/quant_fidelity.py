@@ -135,9 +135,18 @@ def compare(ref_lp, q_lp, k=8):
 def main() -> None:
     import jax
 
+    # structured dummy weights (VERDICT r4 task 6): lognormal
+    # per-channel scales + 1% x8 outlier channels on every linear (the
+    # statistic that stresses group quantization in real checkpoints)
+    # and a low-rank-dominant lm_head (non-degenerate logit gaps, so
+    # top-1 agreement is meaningful instead of a coin flip over
+    # near-iid logits)
+    os.environ["SGLANG_TPU_DUMMY_SPECTRUM"] = "structured"
     print("devices:", jax.devices(), flush=True)
     print("bf16 reference pass...", flush=True)
     ref = model_logprobs(None)
+    ent = float(-(np.exp(ref) * ref).sum(-1).mean())
+    print(f"reference entropy {ent:.2f} nats", flush=True)
     results = {}
     # auto = the serving default (int8 per-channel lm_head with any
     # quantized body); the bf16head variant isolates the head's
@@ -153,8 +162,18 @@ def main() -> None:
         del qlp
         print(name, results[name], flush=True)
     print(json.dumps({
-        "proxy": "teacher-forced logit fidelity vs bf16, "
-                 "llama3-8b layer shapes (16 layers), dummy weights",
+        "proxy": "teacher-forced logit fidelity vs bf16, llama3-8b "
+                 "layer shapes (16 layers), STRUCTURED dummy weights "
+                 "(outlier channels + low-rank head)",
+        "reference_entropy_nats": ent,
+        "interpretation": "absolute numbers are a proxy for real-"
+                          "checkpoint behavior: outlier channels "
+                          "stress group quantization like real "
+                          "weights; top-1/top-8 are meaningful "
+                          "because logit gaps are non-degenerate "
+                          "(see reference_entropy_nats). North star "
+                          "stays GSM8K delta <=1% when real weights "
+                          "are reachable (BASELINE.json).",
         "results": results,
     }))
 
