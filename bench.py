@@ -60,7 +60,10 @@ def main() -> None:
     n_reqs = int(os.environ.get("BENCH_NUM_REQS", 8 if spec_mode else 128))
     quant = os.environ.get("BENCH_QUANT", "int4")
     kv_dtype = os.environ.get("BENCH_KV", "auto")
-    page_size = int(os.environ.get("BENCH_PAGE_SIZE", 128))
+    # 256-token pages halve decode-attention DMA issues (the kv~250
+    # regime is issue-bound, not byte-bound — PERF_NOTES r5): 3518.6 vs
+    # 3472.6 tok/s measured; 512 exceeds the decode kernel's VMEM budget
+    page_size = int(os.environ.get("BENCH_PAGE_SIZE", 256))
     in_len = int(os.environ.get("BENCH_INPUT_LEN", 128))
     out_len = int(
         os.environ.get("BENCH_OUTPUT_LEN", 256 if spec_mode else 128)

@@ -275,6 +275,7 @@ class HttpServer:
             bootstrap_port=body.get("bootstrap_port"),
             bootstrap_room=body.get("bootstrap_room"),
             image_data=body.get("image_data"),
+            audio_data=body.get("audio_data"),
         )
         if not stream:
             out = await self._run(self.engine.generate, **kwargs)

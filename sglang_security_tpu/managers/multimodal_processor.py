@@ -215,6 +215,9 @@ class ImageProcessor:
         (new_ids, MultimodalInputs)."""
         items = [self.process_one(im) for im in images]
         audio_items = [self.process_one_audio(a) for a in audios]
+        # subclass processors (Qwen-VL, Mllama) define their own
+        # __init__ without the audio fields
+        audio_token_id = getattr(self, "audio_token_id", None)
         out: List[int] = []
         mm = MultimodalInputs()
         idx = aidx = 0
@@ -226,8 +229,8 @@ class ImageProcessor:
                 mm.items.append(it)
                 idx += 1
             elif (
-                self.audio_token_id is not None
-                and tok == self.audio_token_id
+                audio_token_id is not None
+                and tok == audio_token_id
                 and aidx < len(audio_items)
             ):
                 it = audio_items[aidx]
