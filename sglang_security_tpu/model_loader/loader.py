@@ -178,16 +178,15 @@ def load_model(
     model_cls = get_model_class(config)
     model = model_cls(config, quantization=quantization, tp_size=tp_size)
     if lm_head_quantization == "auto":
-        # the bf16 head is ~1 GB of pure HBM read per decode step on an
-        # 8B/128k-vocab model (~1.3 ms at 819 GB/s); when the body is
-        # already quantized, an int8 per-channel head costs ~nothing in
-        # fidelity next to int4 weights (FIDELITY_r04.json) and halves
-        # that read.  "none" keeps the reference default (fp16 head).
-        lm_head_quantization = (
-            "int8" if quantization in (
-                "int4", "w4a8", "int4-a8", "awq", "gptq", "int8", "w8a8"
-            ) else None
-        )
+        # auto = bf16 (the reference's fp16-head default): the r5
+        # fidelity artifact (FIDELITY_r05.json int8head_only) measured
+        # the int8 per-channel head alone at 0.17 nats KL / 0.90 top-1
+        # — 5x the entire w4a8 body's cost — so quantizing it is no
+        # longer a silent default.  Opt in with
+        # --lm-head-quantization int8 to halve the ~1 GB/step head
+        # read (+2.2% throughput measured) when the accuracy budget
+        # allows.
+        lm_head_quantization = None
     if lm_head_quantization in ("none", "bf16"):
         lm_head_quantization = None
     model.lm_head_quant = lm_head_quantization

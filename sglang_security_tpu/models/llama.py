@@ -224,6 +224,11 @@ class LlamaForCausalLM:
                     jax.random.uniform(k3, (shape[1],)) < 0.01
                 )
                 s = jnp.where(outlier, s * 8.0, s)
+                # norm-preserving: redistribute dynamic range across
+                # channels without inflating the matrix (unnormalized
+                # scales compound layer-over-layer into exploding
+                # activations and a meaningless 50-nat KL)
+                s = s / jnp.sqrt(jnp.mean(s * s))
                 w = w * s[None, :]
             return w
 
@@ -274,15 +279,29 @@ class LlamaForCausalLM:
         }
         if not cfg.tie_word_embeddings:
             if structured:
-                # low-rank-dominant head (real lm_heads have fast
-                # singular-value decay): rank-256 product + 5% noise, so
-                # logit gaps are non-degenerate and top-1 agreement
-                # under quantization measures something
-                r = min(256, H)
-                w = rand(H, r, scale=1.0) @ rand(
-                    r, cfg.vocab_size, scale=1.0
+                # low-rank-DOMINANT head (real lm_heads have fast
+                # singular-value decay) built from PLAIN gaussian
+                # factors: channel-scaled factors would give the head
+                # heavy within-column tails no real checkpoint has,
+                # making per-channel int8 look far worse than reality.
+                # 0.5x low-rank + 20% full-rank noise lands reference
+                # entropy in the plausible-LLM range instead of a
+                # near-delta distribution.
+                def plain(*shape, scale):
+                    counter[0] += 1
+                    return jax.random.normal(
+                        jax.random.fold_in(key, counter[0]), shape,
+                        jnp.float32,
+                    ) * scale
+
+                r = min(1024, H)
+                w = 0.5 * (
+                    plain(H, r, scale=1.0)
+                    @ plain(r, cfg.vocab_size, scale=1.0)
                 ) / np.sqrt(H * r)
-                w = w + 0.05 * rand(H, cfg.vocab_size)
+                w = w + 0.2 * plain(
+                    H, cfg.vocab_size, scale=1.0 / np.sqrt(H)
+                )
             else:
                 w = rand(H, cfg.vocab_size)
             params["lm_head"] = make_linear_params(

