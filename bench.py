@@ -80,9 +80,10 @@ def main() -> None:
     spec_topk = int(os.environ.get("BENCH_SPEC_TOPK", 2))
     max_total = int(os.environ.get("BENCH_MAX_TOTAL", 49152))
     if spec in ("eagle", "eagle3", "tree"):
-        # the draft net (full-vocab embed) + draft KV pool share HBM
-        # with the target pool; the workload needs 128*256 = 32k tokens
-        max_total = min(max_total, 40960)
+        # the draft net + draft KV pool + the fused-scan transients
+        # share HBM with the target pool; the B=8 latency workload
+        # needs only 8*(128+256+overshoot) ~= 4k tokens
+        max_total = min(max_total, 16384)
     extra_args = {}
     if spec:
         algo = {"ngram": "NGRAM", "eagle": "EAGLE", "eagle3": "EAGLE3",
@@ -165,9 +166,15 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600,
         )
-        base_tps = json.loads(proc.stdout.strip().splitlines()[-1])[
-            "value"
-        ]
+        lines = proc.stdout.strip().splitlines()
+        if not lines:
+            sys.stderr.write(
+                "non-spec baseline subprocess produced no output; "
+                f"rc={proc.returncode}\nstderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-30:]) + "\n"
+            )
+            raise SystemExit(1)
+        base_tps = json.loads(lines[-1])["value"]
         throughput, accept = measure(extra_args)
         out = {
             "metric": "offline_output_throughput_llama3_8b_int4_dummy"
