@@ -393,17 +393,19 @@ def int4_matmul(
     *,
     group_size: int = 128,
     block_m: int = 1024,
-    block_n: int = 2048,
+    block_n: int = 4096,
     block_k: Optional[int] = None,
     out_dtype=jnp.bfloat16,
     act: str = "bf16",  # "bf16" (w4a16) | "int8" (w4a8, 2x MXU rate)
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Block defaults are DMA-traffic-tuned (r4 sweep on v5e): the x
+    """Block defaults are DMA-traffic-tuned (r4+r5 sweeps on v5e): the x
     block re-fetches once per N tile, so at block_n=256 the x traffic
     exceeded the weight traffic 2x at decode and 60x at prefill —
     block_n=2048 took decode gate+up 0.505 -> 0.244 ms and prefill
-    10.27 -> 7.04 ms before any kernel change.
+    10.27 -> 7.04 ms before any kernel change; the r5 sweep moved the
+    default to 4096 (gate+up 0.189 -> 0.179 ms, down 0.097 -> 0.084 ms
+    at M=128 w4a8), with a power-of-2 shrink when N isn't divisible.
 
     Two formulations, dispatched on M:
       * M >= DEQUANT_MIN_M, act="bf16": dequant formulation (one big dot
@@ -433,6 +435,8 @@ def int4_matmul(
     ):
         bm = min(block_m, round_up(M, 8))
         bn = min(block_n, N)
+        while N % bn:  # largest power-of-2-shrunk divisor of N
+            bn //= 2
         Mp = round_up(M, bm)
         xp = jnp.pad(x, ((0, Mp - M), (0, 0))) if Mp != M else x
         gpb = block_k // group_size
@@ -466,6 +470,8 @@ def int4_matmul(
 
     bm = min(block_m, round_up(M, 32 if act_int8 else 8))
     bn = min(block_n, N)
+    while N % bn:  # largest power-of-2-shrunk divisor of N
+        bn //= 2
     Mp = round_up(M, bm)
 
     inputs = []
